@@ -1,0 +1,403 @@
+"""Deterministic synthetic ``pages`` corpus (FIXTURES.md §B).
+
+Everything is a pure function of (seed, doc_index): one
+``random.Random(seed ^ doc_index)`` per document, no module-level RNG state,
+no wall clock — so the corpus and therefore the golden digests are
+reproducible bit-for-bit across processes and cluster sizes
+(BASELINE.json:6 byte-identity; task brief: "synthesise it deterministically
+at small scale; no external data").
+
+Shape mandated by BASELINE.json:15:
+pages(url string, warc_ts timestamp, html binary, text string, lang string)
+
+Mix: ~78% HTML (boilerplate shell + 1–8 content blocks, entity references,
+deliberate malformations, charset variants), ~15% PDF (our own minimal writer,
+subset-matched to webextract.pdfx), ~7% raw text (passthrough path). Hosts
+are Zipf-skewed (top host ≈ half the docs when skew='heavy') to make salted
+repartitioning load-bearing (BASELINE.json:6 "skewed hosts").
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import random
+import zlib
+from typing import Dict, List, Optional, Tuple
+
+from corsearch_project_spark.webextract.rules import Rule
+
+# ---------------------------------------------------------------------------
+# Vocabulary / sentence soup (seeded)
+# ---------------------------------------------------------------------------
+
+_WORDS = (
+    "data spark engine table page content extraction pipeline cluster shard "
+    "bucket partition shuffle arrow batch vector column schema parquet byte "
+    "stream window join filter select group order lineage digest resume text "
+    "block score density link anchor heading article story report market "
+    "science culture travel energy finance health nature museum harbor winter "
+    "summer garden signal metric quorum ledger horizon canvas timber copper "
+    "meadow falcon quartz delta sierra tango victor whiskey yankee zulu"
+).split()
+
+_LANGS = ("en", "fr", "es", "zh", "de")
+
+HOSTS = (
+    "news.example.com",
+    "blog.alpha-site.org",
+    "docs.betaworks.io",
+    "shop.gamma-mart.net",
+    "forum.delta-hub.com",
+    "wiki.epsilon.org",
+    "media.zeta-press.co.uk",
+    "labs.eta-research.edu",
+    "mag.theta-daily.com",
+    "archive.iota-lib.org",
+)
+
+# Zipf-ish host weights; 'heavy' makes HOSTS[0] ≈ 50% of docs (skew fixture).
+_HOST_WEIGHTS = {
+    "mild": [24, 18, 14, 11, 9, 7, 6, 5, 3, 3],
+    "heavy": [50, 14, 9, 7, 5, 4, 4, 3, 2, 2],
+}
+
+
+def default_rules() -> Dict[str, Rule]:
+    """~10 distinct per-source rules so config dispatch is load-bearing
+    in tests (FIXTURES.md §B)."""
+    base_strip = ("nav", "footer", "aside", "form", "header", "menu")
+    return {
+        "*": Rule("*", base_strip, ("article", "main")),
+        "example.com": Rule(
+            "example.com", base_strip + ("promo",), ("article", "main"), 15.0, 0.4
+        ),
+        "alpha-site.org": Rule(
+            "alpha-site.org", base_strip, ("article", "main", "post"), 25.0, 0.5
+        ),
+        "betaworks.io": Rule(
+            "betaworks.io", base_strip + ("toc",), ("main",), 18.0, 0.6
+        ),
+        "gamma-mart.net": Rule(
+            "gamma-mart.net", base_strip + ("related", "reviews"), ("main",), 30.0, 0.35
+        ),
+        "delta-hub.com": Rule("delta-hub.com", base_strip, ("article",), 12.0, 0.55),
+        "epsilon.org": Rule("epsilon.org", base_strip, ("article", "main"), 20.0, 0.5),
+        "zeta-press.co.uk": Rule(
+            "zeta-press.co.uk", base_strip, ("article",), 22.0, 0.45,
+            pdf_line_tol=0.5, pdf_block_gap=1.8,
+        ),
+        "eta-research.edu": Rule(
+            "eta-research.edu", base_strip, ("main",), 16.0, 0.5,
+            pdf_line_tol=0.4, pdf_block_gap=1.5,
+        ),
+        "theta-daily.com": Rule(
+            "theta-daily.com", base_strip + ("trending",), ("article",), 20.0, 0.5
+        ),
+        "iota-lib.org": Rule(
+            "iota-lib.org", base_strip, ("main", "article"), 14.0, 0.5,
+            charset_override=None,
+        ),
+    }
+
+
+def _sentence(rng: random.Random, lo: int = 6, hi: int = 14) -> str:
+    n = rng.randint(lo, hi)
+    ws = [rng.choice(_WORDS) for _ in range(n)]
+    ws[0] = ws[0].capitalize()
+    if n > 8 and rng.random() < 0.6:
+        k = rng.randint(2, n - 2)
+        ws[k] = ws[k] + ","
+    return " ".join(ws) + rng.choice((".", ".", ".", "!", "?"))
+
+
+def _paragraph(rng: random.Random, lo: int = 2, hi: int = 5) -> str:
+    return " ".join(_sentence(rng) for _ in range(rng.randint(lo, hi)))
+
+
+# ---------------------------------------------------------------------------
+# HTML writer
+# ---------------------------------------------------------------------------
+
+_ENTITY_SAMPLES = (
+    ("&amp;", "&"),
+    ("&eacute;", "é"),
+    ("&#233;", "é"),
+    ("&quot;", '"'),
+    ("&lt;tag&gt;", "<tag>"),
+    ("&#x2014;", "—"),
+)
+
+
+def make_html(rng: random.Random) -> bytes:
+    nav_items = "".join(
+        f'<li><a href="/{rng.choice(_WORDS)}">{rng.choice(_WORDS).title()}</a></li>'
+        for _ in range(rng.randint(3, 7))
+    )
+    n_blocks = rng.randint(1, 8)
+    content_parts: List[str] = []
+    for bi in range(n_blocks):
+        kind = rng.random()
+        if bi == 0 and rng.random() < 0.5:
+            content_parts.append(f"<h2>{_sentence(rng, 4, 8)}</h2>")
+        if kind < 0.6:
+            p = _paragraph(rng)
+            if rng.random() < 0.3:  # inject entity references
+                ent, _ = rng.choice(_ENTITY_SAMPLES)
+                p = p + " Caf" + ent + " style."
+            closer = "</p>" if rng.random() < 0.7 else ""  # unclosed <p> variant
+            content_parts.append(f"<p>{p}{closer}")
+        elif kind < 0.8:
+            items = "".join(
+                f"<li>{_sentence(rng, 8, 14)}</li>" for _ in range(rng.randint(2, 4))
+            )
+            content_parts.append(f"<ul>{items}</ul>")
+        else:
+            content_parts.append(f"<blockquote>{_paragraph(rng, 1, 2)}</blockquote>")
+    if rng.random() < 0.25:
+        content_parts.append("</div>")  # stray end tag (recovery exercise)
+    attr_q = rng.choice(('class="story-body" id=main-text', "class='story-body'"))
+    doc = (
+        "<!doctype html><html><head><title>Page Title Here</title>"
+        "<style>body{margin:0}</style>"
+        "<script>var trk=1;function f(){return '<p>not content</p>'}</script>"
+        "</head><body>"
+        f"<nav><ul>{nav_items}</ul></nav>"
+        '<header class="masthead">Site Masthead Banner</header>'
+        f'<div {attr_q}><article>'
+        + "".join(content_parts)
+        + "</article></div>"
+        f'<aside class="sidebar"><p>{_sentence(rng)} sponsored deal click now!</p></aside>'
+        '<div class="ad-banner">Buy cheap deals now</div>'
+        "<footer>&copy; 2024 Example Corp &mdash; "
+        '<a href="/privacy">Privacy</a> <a href="/terms">Terms</a></footer>'
+        "</body></html>"
+    )
+    charset_roll = rng.random()
+    if charset_roll < 0.10:
+        # latin-1 with meta charset declaration
+        doc = doc.replace("<head>", '<head><meta charset="ISO-8859-1">', 1)
+        return doc.encode("latin-1", errors="replace")
+    if charset_roll < 0.18:
+        return b"\xef\xbb\xbf" + doc.encode("utf-8")  # BOM'd utf-8
+    return doc.encode("utf-8")
+
+
+# ---------------------------------------------------------------------------
+# Minimal PDF writer (subset-matched to webextract.pdfx — FIXTURES.md §B)
+# ---------------------------------------------------------------------------
+
+
+def _pdf_escape(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+_TOUNICODE_CMAP = b"""/CIDInit /ProcSet findresource begin
+12 dict begin begincmap
+1 begincodespacerange <00> <FF> endcodespacerange
+1 beginbfrange <20> <7E> <0020> endbfrange
+2 beginbfchar <E9> <00E9> <80> <20AC> endbfchar
+endcmap end end
+"""
+
+
+def make_pdf(rng: random.Random) -> bytes:
+    """1–3 pages; FlateDecode content streams using only
+    BT/ET, Tf, Tm, Td, TD, TL, T*, Tj, TJ, ', Tc, Tw; WinAnsi + one
+    ToUnicode-CMap font case; optional two-column page."""
+    n_pages = rng.randint(1, 3)
+    use_tounicode = rng.random() < 0.3
+    objs: List[bytes] = []  # 1-indexed
+
+    def add(obj: bytes) -> int:
+        objs.append(obj)
+        return len(objs)
+
+    font_num_holder: List[int] = []
+    page_nums: List[int] = []
+
+    catalog_num = add(b"")  # placeholder, patched later
+    pages_num = add(b"")
+
+    if use_tounicode:
+        cmap_stream = zlib.compress(_TOUNICODE_CMAP)
+        cmap_num = add(
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(cmap_stream)
+            + cmap_stream
+            + b"\nendstream"
+        )
+        font_num = add(
+            b"<< /Type /Font /Subtype /TrueType /BaseFont /SynthSans "
+            b"/ToUnicode %d 0 R >>" % cmap_num
+        )
+    else:
+        font_num = add(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding >>"
+        )
+    font_num_holder.append(font_num)
+
+    for p in range(n_pages):
+        two_col = rng.random() < 0.3
+        ops: List[str] = []
+
+        def text_column(x: float, paragraphs: List[List[str]]) -> None:
+            y = 720.0
+            ops.append("BT")
+            ops.append("/F1 12 Tf")
+            ops.append("14 TL")
+            first = True
+            for para in paragraphs:
+                if not first:
+                    y -= 28.0  # paragraph gap > block_gap*size -> new block
+                for li, line in enumerate(para):
+                    jitter = rng.choice((0.0, 0.5, -0.5, 1.0))  # within line tol
+                    if first:
+                        ops.append(f"1 0 0 1 {x:.1f} {y:.1f} Tm")
+                        first = False
+                    elif li == 0:
+                        ops.append(f"1 0 0 1 {x:.1f} {y:.1f} Tm")
+                    else:
+                        ops.append("T*")
+                    esc = _pdf_escape(line)
+                    style = rng.random()
+                    if style < 0.6:
+                        ops.append(f"({esc}) Tj")
+                    elif style < 0.8 and " " in line:
+                        a, b = line.split(" ", 1)
+                        ops.append(
+                            f"[({_pdf_escape(a)}) -250 ({_pdf_escape(b)})] TJ"
+                        )
+                    else:
+                        ops.append("0.1 Tc 0.2 Tw")
+                        ops.append(f"({esc}) Tj")
+                        ops.append("0 Tc 0 Tw")
+                    if jitter and li > 0:
+                        pass  # y-jitter folded into T* leading below
+                    y -= 14.0
+            ops.append("ET")
+
+        def paras(n_para: int, wlo: int, whi: int) -> List[List[str]]:
+            out = []
+            for _ in range(n_para):
+                lines = [
+                    " ".join(rng.choice(_WORDS) for _ in range(rng.randint(wlo, whi)))
+                    for _ in range(rng.randint(2, 5))
+                ]
+                out.append(lines)
+            return out
+
+        if two_col:
+            # narrow columns: ≤5 words ≈ ≤180pt wide keeps the inter-column
+            # whitespace > pdf_col_gap so E16 sees two bands
+            text_column(72.0, paras(rng.randint(1, 2), 3, 5))
+            text_column(340.0, paras(rng.randint(1, 2), 3, 5))
+        else:
+            text_column(72.0, paras(rng.randint(1, 3), 5, 9))
+
+        content = ("\n".join(ops) + "\n").encode("cp1252", errors="replace")
+        comp = zlib.compress(content)
+        c_num = add(
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+            + comp
+            + b"\nendstream"
+        )
+        page_num = add(
+            b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R >>"
+            % (pages_num, font_num, c_num)
+        )
+        page_nums.append(page_num)
+
+    objs[catalog_num - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num
+    kids = b" ".join(b"%d 0 R" % p for p in page_nums)
+    objs[pages_num - 1] = b"<< /Type /Pages /Kids [%s] /Count %d >>" % (
+        kids,
+        len(page_nums),
+    )
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0] * (len(objs) + 1)
+    for i, body in enumerate(objs, start=1):
+        offsets[i] = len(out)
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for i in range(1, len(objs) + 1):
+        out += b"%010d 00000 n \n" % offsets[i]
+    out += (
+        b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, catalog_num, xref_at)
+    )
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Corpus generator
+# ---------------------------------------------------------------------------
+
+_EPOCH = _dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc)
+
+
+def gen_page_row(seed: int, doc_index: int, skew: str = "mild") -> dict:
+    rng = random.Random((seed << 20) ^ doc_index)
+    host = rng.choices(HOSTS, weights=_HOST_WEIGHTS[skew], k=1)[0]
+    path = "/".join(rng.choice(_WORDS) for _ in range(rng.randint(1, 3)))
+    url = f"https://{host}/{path}/{doc_index}"
+    ts = _EPOCH + _dt.timedelta(seconds=doc_index * 97 + rng.randint(0, 40))
+    lang = rng.choice(_LANGS)
+    roll = rng.random()
+    if roll < 0.78:
+        body = make_html(rng)
+        fallback = None
+    elif roll < 0.93:
+        body = make_pdf(rng)
+        fallback = None
+    else:
+        if rng.random() < 0.5:
+            body = _paragraph(rng, 2, 6).encode("utf-8")
+            fallback = None
+        else:
+            body = b""  # fallback-text passthrough
+            fallback = _paragraph(rng, 1, 4)
+    return {
+        "url": url,
+        "warc_ts": ts,
+        "html": body,
+        "text": fallback,
+        "lang": lang,
+    }
+
+
+def gen_pages(
+    n_docs: int,
+    seed: int = 42,
+    skew: str = "mild",
+    dup_frac: float = 0.05,
+) -> List[dict]:
+    """n_docs base rows + floor(dup_frac*n) re-crawl duplicates of earlier
+    urls at a later warc_ts (latest-wins dedupe exercise, SURVEY §2.7 W1)."""
+    rows = [gen_page_row(seed, i, skew) for i in range(n_docs)]
+    n_dup = int(n_docs * dup_frac)
+    for k in range(n_dup):
+        rng = random.Random((seed << 21) ^ (0x5EED + k))
+        victim = rows[rng.randrange(n_docs)]
+        dup = dict(gen_page_row(seed, 10_000_000 + k, skew))
+        dup["url"] = victim["url"]  # same url, later capture, new content
+        dup["warc_ts"] = victim["warc_ts"] + _dt.timedelta(days=30 + k)
+        rows.append(dup)
+    return rows
+
+
+def pages_to_pandas(rows: List[dict]):
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "url": [r["url"] for r in rows],
+            "warc_ts": [r["warc_ts"] for r in rows],
+            "html": [r["html"] for r in rows],
+            "text": [r["text"] for r in rows],
+            "lang": [r["lang"] for r in rows],
+        }
+    )

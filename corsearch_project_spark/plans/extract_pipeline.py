@@ -1,0 +1,135 @@
+"""The end-to-end extraction pipeline (SURVEY §3.1) as a library function.
+
+Plan shape (one Python stage by design, SURVEY §4):
+
+  scan(pages) ──filter lang/bucket (pushed to Parquet)──▶
+  dedupe latest-wins (W1 window) ──▶ bucket P1 + salt P2 ──▶
+  shuffle on (url_bucket, salt) ──▶ mapInPandas kernel E17 ──▶
+  re-derive url_bucket (JVM) ──▶ bucketed dynamic-overwrite write S3 ──▶
+  lineage rollup from the committed table ──▶ append lineage S4
+
+Resume (§3.3): completed buckets are read from lineage and excluded with a
+literal NOT isin() filter, which prunes bucket directories at scan time when
+the input is bucket-partitioned.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from corsearch_project_spark.operators.kernel import run_kernel
+from corsearch_project_spark.operators.partitioning import (
+    DEFAULT_BUCKETS,
+    DEFAULT_SALT,
+    hot_hosts,
+    with_salt,
+    with_url_bucket,
+)
+from corsearch_project_spark.sources.io import (
+    ParquetBucketedFormat,
+    done_buckets,
+    scan_pages,
+)
+from corsearch_project_spark.sources.lineage import lineage_rows
+from corsearch_project_spark.webextract.rules import Rule, rules_to_plain
+
+
+@dataclass
+class ExtractConfig:
+    input_path: str
+    output_path: str  # root; extracted under <root>/extracted, lineage under <root>/lineage
+    run_id: str = ""
+    buckets: int = DEFAULT_BUCKETS
+    salt: int = DEFAULT_SALT
+    hot_frac: float = 0.05
+    resume: bool = False
+    kernel_partitions: Optional[int] = None
+    bucket_whitelist: Optional[Sequence[int]] = None  # test hook: simulate partial run
+    max_records_per_file: int = 50_000
+
+    def __post_init__(self):
+        if not self.run_id:
+            self.run_id = uuid.uuid4().hex[:12]
+
+    @property
+    def extracted_path(self) -> str:
+        return self.output_path.rstrip("/") + "/extracted"
+
+    @property
+    def lineage_path(self) -> str:
+        return self.output_path.rstrip("/") + "/lineage"
+
+
+def dedupe_latest(pages: DataFrame) -> DataFrame:
+    """W1: Common-Crawl re-crawls — latest warc_ts per url wins; ties broken
+    deterministically by larger payload (SURVEY §2.7)."""
+    w = Window.partitionBy("url").orderBy(
+        F.desc("warc_ts"), F.desc(F.length("html")), F.desc("text")
+    )
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def run_extract(
+    spark: SparkSession,
+    cfg: ExtractConfig,
+    rules: Optional[Dict[str, Rule]] = None,
+) -> Dict[str, object]:
+    fmt = ParquetBucketedFormat(cfg.max_records_per_file)
+    pages = scan_pages(spark, cfg.input_path)
+
+    skipped: List[int] = []
+    if cfg.resume:
+        skipped = done_buckets(spark, fmt, cfg.lineage_path, cfg.run_id)
+
+    pages = with_url_bucket(pages, cfg.buckets)
+    if skipped:
+        pages = pages.where(~F.col("url_bucket").isin(skipped))
+    if cfg.bucket_whitelist is not None:
+        pages = pages.where(F.col("url_bucket").isin(list(cfg.bucket_whitelist)))
+
+    pages = dedupe_latest(pages)
+
+    hot = hot_hosts(pages.select("url"), cfg.hot_frac)
+    pages = with_salt(pages, hot, cfg.salt)
+
+    sel = pages.select("url", "html", "text", "url_bucket", "salt")
+    part_cols = [F.col("url_bucket"), F.col("salt")]
+    if cfg.kernel_partitions:
+        shuffled = sel.repartition(cfg.kernel_partitions, *part_cols)
+    else:
+        shuffled = sel.repartition(*part_cols)
+
+    rules_plain = rules_to_plain(rules or {})
+    rules_bc = spark.sparkContext.broadcast(rules_plain)
+
+    extracted = run_kernel(shuffled, rules_bc)
+    extracted = with_url_bucket(extracted, cfg.buckets)  # re-derived JVM-side
+
+    fmt.write_extracted(extracted, cfg.extracted_path)
+
+    committed = fmt.read_extracted(spark, cfg.extracted_path)
+    run_buckets = [
+        r["url_bucket"]
+        for r in committed.select("url_bucket").distinct().collect()
+        if r["url_bucket"] not in set(skipped)
+    ]
+    lin = lineage_rows(committed, cfg.run_id, cfg.input_path, run_buckets)
+    fmt.append_lineage(lin, cfg.lineage_path)
+
+    return {
+        "run_id": cfg.run_id,
+        "buckets_written": sorted(run_buckets),
+        "buckets_skipped": skipped,
+        "hot_hosts": hot,
+        "extracted_path": cfg.extracted_path,
+        "lineage_path": cfg.lineage_path,
+    }

@@ -1,0 +1,63 @@
+"""Fixed, declared schemas (never inferred — SURVEY.md §1.2: inference at
+10^12 rows is a full scan). Column shapes per BASELINE.json:15 (pages) and
+FIXTURES.md (extracted, lineage)."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+SPAN_TYPE = T.StructType(
+    [
+        T.StructField("start", T.LongType(), False),
+        T.StructField("end", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+    ]
+)
+
+# Kernel output (pre-write). url_bucket is appended JVM-side (P1) and used as
+# the partition column; bytes_in/extract_us feed the lineage rollup (S4).
+EXTRACTED_KERNEL_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("doc_kind", T.StringType(), False),
+        T.StructField("extracted_text", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(SPAN_TYPE), False),
+        T.StructField("text_sha256", T.StringType(), False),
+        T.StructField("n_blocks", T.LongType(), False),
+        T.StructField("n_chars", T.LongType(), False),
+        T.StructField("bytes_in", T.LongType(), False),
+        T.StructField("extract_us", T.LongType(), False),
+    ]
+)
+
+EXTRACTED_SCHEMA = T.StructType(
+    list(EXTRACTED_KERNEL_SCHEMA.fields)
+    + [T.StructField("url_bucket", T.IntegerType(), False)]
+)
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("url_bucket", T.IntegerType(), False),
+        T.StructField("input_split", T.StringType(), True),
+        T.StructField("doc_count", T.LongType(), False),
+        T.StructField("sha256_rollup", T.StringType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("wall_ms", T.LongType(), False),
+        T.StructField("bytes_in", T.LongType(), False),
+    ]
+)
+
+PAGES_DDL = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)

@@ -1,0 +1,75 @@
+"""Document-level extraction dispatcher (SURVEY.md §2.2 E1→E16 composed).
+
+``extract_document`` is THE deterministic function whose output defines the
+byte-identity contract (BASELINE.json:6): it runs single-process to build
+golden digests and executor-side inside the Arrow kernel; pytest asserts the
+per-url sha256 of ``text`` matches between the two.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+from corsearch_project_spark.webextract.htmlx import extract_html
+from corsearch_project_spark.webextract.rules import DEFAULT_RULE, Rule
+from corsearch_project_spark.webextract.sniff import sniff_kind
+from corsearch_project_spark.webextract.textnorm import decode_bytes, normalize_ws
+
+Span = Tuple[int, int, str]
+
+
+@dataclass
+class ExtractResult:
+    url: str
+    doc_kind: str  # 'html' | 'pdf' | 'text_passthrough'
+    text: str
+    spans: List[Span]
+    text_sha256: str
+    n_blocks: int
+    n_chars: int
+    bytes_in: int
+
+
+def _digest(text: str) -> str:
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+
+def extract_document(
+    url: str,
+    data: Optional[bytes],
+    fallback_text: Optional[str],
+    rule: Rule = DEFAULT_RULE,
+) -> ExtractResult:
+    data = data or b""
+    kind = sniff_kind(data)
+    if kind == "pdf":
+        from corsearch_project_spark.webextract.pdfx import extract_pdf
+
+        text, spans = extract_pdf(data, rule)
+        doc_kind = "pdf"
+    elif kind == "html":
+        src = decode_bytes(data, rule.charset_override)
+        text, spans = extract_html(src, rule)
+        doc_kind = "html"
+    else:
+        # Text passthrough: raw non-markup bytes, else the table's fallback
+        # ``text`` column (pages schema, BASELINE.json:15).
+        if data:
+            src = decode_bytes(data, rule.charset_override)
+        else:
+            src = fallback_text or ""
+        text = normalize_ws(src)
+        spans = [(0, len(src), "text")] if text else []
+        doc_kind = "text_passthrough"
+    return ExtractResult(
+        url=url,
+        doc_kind=doc_kind,
+        text=text,
+        spans=list(spans),
+        text_sha256=_digest(text),
+        n_blocks=len(spans),
+        n_chars=len(text),
+        bytes_in=len(data),
+    )

@@ -1,0 +1,579 @@
+"""Minimal deterministic PDF text extraction (SURVEY.md §2.2 E11–E16).
+
+pdfminer.six-style architecture (the public LTChar→LTTextLine→LTTextBox
+layout model), rewritten from scratch for this engine because pdfminer is
+unavailable offline (SURVEY.md §0.1) and the byte-identity contract
+(BASELINE.json:6) requires full control:
+
+- E11 lexer/parser: dict/array/name/number/string/hex-string tokens,
+  indirect refs, sequential body scan with regex recovery (no xref needed).
+- E12 stream decode: FlateDecode (zlib), ASCIIHexDecode, identity.
+- E13 content-stream interpreter: BT/ET, Tf, Tm, Td, TD, TL, T*, Tc, Tw,
+  Tj, TJ, ', " — emits glyph runs (text, x, y, size) per page; fonts decoded
+  via ToUnicode CMap (bfchar/bfrange) or WinAnsi (cp1252) or latin-1.
+- E14 glyph→line clustering by y-coordinate bands (rule.pdf_line_tol × size).
+- E15 line→block clustering by vertical gap (rule.pdf_block_gap × size).
+- E16 reading-order sort: column detection by x-interval overlap, columns
+  left→right, blocks top→bottom, pages in order.
+
+Supported subset = exactly what fixtures/gen_pages.py's writer emits, which
+is legitimate because this core *defines* the golden corpus (SURVEY §1.3).
+Unsupported filters/operators are skipped deterministically (never raise).
+
+PDF spans index into the *emitted text* (there is no decoded char source for
+binary PDFs); kind is ``pdf:p<page>`` so blocks remain page-attributable.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+from corsearch_project_spark.webextract.rules import DEFAULT_RULE, Rule
+from corsearch_project_spark.webextract.textnorm import normalize_ws
+
+# ---------------------------------------------------------------------------
+# E11: object lexer/parser
+# ---------------------------------------------------------------------------
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class Ref(tuple):
+    """Indirect reference (num, gen)."""
+
+
+@dataclass
+class StreamObj:
+    d: dict
+    raw: bytes
+
+
+def _skip_ws(buf: bytes, i: int) -> int:
+    n = len(buf)
+    while i < n:
+        c = buf[i : i + 1]
+        if c in (b"%",):  # comment to EOL
+            j = buf.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        elif c in _WS:
+            i += 1
+        else:
+            break
+    return i
+
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
+_NAME_RE = re.compile(rb"/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)")
+_REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R(?![a-zA-Z])")
+_KEYWORD_RE = re.compile(rb"[a-zA-Z'\"*]{1,32}")
+
+
+def parse_object(buf: bytes, i: int) -> Tuple[object, int]:
+    """Parse one PDF value at offset i -> (value, next_offset)."""
+    i = _skip_ws(buf, i)
+    if i >= len(buf):
+        return None, i
+    c = buf[i : i + 1]
+    if c == b"<":
+        if buf[i : i + 2] == b"<<":
+            return _parse_dict(buf, i)
+        return _parse_hex_string(buf, i)
+    if c == b"(":
+        return _parse_lit_string(buf, i)
+    if c == b"[":
+        i += 1
+        arr: List[object] = []
+        while True:
+            i = _skip_ws(buf, i)
+            if i >= len(buf) or buf[i : i + 1] == b"]":
+                return arr, min(i + 1, len(buf))
+            v, i = parse_object(buf, i)
+            arr.append(v)
+    if c == b"/":
+        m = _NAME_RE.match(buf, i)
+        return "/" + m.group(1).decode("latin-1"), m.end()
+    m = _REF_RE.match(buf, i)
+    if m:
+        return Ref((int(m.group(1)), int(m.group(2)))), m.end()
+    m = _NUM_RE.match(buf, i)
+    if m:
+        s = m.group(0)
+        v = float(s) if b"." in s else int(s)
+        return v, m.end()
+    if buf.startswith(b"true", i):
+        return True, i + 4
+    if buf.startswith(b"false", i):
+        return False, i + 5
+    if buf.startswith(b"null", i):
+        return None, i + 4
+    m = _KEYWORD_RE.match(buf, i)
+    if m:
+        return ("op", m.group(0).decode("latin-1")), m.end()
+    return None, i + 1  # skip unparseable byte deterministically
+
+
+def _parse_dict(buf: bytes, i: int) -> Tuple[dict, int]:
+    i += 2
+    d: dict = {}
+    while True:
+        i = _skip_ws(buf, i)
+        if buf[i : i + 2] == b">>":
+            return d, i + 2
+        if i >= len(buf):
+            return d, i
+        if buf[i : i + 1] != b"/":
+            _, i = parse_object(buf, i)  # recover: skip junk value
+            continue
+        m = _NAME_RE.match(buf, i)
+        key = "/" + m.group(1).decode("latin-1")
+        v, i = parse_object(buf, m.end())
+        d[key] = v
+
+
+def _parse_hex_string(buf: bytes, i: int) -> Tuple[bytes, int]:
+    j = buf.find(b">", i + 1)
+    if j < 0:
+        j = len(buf)
+    hexs = re.sub(rb"[^0-9A-Fa-f]", b"", buf[i + 1 : j])
+    if len(hexs) % 2:
+        hexs += b"0"
+    return bytes.fromhex(hexs.decode("ascii")), j + 1
+
+
+_ESCAPES = {
+    b"n": b"\n",
+    b"r": b"\r",
+    b"t": b"\t",
+    b"b": b"\b",
+    b"f": b"\x0c",
+    b"(": b"(",
+    b")": b")",
+    b"\\": b"\\",
+}
+
+
+def _parse_lit_string(buf: bytes, i: int) -> Tuple[bytes, int]:
+    i += 1
+    out = bytearray()
+    depth = 1
+    n = len(buf)
+    while i < n:
+        c = buf[i : i + 1]
+        if c == b"\\":
+            nxt = buf[i + 1 : i + 2]
+            if nxt in _ESCAPES:
+                out += _ESCAPES[nxt]
+                i += 2
+            elif nxt.isdigit():
+                oct_s = buf[i + 1 : i + 4]
+                m = re.match(rb"[0-7]{1,3}", oct_s)
+                out.append(int(m.group(0), 8) & 0xFF)
+                i += 1 + len(m.group(0))
+            elif nxt in (b"\n", b"\r"):
+                i += 2  # line continuation
+                if nxt == b"\r" and buf[i : i + 1] == b"\n":
+                    i += 1
+            else:
+                i += 1
+        elif c == b"(":
+            depth += 1
+            out += c
+            i += 1
+        elif c == b")":
+            depth -= 1
+            if depth == 0:
+                return bytes(out), i + 1
+            out += c
+            i += 1
+        else:
+            out += c
+            i += 1
+    return bytes(out), i
+
+
+# ---------------------------------------------------------------------------
+# Document body scan
+# ---------------------------------------------------------------------------
+
+_OBJ_HEADER_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+
+
+class PdfDoc:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.objects: Dict[int, object] = {}
+        self.trailer: dict = {}
+        self._scan()
+
+    def _scan(self) -> None:
+        """Sequential scan of indirect objects; stream /Length resolved after
+        first pass (fixture writer emits direct Lengths; refs re-resolved)."""
+        buf = self.data
+        for m in _OBJ_HEADER_RE.finditer(buf):
+            num = int(m.group(1))
+            try:
+                val, j = parse_object(buf, m.end())
+            except Exception:
+                continue
+            if isinstance(val, dict):
+                j = _skip_ws(buf, j)
+                if buf.startswith(b"stream", j):
+                    j += 6
+                    if buf[j : j + 2] == b"\r\n":
+                        j += 2
+                    elif buf[j : j + 1] == b"\n":
+                        j += 1
+                    length = val.get("/Length")
+                    if isinstance(length, Ref):
+                        length = None  # resolve by endstream search
+                    if isinstance(length, int):
+                        raw = buf[j : j + length]
+                    else:
+                        e = buf.find(b"endstream", j)
+                        raw = buf[j : e if e >= 0 else len(buf)]
+                        raw = raw.rstrip(b"\r\n")
+                    val = StreamObj(val, raw)
+            if num not in self.objects:  # first definition wins (linear file)
+                self.objects[num] = val
+        for tm in re.finditer(rb"trailer", buf):
+            try:
+                d, _ = parse_object(buf, tm.end())
+                if isinstance(d, dict):
+                    self.trailer.update(d)
+            except Exception:
+                pass
+
+    def resolve(self, v, depth: int = 0):
+        while isinstance(v, Ref) and depth < 32:
+            v = self.objects.get(v[0])
+            depth += 1
+        return v
+
+    # -- E12: stream decode ------------------------------------------------
+    def stream_bytes(self, obj) -> bytes:
+        obj = self.resolve(obj)
+        if not isinstance(obj, StreamObj):
+            return b""
+        raw = obj.raw
+        filt = self.resolve(obj.d.get("/Filter"))
+        filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+        for f in filters:
+            f = self.resolve(f)
+            if f == "/FlateDecode":
+                try:
+                    raw = zlib.decompress(raw)
+                except Exception:
+                    try:
+                        raw = zlib.decompressobj().decompress(raw)
+                    except Exception:
+                        return b""
+            elif f == "/ASCIIHexDecode":
+                hexs = re.sub(rb"[^0-9A-Fa-f]", b"", raw.split(b">")[0])
+                if len(hexs) % 2:
+                    hexs += b"0"
+                raw = bytes.fromhex(hexs.decode("ascii"))
+            else:
+                return b""  # unsupported filter: deterministic empty
+        return raw
+
+    # -- page tree ----------------------------------------------------------
+    def pages(self) -> List[dict]:
+        root = self.resolve(self.trailer.get("/Root"))
+        out: List[dict] = []
+
+        def walk(node, depth=0):
+            node = self.resolve(node)
+            if not isinstance(node, (dict, StreamObj)) or depth > 64:
+                return
+            d = node.d if isinstance(node, StreamObj) else node
+            t = d.get("/Type")
+            if t == "/Pages" or (t is None and "/Kids" in d):
+                for kid in self.resolve(d.get("/Kids")) or []:
+                    walk(kid, depth + 1)
+            elif t == "/Page":
+                out.append(d)
+
+        if isinstance(root, dict):
+            walk(root.get("/Pages"))
+        if not out:  # recovery: any object that looks like a page
+            for o in self.objects.values():
+                d = o.d if isinstance(o, StreamObj) else o
+                if isinstance(d, dict) and d.get("/Type") == "/Page":
+                    out.append(d)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Fonts
+# ---------------------------------------------------------------------------
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _utf16be(hexs: bytes) -> str:
+    b = bytes.fromhex(hexs.decode("ascii"))
+    return b.decode("utf-16-be", errors="replace")
+
+
+class FontDecoder:
+    """Single-byte simple-font decoder: ToUnicode CMap > WinAnsi > latin-1."""
+
+    def __init__(self, doc: PdfDoc, font_dict: dict):
+        self.cmap: Optional[Dict[int, str]] = None
+        tu = doc.resolve(font_dict.get("/ToUnicode")) if font_dict else None
+        if isinstance(tu, StreamObj):
+            data = doc.stream_bytes(tu)
+            cmap: Dict[int, str] = {}
+            for m in _BFCHAR_RE.finditer(data):
+                pairs = _HEXPAIR_RE.findall(m.group(1))
+                for a, b in zip(pairs[0::2], pairs[1::2]):
+                    cmap[int(a, 16)] = _utf16be(b)
+            for m in _BFRANGE_RE.finditer(data):
+                trip = _HEXPAIR_RE.findall(m.group(1))
+                for lo, hi, dst in zip(trip[0::3], trip[1::3], trip[2::3]):
+                    lo_i, hi_i = int(lo, 16), int(hi, 16)
+                    base = int(dst, 16)
+                    for k in range(lo_i, min(hi_i, lo_i + 255) + 1):
+                        cmap[k] = chr(base + (k - lo_i))
+            if cmap:
+                self.cmap = cmap
+        enc = doc.resolve(font_dict.get("/Encoding")) if font_dict else None
+        self.codec = "cp1252" if enc == "/WinAnsiEncoding" else "latin-1"
+
+    def decode(self, raw: bytes) -> str:
+        if self.cmap is not None:
+            return "".join(self.cmap.get(b, "�") for b in raw)
+        return raw.decode(self.codec, errors="replace")
+
+
+# ---------------------------------------------------------------------------
+# E13: content-stream interpreter
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Run:
+    text: str
+    x: float
+    y: float
+    size: float
+
+
+def interpret_content(doc: PdfDoc, content: bytes, fonts: Dict[str, FontDecoder]) -> List[Run]:
+    runs: List[Run] = []
+    i = 0
+    n = len(content)
+    stack: List[object] = []
+    font: Optional[FontDecoder] = None
+    size = 12.0
+    tl = 0.0  # leading
+    # text line matrix translation (text space; CTM ignored — fixtures use identity)
+    lx = ly = 0.0  # line start
+    cx = cy = 0.0  # current point
+    sx = sy = 1.0  # Tm scale components (a, d)
+
+    def est_width(s: str) -> float:
+        return 0.5 * size * sx * len(s)
+
+    def show(raw: bytes) -> None:
+        nonlocal cx
+        if font is None or not raw:
+            txt = raw.decode("latin-1", errors="replace") if raw else ""
+        else:
+            txt = font.decode(raw)
+        if txt:
+            runs.append(Run(txt, cx, cy, size * sy))
+            cx += est_width(txt)
+
+    while i < n:
+        v, i = parse_object(content, i)
+        if isinstance(v, tuple) and len(v) == 2 and v[0] == "op":
+            op = v[1]
+            a = stack
+            if op == "Tf" and len(a) >= 2:
+                name = a[-2]
+                size = float(a[-1]) if isinstance(a[-1], (int, float)) else 12.0
+                font = fonts.get(name if isinstance(name, str) else "")
+            elif op == "Tm" and len(a) >= 6:
+                try:
+                    sx = float(a[-6])
+                    sy = float(a[-3])
+                    lx = cx = float(a[-2])
+                    ly = cy = float(a[-1])
+                except Exception:
+                    pass
+            elif op in ("Td", "TD") and len(a) >= 2:
+                try:
+                    tx, ty = float(a[-2]), float(a[-1])
+                    lx += tx * sx
+                    ly += ty * sy
+                    cx, cy = lx, ly
+                    if op == "TD":
+                        tl = -ty
+                except Exception:
+                    pass
+            elif op == "TL" and a:
+                try:
+                    tl = float(a[-1])
+                except Exception:
+                    pass
+            elif op == "T*":
+                ly -= tl * sy
+                cx, cy = lx, ly
+            elif op == "BT":
+                lx = ly = cx = cy = 0.0
+                sx = sy = 1.0
+            elif op == "Tj" and a:
+                if isinstance(a[-1], bytes):
+                    show(a[-1])
+            elif op in ("'", '"'):
+                ly -= tl * sy
+                cx, cy = lx, ly
+                if a and isinstance(a[-1], bytes):
+                    show(a[-1])
+            elif op == "TJ" and a and isinstance(a[-1], list):
+                for el in a[-1]:
+                    if isinstance(el, bytes):
+                        show(el)
+                    elif isinstance(el, (int, float)):
+                        cx -= el / 1000.0 * size * sx
+            # Tc/Tw/ET/other operators: state tracked implicitly or ignored
+            stack = []
+        else:
+            stack.append(v)
+            if len(stack) > 64:
+                stack = stack[-64:]
+    return runs
+
+
+# ---------------------------------------------------------------------------
+# E14–E16: layout analysis
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Line:
+    y: float
+    x0: float
+    x1: float
+    size: float
+    texts: List[Tuple[float, str]] = field(default_factory=list)
+
+    def text(self) -> str:
+        return " ".join(t for _, t in sorted(self.texts, key=lambda p: p[0]))
+
+
+def cluster_lines(runs: List[Run], tol_frac: float) -> List[Line]:
+    lines: List[Line] = []
+    for r in sorted(runs, key=lambda r: (-r.y, r.x)):
+        tol = tol_frac * max(r.size, 1.0)
+        target: Optional[Line] = None
+        for ln in lines:
+            if abs(ln.y - r.y) <= tol:
+                target = ln
+                break
+        if target is None:
+            target = Line(r.y, r.x, r.x, r.size)
+            lines.append(target)
+        target.texts.append((r.x, r.text))
+        target.x0 = min(target.x0, r.x)
+        target.x1 = max(target.x1, r.x + 0.5 * r.size * len(r.text))
+        target.size = max(target.size, r.size)
+    return lines
+
+
+def cluster_columns(runs: List[Run], col_gap: float) -> List[List[Run]]:
+    """E16 column detection at the run level: project runs to x-intervals,
+    merge intervals separated by less than ``col_gap`` points into column
+    bands, assign each run to its band. Bands ordered left→right."""
+    if not runs:
+        return []
+    ivals = sorted(
+        (r.x, r.x + 0.5 * r.size * max(len(r.text), 1)) for r in runs
+    )
+    bands: List[List[float]] = [list(ivals[0])]
+    for x0, x1 in ivals[1:]:
+        if x0 <= bands[-1][1] + col_gap:
+            bands[-1][1] = max(bands[-1][1], x1)
+        else:
+            bands.append([x0, x1])
+    out: List[List[Run]] = [[] for _ in bands]
+    starts = [b[0] for b in bands]
+    for r in runs:
+        # rightmost band whose start <= r.x (bisect, deterministic)
+        lo, hi = 0, len(starts) - 1
+        idx = 0
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            if starts[mid] <= r.x:
+                idx = mid
+                lo = mid + 1
+            else:
+                hi = mid - 1
+        out[idx].append(r)
+    return [band for band in out if band]
+
+
+def lines_to_blocks(lines: List[Line], gap_frac: float) -> List[List[Line]]:
+    blocks: List[List[Line]] = []
+    cur: List[Line] = []
+    prev: Optional[Line] = None
+    for ln in sorted(lines, key=lambda l: (-l.y, l.x0)):
+        if prev is not None and (prev.y - ln.y) > gap_frac * max(prev.size, 1.0):
+            if cur:
+                blocks.append(cur)
+            cur = []
+        cur.append(ln)
+        prev = ln
+    if cur:
+        blocks.append(cur)
+    return blocks
+
+
+def extract_pdf(data: bytes, rule: Rule = DEFAULT_RULE):
+    """PDF bytes -> (text, spans). Spans index into the emitted text,
+    kind = 'pdf:p<page_index>'."""
+    try:
+        doc = PdfDoc(data)
+    except Exception:
+        return "", []
+    out_blocks: List[Tuple[str, str]] = []  # (block_text, kind)
+    for pageno, page in enumerate(doc.pages(), start=1):
+        res = doc.resolve(page.get("/Resources")) or {}
+        if isinstance(res, StreamObj):
+            res = res.d
+        fonts_d = doc.resolve(res.get("/Font")) if isinstance(res, dict) else {}
+        fonts: Dict[str, FontDecoder] = {}
+        if isinstance(fonts_d, dict):
+            for name, fobj in fonts_d.items():
+                fd = doc.resolve(fobj)
+                if isinstance(fd, StreamObj):
+                    fd = fd.d
+                if isinstance(fd, dict):
+                    fonts[name] = FontDecoder(doc, fd)
+        contents = doc.resolve(page.get("/Contents"))
+        parts = contents if isinstance(contents, list) else [contents]
+        content = b"\n".join(doc.stream_bytes(p) for p in parts if p is not None)
+        runs = interpret_content(doc, content, fonts)
+        if not runs:
+            continue
+        for col_runs in cluster_columns(runs, rule.pdf_col_gap):
+            lines = cluster_lines(col_runs, rule.pdf_line_tol)
+            for block in lines_to_blocks(lines, rule.pdf_block_gap):
+                btxt = normalize_ws(" ".join(ln.text() for ln in block))
+                if btxt:
+                    out_blocks.append((btxt, f"pdf:p{pageno}"))
+    text_parts: List[str] = []
+    spans: List[Tuple[int, int, str]] = []
+    pos = 0
+    for btxt, kind in out_blocks:
+        spans.append((pos, pos + len(btxt), kind))
+        text_parts.append(btxt)
+        pos += len(btxt) + 1  # joiner
+    return "\n".join(text_parts), spans

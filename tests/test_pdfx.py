@@ -1,0 +1,138 @@
+"""Unit tests for the PDF core (SURVEY §5.2 layer 1, operators E11–E16)."""
+
+import random
+import zlib
+
+from corsearch_project_spark.fixtures.gen_pages import make_pdf
+from corsearch_project_spark.webextract.pdfx import (
+    PdfDoc,
+    extract_pdf,
+    parse_object,
+)
+from corsearch_project_spark.webextract.rules import DEFAULT_RULE
+
+
+def _simple_pdf(content: str, font: bytes = b"<< /Type /Font /Subtype /Type1 "
+                b"/BaseFont /Helvetica /Encoding /WinAnsiEncoding >>") -> bytes:
+    comp = zlib.compress(content.encode("cp1252"))
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>",
+        font,
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+        + comp
+        + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, o in enumerate(objs, 1):
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    out += b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n"
+    return bytes(out)
+
+
+def test_parse_object_dict_array_ref():
+    v, _ = parse_object(b"<< /A 1 /B (hi) /C [4 0 R 3.5] /D /Name >>", 0)
+    assert v["/A"] == 1 and v["/B"] == b"hi" and v["/D"] == "/Name"
+    ref = v["/C"][0]
+    assert tuple(ref) == (4, 0) and v["/C"][1] == 3.5
+
+
+def test_parse_string_escapes():
+    v, _ = parse_object(rb"(a\(b\)c \\ \n \101)", 0)
+    assert v == b"a(b)c \\ \n A"
+
+
+def test_parse_hex_string():
+    v, _ = parse_object(b"<48 65 6C6C6F>", 0)
+    assert v == b"Hello"
+
+
+def test_basic_text_extraction():
+    pdf = _simple_pdf(
+        "BT /F1 12 Tf 14 TL 1 0 0 1 72 720 Tm (Hello world) Tj T* (second line) Tj ET"
+    )
+    text, spans = extract_pdf(pdf)
+    assert text == "Hello world second line"
+    assert spans == [(0, 23, "pdf:p1")]
+
+
+def test_block_gap_splits_blocks():
+    pdf = _simple_pdf(
+        "BT /F1 12 Tf 14 TL 1 0 0 1 72 720 Tm (para one) Tj "
+        "1 0 0 1 72 650 Tm (para two) Tj ET"
+    )
+    text, spans = extract_pdf(pdf)
+    assert text == "para one\npara two"
+    assert len(spans) == 2
+
+
+def test_line_tolerance_jitter_same_line():
+    pdf = _simple_pdf(
+        "BT /F1 12 Tf 1 0 0 1 72 720 Tm (left) Tj 1 0 0 1 110 722 Tm (right) Tj ET"
+    )
+    text, _ = extract_pdf(pdf)
+    assert text == "left right"
+
+
+def test_two_column_reading_order():
+    pdf = _simple_pdf(
+        "BT /F1 12 Tf 14 TL 1 0 0 1 320 720 Tm (RIGHT top) Tj T* (RIGHT bottom) Tj ET "
+        "BT /F1 12 Tf 14 TL 1 0 0 1 72 720 Tm (LEFT top) Tj T* (LEFT bottom) Tj ET"
+    )
+    text, _ = extract_pdf(pdf)
+    assert text == "LEFT top LEFT bottom\nRIGHT top RIGHT bottom"
+
+
+def test_tj_array_and_quote_ops():
+    pdf = _simple_pdf(
+        "BT /F1 12 Tf 14 TL 1 0 0 1 72 720 Tm [(Hel) -100 (lo)] TJ (next) ' ET"
+    )
+    text, _ = extract_pdf(pdf)
+    assert "Hel lo" in text and "next" in text
+
+
+def test_winansi_decoding():
+    pdf = _simple_pdf("BT /F1 12 Tf 1 0 0 1 72 720 Tm (caf\xe9 €uro) Tj ET")
+    text, _ = extract_pdf(pdf)
+    assert "café €uro" == text
+
+
+def test_tounicode_cmap():
+    for seed in range(80):
+        pdf = make_pdf(random.Random(seed))
+        if b"/ToUnicode" in pdf:
+            text, spans = extract_pdf(pdf)
+            assert text and spans
+            return
+    raise AssertionError("no ToUnicode fixture produced in 80 seeds")
+
+
+def test_garbage_resilience():
+    assert extract_pdf(b"%PDF-1.4 garbage") == ("", [])
+    assert extract_pdf(b"") == ("", [])
+    pdf = _simple_pdf("BT broken (unterminated")
+    text, _ = extract_pdf(pdf)
+    assert isinstance(text, str)
+
+
+def test_rule_tolerances_respected():
+    # with a huge block gap tolerance, the two paragraphs merge into one block
+    pdf = _simple_pdf(
+        "BT /F1 12 Tf 14 TL 1 0 0 1 72 720 Tm (para one) Tj "
+        "1 0 0 1 72 650 Tm (para two) Tj ET"
+    )
+    loose = DEFAULT_RULE.merged(pdf_block_gap=10.0)
+    text, spans = extract_pdf(pdf, loose)
+    assert text == "para one para two" and len(spans) == 1
+
+
+def test_fixture_writer_roundtrip_deterministic():
+    for seed in range(15):
+        rng1, rng2 = random.Random(seed), random.Random(seed)
+        p1, p2 = make_pdf(rng1), make_pdf(rng2)
+        assert p1 == p2
+        assert extract_pdf(p1) == extract_pdf(p2)
+        t, s = extract_pdf(p1)
+        assert t and s
