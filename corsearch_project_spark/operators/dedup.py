@@ -1,0 +1,227 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all pure DataFrame programs (JVM-side, no Python UDFs):
+
+  * exact        — hash-groupBy on a content digest (md5).
+  * n-gram Jaccard — word-shingle explode → self-equi-join on shingle →
+                   pairwise Jaccard. Exact but quadratic in collisions; a
+                   stopgap frequent-shingle cap keeps the join bounded.
+  * MinHash+LSH  — P permutations of a portable 32-bit hash, banded into
+                   (P/r) LSH bands; candidate pairs share ≥1 band. This is
+                   the 10^12-scale path: cost is linear in Σ|shingles| and
+                   the band join only shuffles (band, signature) keys.
+  * SimHash      — 32-bit sign-aggregated fingerprint; near-dup = Hamming
+                   distance ≤ k over candidate pairs.
+
+The hash is the portable construction shared with the DuckDB oracle
+(queries.base.phash), so every step is cross-checkable against ANSI SQL.
+At cluster scale swap phash for ``F.xxhash64`` (same plan shape, faster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from corsearch_project_spark.queries.base import phash
+
+DEFAULT_PERMS = 12
+DEFAULT_BAND_ROWS = 3
+MAX_SHINGLE_DF = 50  # drop shingles present in more docs (stopword-grams)
+
+
+def words(text: Column) -> Column:
+    """Single-space word split (the driver corpus is single-spaced; using
+    plain split keeps DuckDB `string_split` byte-compatible)."""
+    return F.split(F.trim(text), " ")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of word n-grams ('w1 w2 w3'); empty array below n words."""
+    w = words(text)
+    size = F.size(w)
+    idx = F.sequence(F.lit(1), size - F.lit(n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(w, i + j) for j in range(n)]
+    )
+    return F.when(size >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) exploded + distinct — the input relation for both the
+    Jaccard self-join and MinHash."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), n).alias("sh"))
+        .select("doc_id", F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: md5(content) groups with canonical (min) id."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col).cast("binary")).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+def _rare_shingles(sh: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFrame:
+    """Drop ultra-frequent shingles (present in > max_df docs): they carry
+    no dedup signal and quadratically inflate the self-join — the standard
+    document-frequency cap used before pairwise LSH verification."""
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return sh.join(freq.where(F.col("df") <= max_df), "shingle", "inner").select(
+        "doc_id", "shingle"
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard ≥ τ).
+
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|) — all-integer until the one final
+    double division, so cross-engine exact."""
+    sh = _rare_shingles(doc_shingles(df, id_col, text_col, n), max_df)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+def minhash_long(sh: DataFrame, perms: int = DEFAULT_PERMS) -> DataFrame:
+    """(doc_id, perm, mh): MinHash signature in long form. One explode of a
+    perm sequence (no P separate passes) then min per (doc, perm)."""
+    perm = F.explode(F.sequence(F.lit(0), F.lit(perms - 1))).alias("perm")
+    hashed = sh.select("doc_id", "shingle", perm).select(
+        "doc_id",
+        "perm",
+        phash(F.concat_ws(":", F.col("perm").cast("string"), F.col("shingle"))).alias("h"),
+    )
+    return hashed.groupBy("doc_id", "perm").agg(F.min("h").alias("mh"))
+
+
+def lsh_candidate_pairs(
+    mh: DataFrame, perms: int = DEFAULT_PERMS, band_rows: int = DEFAULT_BAND_ROWS
+) -> DataFrame:
+    """Band the signature (band = perm // r), join docs sharing any
+    (band, signature) bucket → distinct candidate pairs. The band signature
+    is an order-deterministic CSV of the band's minhashes."""
+    banded = mh.withColumn("band", F.floor(F.col("perm") / F.lit(band_rows)).cast("int"))
+    sigs = banded.groupBy("doc_id", "band").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("perm", "mh"))),
+                lambda s: s["mh"].cast("string"),
+            ),
+        ).alias("sig")
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    perms: int = DEFAULT_PERMS,
+    band_rows: int = DEFAULT_BAND_ROWS,
+) -> DataFrame:
+    """Full MinHash+LSH dedup: candidates from banding, then the estimated
+    similarity = fraction of matching minhash components."""
+    sh = doc_shingles(df, id_col, text_col, n)
+    mh = minhash_long(sh, perms)
+    cands = lsh_candidate_pairs(mh, perms, band_rows)
+    ma = mh.select(F.col("doc_id").alias("doc_a"), "perm", F.col("mh").alias("mh_a"))
+    mb = mh.select(F.col("doc_id").alias("doc_b"), "perm", F.col("mh").alias("mh_b"))
+    return (
+        cands.join(ma, "doc_a")
+        .join(mb, ["doc_b", "perm"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (
+                F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)).cast("double")
+                / F.lit(float(perms))
+            ).alias("est_jaccard")
+        )
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """(doc_id, simhash): sign-aggregated 32-bit fingerprint over distinct
+    word hashes. All bit arithmetic is SQL-expression-level so the DuckDB
+    oracle can replay it exactly."""
+    w = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(words(F.col(text_col))).alias("word"))
+        .distinct()
+        .withColumn("wh", phash(F.col("word")))
+    )
+    bit = w.select(
+        "doc_id", "wh", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    ).withColumn(
+        "contrib",
+        F.expr("CASE WHEN (shiftright(wh, cast(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END"),
+    )
+    sums = bit.groupBy("doc_id", "b").agg(F.sum("contrib").alias("s"))
+    return sums.groupBy("doc_id").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN s > 0 THEN shiftleft(cast(1 AS BIGINT), cast(b AS INT)) ELSE cast(0 AS BIGINT) END"
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance over simhashes. Test scale does
+    the honest O(n²) compare; at 10^12 scale the same relation is produced
+    by banding the simhash into 4 byte-chunks (pigeonhole: any pair within
+    Hamming ≤3 of 32 bits shares at least one exact chunk) and equi-joining
+    per chunk — plan shape identical to lsh_candidate_pairs."""
+    a = sims.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,90 @@
+"""Text analysis operators for training-data curation (SURVEY-mandated):
+token counting, quality scoring, n-gram-heuristic language ID, and document
+fingerprinting — all as JVM Column expressions (no Python on the hot path),
+each reproducible in ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from corsearch_project_spark.operators.dedup import word_shingles, words
+from corsearch_project_spark.queries.base import phash
+
+# Tiny per-language stopword marker sets for the n-gram-heuristic language
+# scorer. Order is the deterministic tie-break priority.
+LANG_MARKERS = {
+    "en": ("the", "and", "with", "for"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "los", "que", "una"),
+    "de": ("der", "und", "die", "nicht"),
+}
+LANG_ORDER = ("en", "fr", "es", "de")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(words(text)).cast("long")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("long")
+
+
+def punct_chars(text: Column) -> Column:
+    """Punctuation char count via length-difference (regexp_replace is
+    global in both engines)."""
+    return (
+        F.length(text) - F.length(F.regexp_replace(text, r"[.,;:!?'\"()-]", ""))
+    ).cast("long")
+
+
+def stopword_hits(text: Column, markers) -> Column:
+    low = F.filter(words(F.lower(text)), lambda x: x.isin(*markers))
+    return F.size(low).cast("long")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: penalize very short docs, high
+    punctuation density, and low stopword ratio — the shape of C4/Gopher
+    quality rules, deterministic integer/double math only."""
+    n_tok = token_count(text)
+    n_chr = char_count(text)
+    punct_ratio = punct_chars(text).cast("double") / F.greatest(
+        n_chr, F.lit(1)
+    ).cast("double")
+    stop_ratio = stopword_hits(text, LANG_MARKERS["en"]).cast("double") / F.greatest(
+        n_tok, F.lit(1)
+    ).cast("double")
+    len_term = F.least(n_tok.cast("double") / F.lit(50.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.5) * len_term
+        + F.lit(0.3) * F.least(stop_ratio * 5.0, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0))),
+        6,
+    )
+
+
+def lang_scores(text: Column):
+    """dict lang -> hit-count Column."""
+    return {lang: stopword_hits(text, m) for lang, m in LANG_MARKERS.items()}
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over marker-hit counts with fixed priority tie-break; 'und'
+    when nothing matched."""
+    scores = lang_scores(text)
+    best = F.greatest(*[scores[lg] for lg in LANG_ORDER])
+    expr = F.lit("und")
+    # build reversed so earlier langs in LANG_ORDER win ties
+    for lg in reversed(LANG_ORDER):
+        expr = F.when((scores[lg] == best) & (best > 0), F.lit(lg)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column, n: int = 4) -> Column:
+    """Document fingerprint: minimum portable hash over word n-gram
+    shingles (a 1-permutation MinHash — the rolling-hash winnowing
+    primitive). Null for docs shorter than n words."""
+    grams = word_shingles(text, n)
+    hashes = F.transform(grams, lambda g: phash(g))
+    return F.array_min(hashes)

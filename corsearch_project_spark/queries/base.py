@@ -1,0 +1,117 @@
+"""Query registry backing the driver contract (``__spark_entry__.py``).
+
+Every operator row from SURVEY.md §2.4–2.8 (plus the training-data ops:
+dedup / similarity / text analysis) registers here as a named query with
+
+  - a Spark callable ``(spark, sf_dir) -> DataFrame`` (idiomatic DataFrame
+    API — the plan Catalyst should see), and
+  - an ANSI-SQL oracle string DuckDB runs on the same parquet (or ``None``
+    for genuinely non-SQL-expressible ops → driver records rows-only).
+
+Cross-engine exactness rules (so the driver's order-insensitive value hash
+matches bit-for-bit):
+
+  * SUM/AVG over doubles go through ``CAST(x AS DECIMAL(18,4))`` first —
+    decimal addition is associative, so partial/final aggregation order
+    (Spark) vs sequential scan (DuckDB) cannot change the result; the final
+    value is cast back to DOUBLE (deterministic round-to-nearest of the same
+    exact decimal on both engines).
+  * Integer sums are cast to BIGINT in the oracle (DuckDB widens to HUGEINT,
+    Spark does not).
+  * Hashes shared by both engines use the portable construction
+    ``('0x' || substr(md5(s), 1, 8))::BIGINT``  ==  Spark
+    ``conv(substring(md5(s), 1, 8), 16, 10)`` — 32-bit, enough for MinHash /
+    SimHash / LSH demos at test scale.
+  * Embedding math is quantized to integers (``round(x * 1000)``) before any
+    dot product, making dot/norm exact; the one double division + sqrt at
+    the end is performed in the same operand order on both engines.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # ANSI SQL for DuckDB; None => rows-only check
+    doc: str = ""
+
+
+REGISTRY: Dict[str, QueryDef] = {}
+
+
+def query(name: str, oracle: Optional[str], doc: str = ""):
+    """Register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
+
+    def deco(fn):
+        REGISTRY[name] = QueryDef(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table (TESTDATA.md) — plain parquet scan, schema from
+    the footer (fixed by the driver generator, not inferred row-wise)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- helpers
+
+def dsum(col: Column, scale: int = 4) -> Column:
+    """Order-independent sum of doubles: decimal-widen, sum, back to double."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def davg(col: Column, scale: int = 4) -> Column:
+    """avg as exact-decimal sum / count, division done in double on both
+    engines (identical operand order => identical result)."""
+    return (
+        F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+        / F.count(F.lit(1)).cast("double")
+    )
+
+
+def sql_dsum(expr: str, scale: int = 4) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+def sql_davg(expr: str, scale: int = 4) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+        f" / CAST(COUNT(*) AS DOUBLE)"
+    )
+
+
+def phash(col: Column) -> Column:
+    """Portable 32-bit hash (same value in DuckDB — see module docstring)."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 8), 16, 10).cast("long")
+
+
+def sql_phash(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
+
+
+def quantized(col: Column) -> Column:
+    """array<float> -> array<bigint>: round(x*1000) per element (exact
+    integer vector math downstream)."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * F.lit(1000.0), 0).cast("long"))
+
+
+SQL_QUANTIZED = (
+    "list_transform({col}, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT))"
+)
+
+
+def idot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two bigint arrays via higher-order fns
+    (SURVEY §2.8 O13) — JVM-side, no UDF."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda s, v: s + v
+    )

@@ -1,0 +1,363 @@
+"""Training-data pipeline queries: deduplication, similarity search, and
+text analysis over the `documents` / `embeddings` tables — the operators a
+100 TB pretraining-data pipeline runs after extraction (SURVEY training-data
+mandate). Spark implementations live in ``operators/{dedup,simsearch,
+textstats}.py``; the oracle SQL here replays the identical arithmetic in
+DuckDB (portable md5-derived hashes, quantized integer vector math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from corsearch_project_spark.operators import dedup as D
+from corsearch_project_spark.operators import simsearch as S
+from corsearch_project_spark.operators import textstats as X
+from corsearch_project_spark.queries.base import query, t
+
+# Shared SQL fragments -----------------------------------------------------
+
+SQL_WORDS = "string_split(trim(text), ' ')"
+SQL_PHASH = "CAST('0x' || substr(md5({s}), 1, 8) AS BIGINT)"
+SQL_QUANT = (
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT))"
+)
+
+
+def _sql_shingles(n: int) -> str:
+    gram = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(n))
+    return (
+        f"CASE WHEN len(w) >= {n} THEN "
+        f"list_transform(generate_series(1, len(w) - {n - 1}), i -> {gram}) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
+# ------------------------------------------------------------------- dedup
+
+@query(
+    "q_dedup_exact",
+    """
+    SELECT md5(text) AS text_md5, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc_id
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup: hash-groupBy on content digest; canonical = min id.",
+)
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dup_groups(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "q_dedup_jaccard",
+    f"""
+    WITH wt AS (SELECT doc_id, {SQL_WORDS} AS w FROM documents),
+    sh0 AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest({_sql_shingles(3)}) AS shingle FROM wt
+        )
+    ),
+    freq AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY 1),
+    sh AS (SELECT s.doc_id, s.shingle FROM sh0 s JOIN freq f USING (shingle)
+           WHERE f.df <= 50),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    pair_inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, inter,
+           CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
+    FROM pair_inter
+    JOIN (SELECT doc_id AS doc_a, n_sh AS na FROM sizes) USING (doc_a)
+    JOIN (SELECT doc_id AS doc_b, n_sh AS nb FROM sizes) USING (doc_b)
+    WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.2
+    """,
+    doc="Exact word-3-gram Jaccard near-dup pairs with a document-frequency "
+    "cap on shingles to bound the self-join.",
+)
+def q_dedup_jaccard(spark, sf_dir):
+    return D.jaccard_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.2
+    )
+
+
+@query(
+    "q_dedup_minhash_lsh",
+    f"""
+    WITH wt AS (SELECT doc_id, {SQL_WORDS} AS w FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest({_sql_shingles(3)}) AS shingle FROM wt
+        )
+    ),
+    mh AS (
+        SELECT doc_id, p.i AS perm,
+               MIN({SQL_PHASH.format(s="CAST(p.i AS VARCHAR) || ':' || shingle")}) AS mh
+        FROM sh CROSS JOIN range(0, 12) p(i) GROUP BY 1, 2
+    ),
+    sigs AS (
+        SELECT doc_id, CAST(perm // 3 AS INTEGER) AS band,
+               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm) AS sig
+        FROM mh GROUP BY 1, 2
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sigs a JOIN sigs b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 12.0
+               AS est_jaccard
+    FROM cands
+    JOIN mh ma ON ma.doc_id = doc_a
+    JOIN mh mb ON mb.doc_id = doc_b AND mb.perm = ma.perm
+    GROUP BY 1, 2
+    """,
+    doc="MinHash(12 perms) + LSH banding (4 bands × 3 rows): the linear-cost "
+    "near-dup path for 10^12 docs; est similarity = matching-minhash frac.",
+)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=3, perms=12, band_rows=3
+    )
+
+
+@query(
+    "q_dedup_simhash",
+    f"""
+    WITH w AS (
+        SELECT DISTINCT doc_id, word FROM (
+            SELECT doc_id, unnest({SQL_WORDS}) AS word FROM documents
+        )
+    ),
+    wh AS (SELECT doc_id, {SQL_PHASH.format(s="word")} AS wh FROM w),
+    bits AS (
+        SELECT doc_id, b.b AS b,
+               CAST(SUM(CASE WHEN (wh >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
+        FROM wh CROSS JOIN range(0, 32) b(b) GROUP BY 1, 2
+    ),
+    sims AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+        FROM bits GROUP BY 1
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="SimHash(32-bit) near-dup pairs at Hamming ≤ 3; scale path = "
+    "pigeonhole chunk banding (operators.dedup.simhash_pairs docstring).",
+)
+def q_dedup_simhash(spark, sf_dir):
+    sims = D.simhash(t(spark, sf_dir, "documents"), "doc_id", "text")
+    pairs = D.simhash_pairs(sims, max_hamming=3)
+    return pairs.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@query(
+    "q_dedup_embed",
+    f"""
+    WITH qv AS (
+        SELECT vec_id, {SQL_QUANT} AS qe FROM embeddings WHERE vec_id < 300
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_inner_product(a.qe, b.qe)
+                 / sqrt(list_inner_product(a.qe, a.qe) * list_inner_product(b.qe, b.qe)),
+                 6) AS cos_sim
+    FROM qv a JOIN qv b ON a.vec_id < b.vec_id
+    WHERE round(list_inner_product(a.qe, b.qe)
+                / sqrt(list_inner_product(a.qe, a.qe) * list_inner_product(b.qe, b.qe)),
+                6) >= 0.35
+    """,
+    doc="Embedding-cosine near-dup pairs (quantized exact math), the "
+    "verification stage after LSH candidate generation at scale.",
+)
+def q_dedup_embed(spark, sf_dir):
+    return S.near_dup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.35, max_id=300)
+
+
+# -------------------------------------------------------- similarity search
+
+@query(
+    "q_sim_topk",
+    f"""
+    WITH q AS (SELECT {SQL_QUANT} AS q_qe FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id, {SQL_QUANT} AS qe FROM embeddings WHERE vec_id <> 0)
+    SELECT vec_id,
+           round(list_inner_product(qe, q_qe)
+                 / sqrt(list_inner_product(qe, qe) * list_inner_product(q_qe, q_qe)),
+                 6) AS cos_sim
+    FROM c CROSS JOIN q
+    ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """,
+    doc="Brute-force cosine top-k (the ANN baseline): broadcast query vector "
+    "+ HOF dot product + TakeOrderedAndProject.",
+)
+def q_sim_topk(spark, sf_dir):
+    return S.brute_force_topk(t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+@query(
+    "q_sim_lsh_ann",
+    f"""
+    WITH qv AS (SELECT vec_id, {SQL_QUANT} AS qe FROM embeddings),
+    pos AS (
+        SELECT vec_id, qe, unnest(generate_series(0, len(qe) - 1)) AS i FROM qv
+    ),
+    dims AS (SELECT vec_id, i, qe[i + 1] AS x FROM pos),
+    proj AS (
+        SELECT d.vec_id, pl.p AS p,
+               CAST(SUM(CASE WHEN {SQL_PHASH.format(s="CAST(pl.p AS VARCHAR) || ':' || CAST(d.i AS VARCHAR)")} % 2 = 1
+                             THEN 1 ELSE -1 END * d.x) AS BIGINT) AS proj
+        FROM dims d CROSS JOIN range(0, 8) pl(p) GROUP BY 1, 2
+    ),
+    buckets AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << p)
+                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+        FROM proj GROUP BY 1
+    ),
+    qb AS (
+        SELECT qv.qe AS q_qe, b.bucket AS q_bucket
+        FROM qv JOIN buckets b USING (vec_id) WHERE vec_id = 0
+    )
+    SELECT v.vec_id,
+           round(list_inner_product(v.qe, q_qe)
+                 / sqrt(list_inner_product(v.qe, v.qe) * list_inner_product(q_qe, q_qe)),
+                 6) AS cos_sim
+    FROM qv v JOIN buckets b USING (vec_id) CROSS JOIN qb
+    WHERE b.bucket = q_bucket AND v.vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
+    """,
+    doc="LSH-bucketed ANN (8 sign-random-projection planes): search only the "
+    "query's bucket — at scale the bucket is the table partition key, so "
+    "this is a partition-pruned scan.",
+)
+def q_sim_lsh_ann(spark, sf_dir):
+    return S.lsh_topk(t(spark, sf_dir, "embeddings"), query_vec_id=0, k=5)
+
+
+# ------------------------------------------------------------ text analysis
+
+@query(
+    "q_text_tokens",
+    f"""
+    SELECT doc_id,
+           CAST(len({SQL_WORDS}) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_measured,
+           CAST(length(text) AS DOUBLE) / CAST(len({SQL_WORDS}) AS DOUBLE)
+               AS chars_per_token
+    FROM documents
+    """,
+    doc="Token counting (whitespace tokens) + chars-per-token.",
+)
+def q_text_tokens(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    n_tok = X.token_count(F.col("text"))
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        X.char_count(F.col("text")).alias("n_chars_measured"),
+        (X.char_count(F.col("text")).cast("double") / n_tok.cast("double")).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+@query(
+    "q_text_quality",
+    f"""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(len({SQL_WORDS}) AS BIGINT) AS n_tok,
+               CAST(length(text) AS BIGINT) AS n_chr,
+               CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g'))
+                    AS BIGINT) AS n_punct,
+               CAST(len(list_filter(string_split(trim(lower(text)), ' '),
+                    x -> x IN ('the', 'and', 'with', 'for'))) AS BIGINT) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, n_tok, n_punct, n_stop,
+           round(0.5 * least(CAST(n_tok AS DOUBLE) / 50.0, 1.0)
+               + 0.3 * least(CAST(n_stop AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE) * 5.0, 1.0)
+               + 0.2 * (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(greatest(n_chr, 1) AS DOUBLE) * 10.0, 1.0)),
+               6) AS quality
+    FROM m
+    """,
+    doc="Quality scoring: length / punctuation-density / stopword-ratio "
+    "composite (C4/Gopher-style rules), deterministic double math.",
+)
+def q_text_quality(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    text = F.col("text")
+    return d.select(
+        "doc_id",
+        X.token_count(text).alias("n_tok"),
+        X.punct_chars(text).alias("n_punct"),
+        X.stopword_hits(text, X.LANG_MARKERS["en"]).alias("n_stop"),
+        X.quality_score(text).alias("quality"),
+    )
+
+
+_LANG_SQL_HITS = {
+    lg: (
+        "CAST(len(list_filter(string_split(trim(lower(text)), ' '), "
+        f"x -> x IN {tuple(m)!r})) AS BIGINT)".replace('"', "'")
+    )
+    for lg, m in X.LANG_MARKERS.items()
+}
+
+
+@query(
+    "q_text_langid",
+    f"""
+    WITH s AS (
+        SELECT doc_id,
+               {_LANG_SQL_HITS['en']} AS s_en,
+               {_LANG_SQL_HITS['fr']} AS s_fr,
+               {_LANG_SQL_HITS['es']} AS s_es,
+               {_LANG_SQL_HITS['de']} AS s_de
+        FROM documents
+    )
+    SELECT doc_id, s_en, s_fr, s_es, s_de,
+           CASE WHEN s_en = greatest(s_en, s_fr, s_es, s_de) AND greatest(s_en, s_fr, s_es, s_de) > 0 THEN 'en'
+                WHEN s_fr = greatest(s_en, s_fr, s_es, s_de) AND greatest(s_en, s_fr, s_es, s_de) > 0 THEN 'fr'
+                WHEN s_es = greatest(s_en, s_fr, s_es, s_de) AND greatest(s_en, s_fr, s_es, s_de) > 0 THEN 'es'
+                WHEN s_de = greatest(s_en, s_fr, s_es, s_de) AND greatest(s_en, s_fr, s_es, s_de) > 0 THEN 'de'
+                ELSE 'und' END AS pred_lang
+    FROM s
+    """,
+    doc="Language ID by stopword-marker hit counts with fixed-priority "
+    "tie-break (n-gram-heuristic langid).",
+)
+def q_text_langid(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    text = F.col("text")
+    scores = X.lang_scores(text)
+    return d.select(
+        "doc_id",
+        scores["en"].alias("s_en"),
+        scores["fr"].alias("s_fr"),
+        scores["es"].alias("s_es"),
+        scores["de"].alias("s_de"),
+        X.lang_id(text).alias("pred_lang"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    f"""
+    WITH wt AS (SELECT doc_id, {SQL_WORDS} AS w FROM documents),
+    g AS (SELECT doc_id, {_sql_shingles(4)} AS grams FROM wt)
+    SELECT doc_id,
+           list_min(list_transform(grams, s -> {SQL_PHASH.format(s='s')})) AS fp
+    FROM g
+    """,
+    doc="Document fingerprint: min portable hash over word-4-gram shingles "
+    "(1-perm MinHash / winnowing primitive).",
+)
+def q_text_fingerprint(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", X.fingerprint(F.col("text"), 4).alias("fp"))
