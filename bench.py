@@ -1,0 +1,129 @@
+#!/usr/bin/env python3
+"""Bench harness (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` plus the extraction-kernel throughput bench on
+a seeded synthetic pages corpus, and print ONE JSON line:
+
+  {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "extract": {"docs": n, "sec": s, "docs_per_sec": r}}
+
+Scaling-evidence mode (the north rule's two-cluster-size criterion, measured
+as two parallelism levels on one host per the task brief) lives in
+``jobs/bench_scaling.py``; its results are written to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline queries: one per operator family, all runnable at sf0.1 in
+# seconds. (q_dedup_jaccard is excluded: its exact self-join is the
+# quadratic baseline the LSH variants exist to replace.)
+BENCH_QUERIES = [
+    "q_pricing_summary",
+    "q_join_broadcast",
+    "q_join_smj",
+    "q_join_asof",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_window_rownum",
+    "q_window_frame",
+    "q_window_tumbling",
+    "q_session_window",
+    "q_json_fns",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_sim_topk",
+    "q_sim_lsh_ann",
+    "q_text_quality",
+    "q_text_langid",
+]
+
+EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1200"))
+
+
+def _time_query(spark, fn, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    # count() forces full execution of every operator without collecting
+    # result payloads to the driver.
+    fn(spark, sf_dir).count()
+    return time.perf_counter() - t0
+
+
+def _extract_bench(spark, n_docs: int, workdir: str) -> dict:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from corsearch_project_spark.fixtures.gen_pages import gen_pages, pages_to_pandas
+    from corsearch_project_spark.plans.extract_pipeline import ExtractConfig, run_extract
+
+    src = os.path.join(workdir, "pages.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(pages_to_pandas(gen_pages(n_docs, seed=1234))),
+        src,
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    out = os.path.join(workdir, "out")
+    t0 = time.perf_counter()
+    run_extract(
+        spark,
+        ExtractConfig(input_path=src, output_path=out, run_id="bench", buckets=32),
+    )
+    dt = time.perf_counter() - t0
+    n_out = spark.read.parquet(os.path.join(out, "extracted")).count()
+    return {
+        "docs": n_out,
+        "sec": round(dt, 3),
+        "docs_per_sec": round(n_out / dt, 1),
+    }
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from corsearch_project_spark.plans.session import build_session
+    from corsearch_project_spark.queries import REGISTRY
+
+    spark = build_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the session (JVM JIT, parquet footer cache) outside the timings.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings = {}
+    for name in BENCH_QUERIES:
+        timings[name] = round(_time_query(spark, REGISTRY[name].fn, sf_dir), 3)
+
+    workdir = tempfile.mkdtemp(prefix="csp_bench_")
+    try:
+        extract = _extract_bench(spark, EXTRACT_DOCS, workdir)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+                "extract": extract,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

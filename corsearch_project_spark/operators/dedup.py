@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from corsearch_project_spark.queries.base import phash
+from corsearch_project_spark.functions.portable import phash
 
 DEFAULT_PERMS = 12
 DEFAULT_BAND_ROWS = 3
@@ -36,16 +36,22 @@ def words(text: Column) -> Column:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Array of word n-grams ('w1 w2 w3'); empty array below n words."""
+    """Array of word n-grams ('w1 w2 w3'); empty array below n words.
+
+    Built from n shifted slices folded with zip_with rather than an
+    element_at lambda: Catalyst inlines the underlying split() into every
+    lambda call, so the element_at form re-splits the text per gram
+    (O(grams × words) — measured 10× slower); the slice form splits O(n)
+    times per row."""
     w = words(text)
     size = F.size(w)
-    idx = F.sequence(F.lit(1), size - F.lit(n - 1))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(w, i + j) for j in range(n)]
-    )
-    return F.when(size >= n, F.transform(idx, gram)).otherwise(
-        F.array().cast("array<string>")
-    )
+    m = size - F.lit(n - 1)  # gram count
+    grams = F.slice(w, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(w, j + 1, m), lambda x, y: F.concat(x, F.lit(" "), y)
+        )
+    return F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -116,36 +122,47 @@ def jaccard_pairs(
     )
 
 
-def minhash_long(sh: DataFrame, perms: int = DEFAULT_PERMS) -> DataFrame:
-    """(doc_id, perm, mh): MinHash signature in long form. One explode of a
-    perm sequence (no P separate passes) then min per (doc, perm)."""
-    perm = F.explode(F.sequence(F.lit(0), F.lit(perms - 1))).alias("perm")
-    hashed = sh.select("doc_id", "shingle", perm).select(
-        "doc_id",
-        "perm",
-        phash(F.concat_ws(":", F.col("perm").cast("string"), F.col("shingle"))).alias("h"),
+# Affine-permutation constants: mh_i = min((A[i]*h + B[i]) % MINHASH_P) over
+# shingle hashes h. One base hash per shingle, P cheap arithmetic perms —
+# at 10^12 docs the signature costs exactly one groupBy(doc_id) shuffle.
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime); A*h < 2^45 ≪ 2^63
+PERM_A = (3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41)
+PERM_B = (
+    101, 2029, 30011, 40009, 50021, 60013,
+    70001, 80021, 90001, 100003, 110017, 120011,
+)
+
+
+def _perm_expr(i: int) -> Column:
+    return (F.lit(PERM_A[i]) * F.col("h") + F.lit(PERM_B[i])) % F.lit(MINHASH_P)
+
+
+def minhash_sig(sh: DataFrame, perms: int = DEFAULT_PERMS) -> DataFrame:
+    """(doc_id, mh0..mh{P-1}): wide MinHash signature in ONE aggregation —
+    hash each shingle once (phash), derive every permutation arithmetically,
+    take P mins in the same groupBy. No explode, one shuffle on doc_id."""
+    hashed = sh.select("doc_id", phash(F.col("shingle")).alias("h"))
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(_perm_expr(i)).alias(f"mh{i}") for i in range(perms)]
     )
-    return hashed.groupBy("doc_id", "perm").agg(F.min("h").alias("mh"))
 
 
 def lsh_candidate_pairs(
-    mh: DataFrame, perms: int = DEFAULT_PERMS, band_rows: int = DEFAULT_BAND_ROWS
+    sig: DataFrame, perms: int = DEFAULT_PERMS, band_rows: int = DEFAULT_BAND_ROWS
 ) -> DataFrame:
-    """Band the signature (band = perm // r), join docs sharing any
-    (band, signature) bucket → distinct candidate pairs. The band signature
-    is an order-deterministic CSV of the band's minhashes."""
-    banded = mh.withColumn("band", F.floor(F.col("perm") / F.lit(band_rows)).cast("int"))
-    sigs = banded.groupBy("doc_id", "band").agg(
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("perm", "mh"))),
-                lambda s: s["mh"].cast("string"),
-            ),
-        ).alias("sig")
+    """Stack the signature into (P/r) bands, equi-join docs sharing any
+    (band, band-signature) bucket → distinct candidate pairs. At scale this
+    is the only pairwise step and it only shuffles (band, sig) keys."""
+    n_bands = perms // band_rows
+    stack_args = []
+    for b in range(n_bands):
+        cols = [f"mh{b * band_rows + j}" for j in range(band_rows)]
+        stack_args.append(f"{b}, concat_ws(',', {', '.join(cols)})")
+    banded = sig.selectExpr(
+        "doc_id", f"stack({n_bands}, {', '.join(stack_args)}) AS (band, sig)"
     )
-    a = sigs.alias("a")
-    b = sigs.alias("b")
+    a = banded.alias("a")
+    b = banded.alias("b")
     return (
         a.join(
             b,
@@ -167,21 +184,30 @@ def minhash_lsh_pairs(
     band_rows: int = DEFAULT_BAND_ROWS,
 ) -> DataFrame:
     """Full MinHash+LSH dedup: candidates from banding, then the estimated
-    similarity = fraction of matching minhash components."""
+    similarity = fraction of matching signature components (computed from
+    the wide signatures joined once per side — no per-perm join)."""
     sh = doc_shingles(df, id_col, text_col, n)
-    mh = minhash_long(sh, perms)
-    cands = lsh_candidate_pairs(mh, perms, band_rows)
-    ma = mh.select(F.col("doc_id").alias("doc_a"), "perm", F.col("mh").alias("mh_a"))
-    mb = mh.select(F.col("doc_id").alias("doc_b"), "perm", F.col("mh").alias("mh_b"))
+    # The signature relation feeds four join sides below; persist it so the
+    # shingle explode + hash + groupBy run once (at cluster scale this is a
+    # materialized signatures table — the standard MinHash pipeline shape).
+    sig = minhash_sig(sh, perms).persist()
+    cands = lsh_candidate_pairs(sig, perms, band_rows)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(perms)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(perms)]
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(perms)
+    )
     return (
-        cands.join(ma, "doc_a")
-        .join(mb, ["doc_b", "perm"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            (
-                F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)).cast("double")
-                / F.lit(float(perms))
-            ).alias("est_jaccard")
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches.cast("double") / F.lit(float(perms))).alias("est_jaccard"),
         )
     )
 

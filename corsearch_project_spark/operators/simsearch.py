@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from corsearch_project_spark.queries.base import idot, phash, quantized
+from corsearch_project_spark.functions.portable import idot, phash, quantized
 
 N_PLANES = 8
 
@@ -59,48 +59,43 @@ def brute_force_topk(
     )
 
 
-def plane_sign(plane: Column, dim: Column) -> Column:
-    """Deterministic ±1 hyperplane component from the portable hash of
-    'plane:dim' — reproducible in ANSI SQL."""
-    h = phash(F.concat_ws(":", plane.cast("string"), dim.cast("string")))
-    return F.when(h % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+def _plane_sign_py(p: int, i: int) -> int:
+    """±1 hyperplane component: same portable-hash derivation the DuckDB
+    oracle replays in SQL (md5 first 8 hex → int, parity → sign). Computed
+    driver-side because the sign matrix is a CONSTANT (n_planes × dim) —
+    hashing it per (vector, dim, plane) row cost 1M md5 calls at 2k vecs."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16)
+    return 1 if h % 2 == 1 else -1
 
 
-def with_lsh_bucket(df: DataFrame, n_planes: int = N_PLANES, id_col: str = "vec_id") -> DataFrame:
-    """bucket = Σ_j (proj_j > 0) << j  over sign-random-projection planes.
+def plane_matrix(n_planes: int, dim: int):
+    return [[_plane_sign_py(p, i) for i in range(dim)] for p in range(n_planes)]
 
-    Expressed as explode(dims) × explode(planes) → two hash-partition
-    aggregations — every step a plain groupBy, scale-safe."""
-    exploded = with_quantized(df).select(
-        F.col(id_col), F.posexplode("qe").alias("i", "x")
-    )
-    per_plane = (
-        exploded.select(
-            F.col(id_col),
-            "i",
-            "x",
-            F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("p"),
+
+def with_lsh_bucket(
+    df: DataFrame, n_planes: int = N_PLANES, dim: int = 64, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, qe, bucket): bucket = Σ_p (⟨sgn_p, qe⟩ > 0) << p over the
+    constant sign matrix — one narrow projection per row, no joins, no
+    shuffles; the bucket column is what a 10^12-row table partitions on."""
+    planes = plane_matrix(n_planes, dim)
+    bucket: Column = F.lit(0).cast("long")
+    for p, row in enumerate(planes):
+        arr = F.array(*[F.lit(v).cast("long") for v in row])
+        proj = idot(F.col("qe"), arr)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        .withColumn("term", plane_sign(F.col("p"), F.col("i")) * F.col("x"))
-        .groupBy(id_col, "p")
-        .agg(F.sum("term").alias("proj"))
-    )
-    buckets = per_plane.groupBy(id_col).agg(
-        F.sum(
-            F.expr(
-                "CASE WHEN proj > 0 THEN shiftleft(cast(1 AS BIGINT), cast(p AS INT)) ELSE cast(0 AS BIGINT) END"
-            )
-        ).alias("bucket")
-    )
-    return buckets
+    return with_quantized(df).select(F.col(id_col), "qe", bucket.alias("bucket"))
 
 
 def lsh_topk(
     df: DataFrame, query_vec_id: int, k: int = 5, n_planes: int = N_PLANES, id_col: str = "vec_id"
 ) -> DataFrame:
     """ANN: top-k within the query vector's LSH bucket only."""
-    buckets = with_lsh_bucket(df, n_planes, id_col)
-    qv = with_quantized(df).join(buckets, id_col)
+    qv = with_lsh_bucket(df, n_planes, id_col=id_col)
     q = qv.where(F.col(id_col) == query_vec_id).select(
         F.col("qe").alias("q_qe"), F.col("bucket").alias("q_bucket")
     )

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 from corsearch_project_spark.operators.dedup import word_shingles, words
-from corsearch_project_spark.queries.base import phash
+from corsearch_project_spark.functions.portable import phash
 
 # Tiny per-language stopword marker sets for the n-gram-heuristic language
 # scorer. Order is the deterministic tie-break priority.

@@ -34,6 +34,8 @@ from typing import Callable, Dict, Optional
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+from corsearch_project_spark.functions.portable import idot, phash, quantized  # noqa: F401
+
 
 @dataclass(frozen=True)
 class QueryDef:
@@ -89,19 +91,8 @@ def sql_davg(expr: str, scale: int = 4) -> str:
     )
 
 
-def phash(col: Column) -> Column:
-    """Portable 32-bit hash (same value in DuckDB — see module docstring)."""
-    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 8), 16, 10).cast("long")
-
-
 def sql_phash(expr: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
-
-
-def quantized(col: Column) -> Column:
-    """array<float> -> array<bigint>: round(x*1000) per element (exact
-    integer vector math downstream)."""
-    return F.transform(col, lambda x: F.round(x.cast("double") * F.lit(1000.0), 0).cast("long"))
 
 
 SQL_QUANTIZED = (
@@ -109,9 +100,3 @@ SQL_QUANTIZED = (
 )
 
 
-def idot(a: Column, b: Column) -> Column:
-    """Exact integer dot product of two bigint arrays via higher-order fns
-    (SURVEY §2.8 O13) — JVM-side, no UDF."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda s, v: s + v
-    )

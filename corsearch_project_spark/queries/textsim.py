@@ -81,38 +81,52 @@ def q_dedup_jaccard(spark, sf_dir):
     )
 
 
-@query(
-    "q_dedup_minhash_lsh",
-    f"""
+def _sql_minhash_lsh() -> str:
+    """Oracle twin of operators.dedup.minhash_sig / lsh_candidate_pairs /
+    minhash_lsh_pairs — identical affine-permutation arithmetic."""
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {D.MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(zip(D.PERM_A, D.PERM_B))
+    )
+    n_bands = D.DEFAULT_PERMS // D.DEFAULT_BAND_ROWS
+    band_rows = []
+    for bd in range(n_bands):
+        cols = " || ',' || ".join(
+            f"CAST(mh{bd * D.DEFAULT_BAND_ROWS + j} AS VARCHAR)"
+            for j in range(D.DEFAULT_BAND_ROWS)
+        )
+        band_rows.append(f"SELECT doc_id, {bd} AS band, {cols} AS sig FROM sig")
+    bands = " UNION ALL ".join(band_rows)
+    matches = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+        for i in range(D.DEFAULT_PERMS)
+    )
+    return f"""
     WITH wt AS (SELECT doc_id, {SQL_WORDS} AS w FROM documents),
     sh AS (
         SELECT DISTINCT doc_id, shingle FROM (
             SELECT doc_id, unnest({_sql_shingles(3)}) AS shingle FROM wt
         )
     ),
-    mh AS (
-        SELECT doc_id, p.i AS perm,
-               MIN({SQL_PHASH.format(s="CAST(p.i AS VARCHAR) || ':' || shingle")}) AS mh
-        FROM sh CROSS JOIN range(0, 12) p(i) GROUP BY 1, 2
-    ),
-    sigs AS (
-        SELECT doc_id, CAST(perm // 3 AS INTEGER) AS band,
-               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm) AS sig
-        FROM mh GROUP BY 1, 2
-    ),
+    hashed AS (SELECT doc_id, {SQL_PHASH.format(s="shingle")} AS h FROM sh),
+    sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+    banded AS ({bands}),
     cands AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sigs a JOIN sigs b
+        FROM banded a JOIN banded b
           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b,
-           CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 12.0
-               AS est_jaccard
+           CAST({matches} AS DOUBLE) / 12.0 AS est_jaccard
     FROM cands
-    JOIN mh ma ON ma.doc_id = doc_a
-    JOIN mh mb ON mb.doc_id = doc_b AND mb.perm = ma.perm
-    GROUP BY 1, 2
-    """,
+    JOIN sig sa ON sa.doc_id = doc_a
+    JOIN sig sb ON sb.doc_id = doc_b
+    """
+
+
+@query(
+    "q_dedup_minhash_lsh",
+    _sql_minhash_lsh(),
     doc="MinHash(12 perms) + LSH banding (4 bands × 3 rows): the linear-cost "
     "near-dup path for 10^12 docs; est similarity = matching-minhash frac.",
 )
