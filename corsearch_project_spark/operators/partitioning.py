@@ -19,7 +19,7 @@ from typing import List, Optional
 from pyspark.sql import DataFrame, functions as F
 
 DEFAULT_BUCKETS = 64
-DEFAULT_SALT = 8
+DEFAULT_SALT = 64  # kernel shuffle keys = B×S; keys ≫ partitions => balance
 
 def host_expr(url_col: str = "url"):
     return F.lower(
@@ -36,16 +36,20 @@ def with_url_bucket(df: DataFrame, b: int = DEFAULT_BUCKETS, url_col: str = "url
 
 
 def hot_hosts(pages: DataFrame, hot_frac: float = 0.05, max_hosts: int = 64) -> List[str]:
-    """Hosts owning more than ``hot_frac`` of rows. One narrow agg over the
-    url column only (column pruning keeps html out of this scan)."""
-    total = pages.count()
-    if total == 0:
-        return []
-    rows = (
+    """Hosts owning more than ``hot_frac`` of rows. ONE job over the pruned
+    url column: per-host counts plus the grand total via a window over the
+    (tiny) aggregated relation — not a separate count() pass over the
+    table, which would double the scan at 10^12 rows."""
+    counts = (
         pages.select(host_expr().alias("host"))
         .groupBy("host")
         .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") > int(hot_frac * total))
+    )
+    from pyspark.sql.window import Window
+
+    rows = (
+        counts.withColumn("total", F.sum("n").over(Window.partitionBy()))
+        .where(F.col("n") > F.col("total") * hot_frac)
         .orderBy(F.desc("n"))
         .limit(max_hosts)
         .collect()
@@ -59,14 +63,19 @@ def with_salt(
     s: int = DEFAULT_SALT,
     url_col: str = "url",
 ) -> DataFrame:
-    """salt ∈ [0, S) for rows of hot hosts, 0 otherwise. Derived from
-    xxhash64(url, seed) so it is deterministic and uniform per url."""
-    if not hot:
+    """Universal url-derived salt ∈ [0, S) (deterministic, uniform per url).
+
+    This generalizes hot-host-only salting (P2): any skewed host's pages
+    spread across S salt values because the salt hashes the full url, AND
+    the kernel shuffle gets B×S keys instead of B — with keys ≫ partitions,
+    key→partition hash collisions average out (Poisson balance ±1/√(keys/P))
+    instead of producing the 2-3×-loaded straggler partitions measured with
+    keys == partitions. The ``hot`` list is retained for lineage/reporting;
+    s <= 1 disables salting (the skew-equivalence test's control arm)."""
+    if s <= 1:
         return df.withColumn("salt", F.lit(0))
     salt = F.pmod(F.xxhash64(F.col(url_col), F.lit("salt-seed-1")), F.lit(s)).cast("int")
-    return df.withColumn(
-        "salt", F.when(host_expr(url_col).isin(list(hot)), salt).otherwise(F.lit(0))
-    )
+    return df.withColumn("salt", salt)
 
 
 def repartition_for_kernel(

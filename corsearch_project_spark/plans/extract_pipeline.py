@@ -103,10 +103,15 @@ def run_extract(
 
     sel = pages.select("url", "html", "text", "url_bucket", "salt")
     part_cols = [F.col("url_bucket"), F.col("salt")]
-    if cfg.kernel_partitions:
-        shuffled = sel.repartition(cfg.kernel_partitions, *part_cols)
-    else:
-        shuffled = sel.repartition(*part_cols)
+    # ALWAYS pass an explicit partition count: a column-only repartition is
+    # an AQE rebalance hint, and AQE coalesces it by shuffle BYTES — for a
+    # CPU-bound Python kernel stage over small-but-expensive rows that
+    # collapsed the stage to 1-2 tasks regardless of cores (measured: flat
+    # scaling local[8]→local[32]). Bytes are the wrong currency here.
+    n_kernel = cfg.kernel_partitions or max(
+        cfg.buckets, 2 * spark.sparkContext.defaultParallelism
+    )
+    shuffled = sel.repartition(n_kernel, *part_cols)
 
     rules_plain = rules_to_plain(rules or {})
     rules_bc = spark.sparkContext.broadcast(rules_plain)
@@ -114,22 +119,39 @@ def run_extract(
     extracted = run_kernel(shuffled, rules_bc)
     extracted = with_url_bucket(extracted, cfg.buckets)  # re-derived JVM-side
 
+    # Write-clustering exchange: the kernel ran on fine-grained (bucket,
+    # salt) partitions for CPU balance; regroup rows by bucket before the
+    # partitionBy write so each bucket lands in ~1 task → ~1 file (without
+    # this, files = tasks × buckets — small-file explosion that made the
+    # lineage read-back the slowest stage). Same shape as Iceberg's
+    # pre-write distribution ("hash" write.distribution-mode).
+    extracted = extracted.repartition(cfg.buckets, "url_bucket")
+
     fmt.write_extracted(extracted, cfg.extracted_path)
 
+    # ONE job over the committed table computes every post-commit artifact:
+    # per-bucket lineage rows are collected (B rows — tiny), the bucket list
+    # and doc totals are derived from them driver-side, and the lineage
+    # append writes the already-collected rows back without recomputing.
     committed = fmt.read_extracted(spark, cfg.extracted_path)
-    run_buckets = [
-        r["url_bucket"]
-        for r in committed.select("url_bucket").distinct().collect()
-        if r["url_bucket"] not in set(skipped)
-    ]
-    lin = lineage_rows(committed, cfg.run_id, cfg.input_path, run_buckets)
-    fmt.append_lineage(lin, cfg.lineage_path)
+    lin_all = lineage_rows(committed, cfg.run_id, cfg.input_path).collect()
+    skipped_set = set(skipped)
+    new_rows = [r for r in lin_all if r["url_bucket"] not in skipped_set]
+    run_buckets = sorted(r["url_bucket"] for r in new_rows)
+    if new_rows:
+        from corsearch_project_spark.sources.schemas import LINEAGE_SCHEMA
+
+        fmt.append_lineage(
+            spark.createDataFrame(new_rows, LINEAGE_SCHEMA).coalesce(1),
+            cfg.lineage_path,
+        )
 
     return {
         "run_id": cfg.run_id,
-        "buckets_written": sorted(run_buckets),
+        "buckets_written": run_buckets,
         "buckets_skipped": skipped,
         "hot_hosts": hot,
+        "docs_out": sum(r["doc_count"] for r in new_rows),
         "extracted_path": cfg.extracted_path,
         "lineage_path": cfg.lineage_path,
     }

@@ -58,7 +58,11 @@ def main(argv=None) -> int:
         resume=args.resume,
         kernel_partitions=args.kernel_partitions,
     )
+    import time
+
+    t0 = time.perf_counter()
     report = run_extract(spark, cfg, rules)
+    report["pipeline_wall_s"] = round(time.perf_counter() - t0, 3)
     print(json.dumps(report, default=str))
     return 0
 
