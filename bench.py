@@ -22,6 +22,8 @@ import sys
 import tempfile
 import time
 
+import pandas as pd  # module-level: pandas_udf type hints resolve against module globals
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline queries: one per operator family, all runnable at sf0.1 in
@@ -88,6 +90,39 @@ def _extract_bench(spark, n_docs: int, workdir: str) -> dict:
     }
 
 
+def _udf_boundary_bench(spark, sf_dir: str) -> dict:
+    """U6 (SURVEY §2.10): measure the same expression three ways — JVM
+    builtin, Arrow-batched pandas UDF, row-at-a-time Python UDF — to
+    justify the engine's zero-per-row-Python rule with numbers."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf, udf
+
+    base = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.concat_ws("-", "l_returnflag", "l_linestatus", F.col("l_orderkey").cast("string")).alias("s")
+    )
+    base = base.persist()
+    base.count()
+
+    @pandas_udf("string")
+    def p_upper(s: pd.Series) -> pd.Series:
+        return s.str.upper()
+
+    r_upper = udf(lambda s: s.upper(), "string")
+
+    out = {}
+    for name, col in (
+        ("builtin", F.upper(F.col("s"))),
+        ("pandas_udf", p_upper(F.col("s"))),
+        ("row_udf", r_upper(F.col("s"))),
+    ):
+        t0 = time.perf_counter()
+        base.select(col.alias("u")).where(F.length("u") > 0).count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    base.unpersist()
+    out["row_vs_pandas_slowdown"] = round(out["row_udf"] / max(out["pandas_udf"], 1e-9), 1)
+    return out
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from corsearch_project_spark.plans.session import build_session
@@ -109,6 +144,8 @@ def main() -> int:
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
+    udf_boundary = _udf_boundary_bench(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -119,6 +156,7 @@ def main() -> int:
                 "queries": timings,
                 "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
                 "extract": extract,
+                "udf_boundary": udf_boundary,
             }
         )
     )
