@@ -31,6 +31,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # quadratic baseline the LSH variants exist to replace.)
 BENCH_QUERIES = [
     "q_pricing_summary",
+    "q_shipping_priority",
+    "q_local_supplier_volume",
     "q_join_broadcast",
     "q_join_smj",
     "q_join_asof",

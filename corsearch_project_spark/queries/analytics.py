@@ -1,0 +1,148 @@
+"""Composite analytic queries in classic TPC-H shapes (multi-join +
+aggregate + ordered top-k): the end-to-end plans that exercise join
+reordering, broadcast selection, partial aggregation and
+TakeOrderedAndProject together — what a user of the reference's data would
+actually run for reporting."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from corsearch_project_spark.queries.base import dsum, query, sql_dsum, t
+
+
+@query(
+    "q_shipping_priority",
+    f"""
+    SELECT o.o_orderkey,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1998-03-15'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1996-03-15'
+    GROUP BY o.o_orderkey, strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d'),
+             o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: selective dim filter → 3-way join → agg → top-k.",
+)
+def q_shipping_priority(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").where(
+        F.to_date("o_orderdate") < F.lit("1998-03-15").cast("date")
+    )
+    li = t(spark, sf_dir, "lineitem").where(
+        F.to_date("l_shipdate") > F.lit("1996-03-15").cast("date")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("o_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_local_supplier_volume",
+    f"""
+    SELECT n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 shape: 6-way snowflake join with a co-nationality "
+    "predicate, region-filtered, revenue per nation.",
+)
+def q_local_supplier_volume(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").where(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@query(
+    "q_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: returned-item revenue ranking per customer.",
+)
+def q_returned_items(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_top_parts_by_size",
+    """
+    SELECT p_size, p_brand, COUNT(*) AS n_parts,
+           CAST(MAX(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+    FROM part
+    WHERE p_size IN (1, 5, 10, 15, 20)
+    GROUP BY p_size, p_brand
+    HAVING COUNT(*) >= 1
+    """,
+    doc="Q16-ish shape: grouped part stats with HAVING.",
+)
+def q_top_parts_by_size(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return (
+        p.where(F.col("p_size").isin(1, 5, 10, 15, 20))
+        .groupBy("p_size", "p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.max(F.col("p_retailprice").cast("decimal(18,2)")).cast("double").alias("max_price"),
+        )
+        .where(F.col("n_parts") >= 1)
+    )

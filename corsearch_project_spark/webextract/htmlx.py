@@ -42,12 +42,17 @@ VOID_ELEMENTS = frozenset(
 RAWTEXT_ELEMENTS = frozenset({"script", "style", "textarea", "title"})
 
 _TAGNAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9:_-]*")
+# close-tag regex per rawtext element, compiled once (tokenize hot path)
+_RAWTEXT_CLOSE_RE = {
+    name: re.compile(r"</" + name + r"(?=[\s/>]|$)", re.IGNORECASE)
+    for name in ("script", "style", "textarea", "title")
+}
 _ATTR_RE = re.compile(
     r"""\s*([^\s=/>]+)(?:\s*=\s*("[^"]*"|'[^']*'|[^\s>]*))?"""
 )
 
 
-@dataclass
+@dataclass(slots=True)
 class Tok:
     kind: str
     data: str  # tag name (lower) for START/END, raw text for TEXT/COMMENT/DECL
@@ -58,6 +63,8 @@ class Tok:
 
 
 def _parse_attrs(s: str) -> Dict[str, str]:
+    if not s or s.isspace():
+        return {}
     attrs: Dict[str, str] = {}
     for m in _ATTR_RE.finditer(s):
         name = m.group(1).lower()
@@ -95,8 +102,7 @@ def tokenize(src: str) -> List[Tok]:
 
     while i < n:
         if rawtext_until is not None:
-            close = re.compile(r"</" + rawtext_until + r"(?=[\s/>]|$)", re.IGNORECASE)
-            m = close.search(src, i)
+            m = _RAWTEXT_CLOSE_RE[rawtext_until].search(src, i)
             if m is None:
                 emit_text(i, n)
                 i = n
