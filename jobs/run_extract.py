@@ -62,6 +62,10 @@ def main(argv=None) -> int:
     )
     import time
 
+    if not os.path.exists(args.input):
+        print(f"error: input path does not exist: {args.input}", file=sys.stderr)
+        return 1
+
     t0 = time.perf_counter()
     report = run_extract(spark, cfg, rules)
     report["pipeline_wall_s"] = round(time.perf_counter() - t0, 3)

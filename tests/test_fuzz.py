@@ -1,0 +1,51 @@
+"""Robustness fuzzing: extract_document must never raise on arbitrary or
+truncated input — at 10^12 docs every malformed byte sequence on the web
+WILL occur, and one executor exception fails a whole task (SURVEY §7
+hard-part 2: tolerance vs determinism)."""
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from corsearch_project_spark.webextract.extract import extract_document
+from corsearch_project_spark.webextract.rules import DEFAULT_RULE
+from corsearch_project_spark.fixtures.gen_pages import gen_page_row
+
+SET = settings(
+    max_examples=200, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+
+@SET
+@given(data=st.binary(max_size=4096))
+def test_random_bytes_never_raise(data):
+    res = extract_document("https://x.test/f", data, None, DEFAULT_RULE)
+    assert res.text_sha256 == hashlib.sha256(res.text.encode("utf-8")).hexdigest()
+
+
+@SET
+@given(data=st.binary(max_size=2048))
+def test_pdf_magic_random_tail_never_raises(data):
+    res = extract_document("https://x.test/p", b"%PDF-1.4\n" + data, None, DEFAULT_RULE)
+    assert res.doc_kind == "pdf"
+
+
+@SET
+@given(data=st.text(max_size=2048))
+def test_html_ish_text_never_raises(data):
+    payload = ("<html><body>" + data).encode("utf-8", "surrogatepass" if False else "replace")
+    res = extract_document("https://x.test/h", payload, None, DEFAULT_RULE)
+    assert res.n_chars == len(res.text)
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**16), idx=st.integers(0, 2000), cut=st.floats(0.05, 0.95))
+def test_truncated_real_documents_never_raise(seed, idx, cut):
+    """Real generated HTML/PDF bytes cut mid-structure (the network-truncation
+    case) must still extract deterministically."""
+    r = gen_page_row(seed, idx)
+    data = (r["html"] or b"")
+    data = data[: int(len(data) * cut)]
+    a = extract_document(r["url"], data, r["text"], DEFAULT_RULE)
+    b = extract_document(r["url"], data, r["text"], DEFAULT_RULE)
+    assert a.text_sha256 == b.text_sha256
