@@ -89,6 +89,19 @@ def test_pipeline_has_exactly_one_python_stage_and_pruned_kernel_input(spark, tm
     assert any("html" in l for l in read_schemas)
 
 
+def test_lsh_plans_avoid_cartesian(spark):
+    """The scale-path dedup/ANN operators must never degrade to a cartesian
+    product: MinHash-LSH candidates come from an equi-join on (band, sig);
+    LSH-ANN's only crossJoin is against the broadcast 1-row query vector."""
+    minhash = REGISTRY["q_dedup_minhash_lsh"].fn(spark, SF_SMOKE)
+    p = plan_of(minhash, "simple")
+    assert "CartesianProduct" not in p
+    ann = REGISTRY["q_sim_lsh_ann"].fn(spark, SF_SMOKE)
+    p2 = plan_of(ann, "simple")
+    assert "CartesianProduct" not in p2
+    assert "BroadcastNestedLoopJoin" in p2 or "BroadcastHashJoin" in p2
+
+
 def test_resume_prunes_bucket_partitions(spark, tmp_path):
     """The resume filter on url_bucket must become a PartitionFilter on the
     bucket-partitioned layout (completed buckets are never read)."""
