@@ -1,0 +1,130 @@
+#!/usr/bin/env python3
+"""Training-data curation over an extracted table: the post-extraction
+pipeline a pretraining corpus runs (task-brief training-data mandate),
+composing the operators from ``operators/{textstats,dedup}.py``:
+
+  extracted(url, extracted_text, ...) →
+    1. per-doc stats: tokens, chars, quality score, language ID, fingerprint
+    2. exact dedup: sha-identical docs → canonical url (min) per group
+    3. near-dup candidates: MinHash+LSH pairs over word shingles
+    4. curated table: stats + is_exact_dup + near-dup degree + keep flag
+
+Outputs: <out>/curated (bucketed like the input), <out>/dup_pairs.
+At 10^12 docs every step is a bounded number of hash-partition shuffles
+(one groupBy for signatures, one band equi-join — no pairwise scans);
+full connected-component grouping of near-dup pairs is an iterative
+downstream job (documented in operators/dedup.py).
+
+    spark-submit --py-files csp.zip jobs/run_curation.py \
+        --input /data/out/extracted --output /data/curated
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from corsearch_project_spark.operators import dedup as D
+from corsearch_project_spark.operators import textstats as X
+from corsearch_project_spark.plans.session import build_session
+
+
+def run_curation(
+    spark,
+    input_path: str,
+    output_path: str,
+    min_quality: float = 0.3,
+    jaccard_bands: int = 4,
+):
+    ext = spark.read.parquet(input_path).select(
+        "url", "extracted_text", "text_sha256", "url_bucket"
+    )
+
+    text = F.col("extracted_text")
+    stats = ext.select(
+        "url",
+        "text_sha256",
+        "url_bucket",
+        X.token_count(text).alias("n_tokens"),
+        X.char_count(text).alias("n_chars"),
+        X.quality_score(text).alias("quality"),
+        X.lang_id(text).alias("pred_lang"),
+        X.fingerprint(text, 4).alias("fingerprint"),
+    )
+
+    # exact dedup on the already-computed content digest: canonical = min url
+    canon = (
+        ext.groupBy("text_sha256")
+        .agg(F.min("url").alias("canonical_url"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+    # near-dup candidate pairs (MinHash+LSH over the text column)
+    pairs = D.minhash_lsh_pairs(
+        ext.select(F.col("url").alias("doc_id"), F.col("extracted_text").alias("text")),
+        "doc_id", "text",
+    ).where(F.col("est_jaccard") >= 0.5)
+    pairs_path = output_path.rstrip("/") + "/dup_pairs"
+    pairs.write.mode("overwrite").parquet(pairs_path)
+
+    # near-dup degree per url (how many high-similarity partners)
+    deg = (
+        spark.read.parquet(pairs_path)
+        .select(F.explode(F.array("doc_a", "doc_b")).alias("url"))
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("near_dup_degree"))
+    )
+
+    curated = (
+        stats.join(F.broadcast(canon) if canon.count() < 1_000_000 else canon, "text_sha256")
+        .join(deg, "url", "left")
+        .withColumn("near_dup_degree", F.coalesce("near_dup_degree", F.lit(0)))
+        .withColumn("is_exact_dup", F.col("url") != F.col("canonical_url"))
+        .withColumn(
+            "keep",
+            (~F.col("is_exact_dup"))
+            & (F.col("quality") >= min_quality)
+            & (F.col("n_tokens") >= 5),
+        )
+    )
+    curated_path = output_path.rstrip("/") + "/curated"
+    (
+        curated.repartition(F.col("url_bucket"))
+        .write.mode("overwrite")
+        .partitionBy("url_bucket")
+        .parquet(curated_path)
+    )
+    out = spark.read.parquet(curated_path)
+    return {
+        "docs": out.count(),
+        "kept": out.where("keep").count(),
+        "exact_dups": out.where("is_exact_dup").count(),
+        "near_dup_docs": out.where("near_dup_degree > 0").count(),
+        "curated_path": curated_path,
+        "dup_pairs_path": pairs_path,
+    }
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="extracted table path")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--min-quality", type=float, default=0.3)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+    if not os.path.exists(args.input):
+        print(f"error: input path does not exist: {args.input}", file=sys.stderr)
+        return 1
+    spark = build_session("run_curation", master=args.master)
+    report = run_curation(spark, args.input, args.output, args.min_quality)
+    print(json.dumps(report, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,55 @@
+"""End-to-end curation pipeline: extraction output → stats + exact-dup
+canonicalization + MinHash-LSH near-dup detection + keep flags. A planted
+exact duplicate and a planted near-duplicate must both be caught."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from corsearch_project_spark.fixtures.gen_pages import default_rules, gen_pages, pages_to_pandas
+from corsearch_project_spark.plans.extract_pipeline import ExtractConfig, run_extract
+from jobs.run_curation import run_curation
+
+
+def test_curation_end_to_end(spark, tmp_path):
+    rows = gen_pages(120, seed=77, dup_frac=0.0)
+    inp = os.path.join(str(tmp_path), "pages")
+    spark.createDataFrame(pages_to_pandas(rows)).write.parquet(inp)
+    out = os.path.join(str(tmp_path), "out")
+    cfg = ExtractConfig(input_path=inp, output_path=out, run_id="cur", buckets=8)
+    run_extract(spark, cfg, default_rules())
+
+    # plant an exact duplicate (same text, different url) and a near-dup
+    # (same text with one word changed) directly in the extracted table
+    ext = spark.read.parquet(cfg.extracted_path)
+    donor = ext.orderBy(F.desc("n_chars")).first()
+    near_text = "changedword " + donor["extracted_text"].split(" ", 1)[1]
+    extra = spark.createDataFrame(
+        [
+            ("https://plant.test/exact", donor["extracted_text"], donor["text_sha256"], 3),
+            ("https://plant.test/near", near_text, "0" * 64, 4),
+        ],
+        "url string, extracted_text string, text_sha256 string, url_bucket int",
+    )
+    merged = ext.select("url", "extracted_text", "text_sha256", "url_bucket").unionByName(extra)
+    merged_path = os.path.join(str(tmp_path), "merged")
+    merged.write.parquet(merged_path)
+
+    report = run_curation(spark, merged_path, os.path.join(str(tmp_path), "cur"))
+    assert report["docs"] == 122
+    assert report["exact_dups"] >= 1
+    assert report["near_dup_docs"] >= 2  # the near-dup pair (both endpoints)
+    assert 0 < report["kept"] < report["docs"]
+
+    cur = spark.read.parquet(report["curated_path"])
+    planted = {r["url"]: r for r in cur.where(F.col("url").like("https://plant.test/%")).collect()}
+    dup_row = planted["https://plant.test/exact"]
+    # one of the sha-identical pair is canonical, the other flagged
+    group = cur.where(F.col("text_sha256") == donor["text_sha256"]).collect()
+    assert len(group) == 2
+    assert sum(1 for r in group if r["is_exact_dup"]) == 1
+    # the planted near-dup was caught by LSH against its donor
+    assert planted["https://plant.test/near"]["near_dup_degree"] >= 1
+    # schema essentials
+    for c in ("n_tokens", "quality", "pred_lang", "fingerprint", "keep"):
+        assert c in cur.columns
