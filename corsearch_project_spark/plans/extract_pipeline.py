@@ -96,9 +96,14 @@ def run_extract(
     if cfg.bucket_whitelist is not None:
         pages = pages.where(F.col("url_bucket").isin(list(cfg.bucket_whitelist)))
 
-    pages = dedupe_latest(pages)
-
+    # Hot-host detection runs on the PRE-dedupe relation: projecting just
+    # `url` lets Parquet skip the fat `html` binary column entirely, and
+    # avoids paying the dedupe window's shuffle twice. Re-crawl duplicates
+    # inflate per-host counts slightly, which only makes the skew heuristic
+    # more conservative — exactly what we want from a skew detector.
     hot = hot_hosts(pages.select("url"), cfg.hot_frac)
+
+    pages = dedupe_latest(pages)
     pages = with_salt(pages, hot, cfg.salt)
 
     sel = pages.select("url", "html", "text", "url_bucket", "salt")

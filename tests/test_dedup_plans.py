@@ -1,0 +1,46 @@
+"""Plan-equivalence gates for the scale-path dedup operators: the banded
+(linear-shuffle) plans must produce exactly the relation the quadratic
+control plans produce — recall guarantees, not heuristics."""
+
+from pyspark.sql import functions as F
+
+from corsearch_project_spark.operators import dedup as D
+from conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def test_simhash_banding_equals_exact(spark):
+    """Pigeonhole guarantee: chunk-banded candidate join loses no pair
+    within Hamming <= 3 of 32 bits (4 chunks => >=1 exact-match chunk)."""
+    sims = D.simhash(_docs(spark), "doc_id", "text")
+    banded = {tuple(r) for r in D.simhash_pairs(sims, max_hamming=3).collect()}
+    exact = {
+        tuple(r) for r in D.simhash_pairs(sims, max_hamming=3, exact_plan=True).collect()
+    }
+    assert banded == exact
+    assert exact, "fixture should contain at least one near-dup pair"
+
+
+def test_simhash_candidates_superset_and_bounded(spark):
+    """Candidates from banding are a superset of true pairs and never
+    include a pair that agrees on no chunk."""
+    sims = D.simhash(_docs(spark), "doc_id", "text")
+    cands = D.simhash_candidates(sims, max_hamming=3)
+    n_true = (
+        cands.withColumn("h", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .where(F.col("h") <= 3)
+        .count()
+    )
+    assert cands.count() >= n_true
+
+
+def test_simhash_plan_has_no_cartesian(spark):
+    """The default pair plan must be an equi-join (shuffled/broadcast hash),
+    never BroadcastNestedLoop/Cartesian — that is the 10^12-doc property."""
+    sims = D.simhash(_docs(spark), "doc_id", "text")
+    plan = D.simhash_pairs(sims)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
