@@ -98,7 +98,13 @@ def _extract_bench(spark, n_docs: int, workdir: str) -> dict:
     from corsearch_project_spark.sources.io import scan_pages
     from corsearch_project_spark.webextract.rules import rules_to_plain
 
-    kdf = with_salt(dedupe_latest(with_url_bucket(scan_pages(spark, src), 32)))
+    kdf = with_salt(
+        dedupe_latest(
+            with_url_bucket(scan_pages(spark, src), 32).select(
+                "url", "warc_ts", "html", "text", "url_bucket"
+            )
+        )
+    )
     kdf = kdf.select("url", "html", "text", "url_bucket", "salt").repartition(
         128, F.col("url_bucket"), F.col("salt")
     )
@@ -121,26 +127,36 @@ def _udf_boundary_bench(spark, sf_dir: str) -> dict:
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf, udf
 
+    import math
+
+    import numpy as np
+
     base = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        F.concat_ws("-", "l_returnflag", "l_linestatus", F.col("l_orderkey").cast("string")).alias("s")
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("x")
     )
     base = base.persist()
     base.count()
 
-    @pandas_udf("string")
-    def p_upper(s: pd.Series) -> pd.Series:
-        return s.str.upper()
+    # A logistic score: enough FLOPs per value that the three tiers measure
+    # execution strategy (codegen vs numpy-vectorized vs per-row interpreter
+    # dispatch), not just serialization overhead.
+    @pandas_udf("double")
+    def p_score(x: pd.Series) -> pd.Series:
+        v = x.to_numpy()
+        return pd.Series(1.0 / (1.0 + np.exp(-(np.log1p(np.abs(v)) - 7.5))))
 
-    r_upper = udf(lambda s: s.upper(), "string")
+    r_score = udf(
+        lambda v: 1.0 / (1.0 + math.exp(-(math.log1p(abs(v)) - 7.5))), "double"
+    )
 
     out = {}
     for name, col in (
-        ("builtin", F.upper(F.col("s"))),
-        ("pandas_udf", p_upper(F.col("s"))),
-        ("row_udf", r_upper(F.col("s"))),
+        ("builtin", 1.0 / (1.0 + F.exp(-(F.log1p(F.abs(F.col("x"))) - 7.5)))),
+        ("pandas_udf", p_score(F.col("x"))),
+        ("row_udf", r_score(F.col("x"))),
     ):
         t0 = time.perf_counter()
-        base.select(col.alias("u")).where(F.length("u") > 0).count()
+        base.select(col.alias("u")).where(F.col("u") > 0.5).count()
         out[name] = round(time.perf_counter() - t0, 3)
     base.unpersist()
     out["row_vs_pandas_slowdown"] = round(out["row_udf"] / max(out["pandas_udf"], 1e-9), 1)

@@ -66,8 +66,33 @@ class ExtractConfig:
 
 
 def dedupe_latest(pages: DataFrame) -> DataFrame:
-    """W1: Common-Crawl re-crawls — latest warc_ts per url wins; ties broken
-    deterministically by larger payload (SURVEY §2.7)."""
+    """Common-Crawl re-crawls — latest warc_ts per url wins; ties broken
+    deterministically by larger payload, then by the remaining columns'
+    natural order (a strictly finer tiebreak than the window control arm).
+
+    Implemented as ``max(struct(ordering keys…, payload…))`` in a
+    groupBy(url): unlike the row_number window (dedupe_latest_window), a
+    declarative max gets map-side PARTIAL aggregation — each input split
+    reduces its local replicas before the shuffle and nothing is sorted —
+    which at 10^12 rows means the exchange carries ~unique urls instead of
+    every replica plus a full-partition sort."""
+    payload = [c for c in pages.columns if c != "url"]
+    packed = F.struct(
+        F.col("warc_ts").alias("_k1"),
+        F.length("html").alias("_k2"),
+        F.col("text").alias("_k3"),
+        *[F.col(c).alias(c) for c in payload],
+    )
+    picked = pages.groupBy("url").agg(F.max(packed).alias("_m"))
+    return picked.select("url", *[F.col(f"_m.{c}").alias(c) for c in payload]).select(
+        *pages.columns
+    )
+
+
+def dedupe_latest_window(pages: DataFrame) -> DataFrame:
+    """W1 control arm (SURVEY §2.7): the same latest-wins relation via
+    row_number over a (url, desc ordering) window. Kept for the
+    plan-equivalence test; the pipeline uses the partial-agg form above."""
     w = Window.partitionBy("url").orderBy(
         F.desc("warc_ts"), F.desc(F.length("html")), F.desc("text")
     )
@@ -103,7 +128,11 @@ def run_extract(
     # more conservative — exactly what we want from a skew detector.
     hot = hot_hosts(pages.select("url"), cfg.hot_frac)
 
-    pages = dedupe_latest(pages)
+    # Project BEFORE deduping: max(struct) packs every input column into the
+    # aggregate, which defeats Catalyst's column pruning through the agg —
+    # an explicit projection here is what keeps unused columns (lang) out of
+    # the Parquet scan (asserted by test_plans' ReadSchema audit).
+    pages = dedupe_latest(pages.select("url", "warc_ts", "html", "text", "url_bucket"))
     pages = with_salt(pages, hot, cfg.salt)
 
     sel = pages.select("url", "html", "text", "url_bucket", "salt")

@@ -450,8 +450,9 @@ def q_approx_distinct(spark, sf_dir):
         PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
     ) = 1
     """,
-    doc="W1: latest-wins dedupe — the same window shape the extraction "
-    "pipeline uses for CC re-crawls (plans.extract_pipeline.dedupe_latest).",
+    doc="W1: latest-wins dedupe via row_number window — the control-arm "
+    "plan (plans.extract_pipeline.dedupe_latest_window); the pipeline's "
+    "partial-agg variant is q_dedupe_latest_agg.",
 )
 def q_window_rownum(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
@@ -864,4 +865,107 @@ def q_session_window(spark, sf_dir):
         e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+# ---------------------------------------------------- §2.6/§2.7/§2.8 extras
+
+@query(
+    "q_agg_cube",
+    f"""
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+           COALESCE(c_mktsegment, 'ALL') AS segment,
+           COUNT(*) AS n, {sql_dsum('c_acctbal', 2)} AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY CUBE (r_name, c_mktsegment)
+    """,
+    doc="A4: CUBE grouping sets — every (region × segment) marginal in one "
+    "pass (4 grouping sets materialized by Expand, one shuffle).",
+)
+def q_agg_cube(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        j.cube("r_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("c_acctbal"), 2).alias("total_bal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            "n",
+            "total_bal",
+        )
+    )
+
+
+@query(
+    "q_set_exceptall",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="O5: EXCEPT ALL — bag difference with multiplicity (each supplier "
+    "occurrence cancels one customer occurrence of the same key).",
+)
+def q_set_exceptall(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)
+
+
+@query(
+    "q_window_percentrank",
+    """
+    SELECT s_suppkey, s_nationkey,
+           percent_rank() OVER w AS pr,
+           cume_dist()    OVER w AS cd
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+    doc="W4: percent_rank + cume_dist per nation — exact rational values "
+    "((rank-1)/(n-1), peers/n) so the doubles are bit-identical cross-engine.",
+)
+def q_window_percentrank(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@query(
+    "q_dedupe_latest_agg",
+    """
+    SELECT o_custkey, o_orderkey AS latest_orderkey, o_totalprice AS latest_price
+    FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+    ) = 1
+    """,
+    doc="Latest-wins dedupe as max(struct(...)) — the PARTIAL-aggregating "
+    "plan plans.extract_pipeline.dedupe_latest uses for CC re-crawls "
+    "(map-side reduction; contrast with q_window_rownum's window plan, "
+    "which shuffles every replica).",
+)
+def q_dedupe_latest_agg(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    picked = o.groupBy("o_custkey").agg(
+        F.max(F.struct("o_orderdate", "o_orderkey", "o_totalprice")).alias("m")
+    )
+    return picked.select(
+        "o_custkey",
+        F.col("m.o_orderkey").alias("latest_orderkey"),
+        F.col("m.o_totalprice").alias("latest_price"),
     )

@@ -68,7 +68,15 @@ def test_pipeline_has_exactly_one_python_stage_and_pruned_kernel_input(spark, tm
     src = os.path.join(str(tmp_path), "pages")
     spark.createDataFrame(pages_to_pandas(gen_pages(50, seed=5))).write.parquet(src)
 
-    pages = with_salt(dedupe_latest(with_url_bucket(scan_pages(spark, src), 16)), None, 8)
+    pages = with_salt(
+        dedupe_latest(
+            with_url_bucket(scan_pages(spark, src), 16).select(
+                "url", "warc_ts", "html", "text", "url_bucket"
+            )
+        ),
+        None,
+        8,
+    )
     shuffled = repartition_for_kernel(
         pages.select("url", "html", "text", "url_bucket", "salt"), 8
     )
@@ -119,3 +127,35 @@ def test_resume_prunes_bucket_partitions(spark, tmp_path):
     assert pf and "url_bucket" in pf[0], plan
     # and the pruning is effective: only 5 of 8 bucket dirs contribute rows
     assert pruned.select("url_bucket").distinct().count() == 5
+
+
+def test_dedupe_agg_equals_window_and_is_partial(spark, tmp_path):
+    """The pipeline's max(struct) dedupe must (a) produce exactly the
+    window control-arm relation on a corpus with re-crawl duplicates and
+    (b) plan as partial+final aggregation (map-side reduction before the
+    exchange) rather than a full-replica window sort."""
+    from corsearch_project_spark.fixtures.gen_pages import gen_pages, pages_to_pandas
+    from corsearch_project_spark.operators.partitioning import with_url_bucket
+    from corsearch_project_spark.plans.extract_pipeline import (
+        dedupe_latest,
+        dedupe_latest_window,
+    )
+    from pyspark.sql import functions as F
+
+    src = os.path.join(str(tmp_path), "pages")
+    spark.createDataFrame(pages_to_pandas(gen_pages(600, seed=31))).write.parquet(src)
+    pages = with_url_bucket(spark.read.parquet(src), 16)
+
+    def digestable(df):
+        return df.select(
+            "url", F.sha2("html", 256).alias("h"), "warc_ts", "text", "lang", "url_bucket"
+        )
+
+    a = digestable(dedupe_latest(pages))
+    b = digestable(dedupe_latest_window(pages))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.count() == pages.select("url").distinct().count()
+
+    plan = dedupe_latest(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in plan
+    assert "Window" not in plan
