@@ -109,3 +109,42 @@ def q_udtf_explode(spark, sf_dir):
         "SELECT t.r_name, t.i FROM region_v r, "
         "LATERAL repeat_region(r.r_name, 3) t"
     )
+
+
+@query(
+    "q_udf_grouped_map",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CASE WHEN max(c_acctbal) OVER w = min(c_acctbal) OVER w THEN 0.5
+                ELSE (c_acctbal - min(c_acctbal) OVER w)
+                     / (max(c_acctbal) OVER w - min(c_acctbal) OVER w)
+           END AS scaled
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment)
+    """,
+    doc="U3: grouped-map applyInPandas — per-group min-max scaling done in "
+    "pandas per segment group. min/max/sub/div are single IEEE ops in a "
+    "fixed order, so the doubles are bit-identical to the window-SQL twin. "
+    "(The pipeline's lineage rollup deliberately does NOT use this surface "
+    "anymore — it is pure-JVM bit_xor; this query pins the API.)",
+)
+def q_udf_grouped_map(spark, sf_dir):
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo = pdf["c_acctbal"].min()
+        hi = pdf["c_acctbal"].max()
+        if hi == lo:
+            scaled = pd.Series(0.5, index=pdf.index)
+        else:
+            scaled = (pdf["c_acctbal"] - lo) / (hi - lo)
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_mktsegment": pdf["c_mktsegment"],
+                "scaled": scaled,
+            }
+        )
+
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    return c.groupBy("c_mktsegment").applyInPandas(
+        scale, "c_custkey long, c_mktsegment string, scaled double"
+    )
