@@ -3,7 +3,7 @@
 Plan shape (one Python stage by design, SURVEY §4):
 
   scan(pages) ──filter lang/bucket (pushed to Parquet)──▶
-  dedupe latest-wins (W1 window) ──▶ bucket P1 + salt P2 ──▶
+  dedupe latest-wins (partial-agg max(struct)) ──▶ bucket P1 + salt P2 ──▶
   shuffle on (url_bucket, salt) ──▶ mapInPandas kernel E17 ──▶
   re-derive url_bucket (JVM) ──▶ bucketed dynamic-overwrite write S3 ──▶
   lineage rollup from the committed table ──▶ append lineage S4
@@ -108,6 +108,17 @@ def run_extract(
     cfg: ExtractConfig,
     rules: Optional[Dict[str, Rule]] = None,
 ) -> Dict[str, object]:
+    import time
+
+    phases: Dict[str, float] = {}
+    t_phase = time.perf_counter()
+
+    def mark(name: str) -> None:
+        nonlocal t_phase
+        now = time.perf_counter()
+        phases[name] = round(now - t_phase, 3)
+        t_phase = now
+
     fmt = ParquetBucketedFormat(cfg.max_records_per_file)
     pages = scan_pages(spark, cfg.input_path)
 
@@ -127,6 +138,7 @@ def run_extract(
     # inflate per-host counts slightly, which only makes the skew heuristic
     # more conservative — exactly what we want from a skew detector.
     hot = hot_hosts(pages.select("url"), cfg.hot_frac)
+    mark("hot_hosts")
 
     # Project BEFORE deduping: max(struct) packs every input column into the
     # aggregate, which defeats Catalyst's column pruning through the agg —
@@ -162,6 +174,7 @@ def run_extract(
     extracted = extracted.repartition(cfg.buckets, "url_bucket")
 
     fmt.write_extracted(extracted, cfg.extracted_path)
+    mark("kernel_and_write")
 
     # ONE job over the committed table computes every post-commit artifact:
     # per-bucket lineage rows are collected (B rows — tiny), the bucket list
@@ -169,6 +182,7 @@ def run_extract(
     # append writes the already-collected rows back without recomputing.
     committed = fmt.read_extracted(spark, cfg.extracted_path)
     lin_all = lineage_rows(committed, cfg.run_id, cfg.input_path).collect()
+    mark("lineage_rollup")
     skipped_set = set(skipped)
     new_rows = [r for r in lin_all if r["url_bucket"] not in skipped_set]
     run_buckets = sorted(r["url_bucket"] for r in new_rows)
@@ -180,8 +194,10 @@ def run_extract(
             cfg.lineage_path,
         )
 
+    mark("lineage_append")
     return {
         "run_id": cfg.run_id,
+        "phase_wall_s": phases,
         "buckets_written": run_buckets,
         "buckets_skipped": skipped,
         "hot_hosts": hot,

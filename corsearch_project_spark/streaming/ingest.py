@@ -133,3 +133,53 @@ def running_counts_stateful(events: DataFrame, key_col: str = "user_id") -> Data
     return events.groupBy(F.col(key_col)).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def _has_tws_runtime() -> bool:
+    """transformWithStateInPandas drives a long-lived Python state server
+    over a protobuf protocol; the sandbox image ships no google.protobuf,
+    so the API is environment-gated (task brief: gate missing deps behind
+    an import-try). On a real cluster image with protobuf this path runs
+    as-is."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+HAS_TWS = _has_tws_runtime()
+
+
+def running_counts_tws(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """T6, Spark 4 API: the same per-key running counter as
+    running_counts_stateful, expressed as a StatefulProcessor for
+    transformWithStateInPandas (ValueState survives across micro-batches;
+    requires the RocksDB state store provider). Guard calls with HAS_TWS."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("count", "total bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            total = self._count.get()[0] if self._count.exists() else 0
+            for pdf in rows:
+                total += len(pdf)
+            self._count.update((total,))
+            yield pd.DataFrame({"key": [key[0]], "total": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(F.col(key_col)).transformWithStateInPandas(
+        statefulProcessor=RunningCount(),
+        outputStructType="key bigint, total bigint",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -176,14 +176,14 @@ def tokenize(src: str) -> List[Tok]:
 # ---------------------------------------------------------------------------
 
 
-@dataclass
+@dataclass(slots=True)
 class TextNode:
     text: str  # entity-decoded
     start: int  # span into decoded source (pre-entity-decode offsets)
     end: int
 
 
-@dataclass
+@dataclass(slots=True)
 class Node:
     tag: str
     attrs: Dict[str, str] = field(default_factory=dict)
@@ -303,7 +303,7 @@ _SENTENCE_CHARS = (".", "!", "?", "。", "！", "？")
 _STRIP_TAGS = frozenset(ALWAYS_STRIP_TAGS | {"title"})
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     tag: str
     hint: int  # -1 / 0 / +1 from class/id of owning chain
@@ -389,7 +389,7 @@ def segment_blocks(root: Node, rule: Rule) -> List[Block]:
     return blocks
 
 
-@dataclass
+@dataclass(slots=True)
 class ScoredBlock:
     text: str
     start: int

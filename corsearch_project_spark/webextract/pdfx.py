@@ -46,7 +46,7 @@ class Ref(tuple):
     """Indirect reference (num, gen)."""
 
 
-@dataclass
+@dataclass(slots=True)
 class StreamObj:
     d: dict
     raw: bytes
@@ -357,7 +357,7 @@ class FontDecoder:
 # ---------------------------------------------------------------------------
 
 
-@dataclass
+@dataclass(slots=True)
 class Run:
     text: str
     x: float
@@ -457,7 +457,7 @@ def interpret_content(doc: PdfDoc, content: bytes, fonts: Dict[str, FontDecoder]
 # ---------------------------------------------------------------------------
 
 
-@dataclass
+@dataclass(slots=True)
 class Line:
     y: float
     x0: float

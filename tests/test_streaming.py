@@ -186,3 +186,37 @@ def test_stateful_running_counts(spark, tmp_path):
         ).collect()
     }
     assert final == {1: 3, 2: 2}
+
+
+@pytest.mark.skipif(
+    not S.HAS_TWS,
+    reason="transformWithStateInPandas needs google.protobuf (absent in sandbox)",
+)
+def test_stateful_running_counts_tws(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas twin of the applyInPandasWithState
+    counter — runs wherever the image ships protobuf + RocksDB provider."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src = os.path.join(str(tmp_path), "tws_src")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(u, base + dt.timedelta(minutes=i)) for i, u in enumerate([1, 1, 2, 1, 2])]
+    spark.createDataFrame(rows, "user_id long, ts timestamp").write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    out = S.running_counts_tws(stream)
+    q = (
+        out.writeStream.trigger(availableNow=True)
+        .format("memory")
+        .queryName("t_tws")
+        .outputMode("update")
+        .start()
+    )
+    _drain(q)
+    final = {
+        r["key"]: r["total"]
+        for r in spark.sql(
+            "SELECT key, max(total) AS total FROM t_tws GROUP BY key"
+        ).collect()
+    }
+    assert final == {1: 3, 2: 2}
