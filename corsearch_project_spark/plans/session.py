@@ -68,6 +68,14 @@ def build_session(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Commit algorithm v2: task outputs move to the destination at task
+        # commit instead of a sequential driver-side rename of every bucket
+        # directory at job commit — with thousands of bucket partitions the
+        # v1 rename loop is minutes of driver serial time. Safe here because
+        # run atomicity/visibility is provided by the lineage gate (a bucket
+        # is only 'done' once its lineage row commits, written after the
+        # data job), not by the file committer.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )

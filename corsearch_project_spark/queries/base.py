@@ -100,3 +100,26 @@ SQL_QUANTIZED = (
 )
 
 
+
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """SQL-string entry surface (SURVEY §3.3): register every testdata table
+    as a temp view so ``spark.sql(...)`` works against the same parquet the
+    DataFrame queries read. The ANSI-portable oracle strings then run
+    UNMODIFIED on both Spark and DuckDB (pinned in tests/test_sql_entry.py)."""
+    for name in TESTDATA_TABLES:
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
