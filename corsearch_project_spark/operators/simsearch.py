@@ -124,3 +124,78 @@ def near_dup_pairs(
         .select("vec_a", "vec_b", cosine_q(F.col("qa"), F.col("qb")).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+# ------------------------------------------------------------------- IVF
+
+IVF_STRIDE = 25  # centroid set = vectors with vec_id % stride == 0
+
+
+def ivf_cells(
+    df: DataFrame, stride: int = IVF_STRIDE, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, qe, cell): IVF coarse quantization. The centroid set is chosen
+    deterministically (ids ≡ 0 mod stride — a seeded sample both engines can
+    replay); every vector is assigned to its max-cosine centroid, ties to
+    the smaller centroid id.
+
+    Plan shape: centroids broadcast (tiny), one projection per (vector,
+    centroid) inside the broadcast join, then a PARTIAL max(struct) per
+    vector — the same map-side-reducing argmax idiom as dedupe_latest, no
+    window over the big side. At 10^12 rows `cell` becomes the table's
+    partition key, so a probe reads only its cells' partitions."""
+    qdf = with_quantized(df)
+    cents = qdf.where(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("cent_id"), F.col("qe").alias("cent_qe")
+    )
+    scored = qdf.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        "qe",
+        "cent_id",
+        cosine_q(F.col("qe"), F.col("cent_qe")).alias("cent_sim"),
+    )
+    picked = scored.groupBy(F.col(id_col), F.col("qe")).agg(
+        F.max(
+            F.struct(F.col("cent_sim"), (-F.col("cent_id")).alias("ncid"))
+        ).alias("m")
+    )
+    return picked.select(
+        F.col(id_col), "qe", (-F.col("m.ncid")).cast("int").alias("cell")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 5,
+    nprobe: int = 3,
+    stride: int = IVF_STRIDE,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: rank centroids by similarity to the query, search only the
+    top-``nprobe`` cells. Probe set and query vector stay as broadcast
+    one-row/one-column relations — no driver collect, no global pass."""
+    cells = ivf_cells(df, stride, id_col)
+    qdf = with_quantized(df)
+    q = qdf.where(F.col(id_col) == query_vec_id).select(F.col("qe").alias("q_qe"))
+    cents = qdf.where(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("cent_id"), F.col("qe").alias("cent_qe")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            F.col("cent_id").alias("cell"),
+            cosine_q(F.col("cent_qe"), F.col("q_qe")).alias("psim"),
+        )
+        .orderBy(F.desc("psim"), F.asc("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    return (
+        cells.join(F.broadcast(probe), "cell")
+        .where(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col), cosine_q(F.col("qe"), F.col("q_qe")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

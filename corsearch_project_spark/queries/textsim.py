@@ -375,3 +375,52 @@ def q_text_langid(spark, sf_dir):
 def q_text_fingerprint(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     return d.select("doc_id", X.fingerprint(F.col("text"), 4).alias("fp"))
+
+
+@query(
+    "q_sim_ivf_ann",
+    f"""
+    WITH qv AS (SELECT vec_id, {SQL_QUANT} AS qe FROM embeddings),
+    cents AS (
+        SELECT vec_id AS cent_id, qe AS cent_qe FROM qv WHERE vec_id % 25 = 0
+    ),
+    scored AS (
+        SELECT v.vec_id, v.qe, c.cent_id,
+               round(list_inner_product(v.qe, c.cent_qe)
+                     / sqrt(list_inner_product(v.qe, v.qe)
+                            * list_inner_product(c.cent_qe, c.cent_qe)),
+                     6) AS cent_sim
+        FROM qv v CROSS JOIN cents c
+    ),
+    cells AS (
+        SELECT vec_id, qe, CAST(cent_id AS INTEGER) AS cell
+        FROM scored
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id ASC
+        ) = 1
+    ),
+    q AS (SELECT qe AS q_qe FROM qv WHERE vec_id = 7),
+    probe AS (
+        SELECT CAST(cent_id AS INTEGER) AS cell
+        FROM cents CROSS JOIN q
+        ORDER BY round(list_inner_product(cent_qe, q_qe)
+                       / sqrt(list_inner_product(cent_qe, cent_qe)
+                              * list_inner_product(q_qe, q_qe)), 6) DESC,
+                 cent_id ASC
+        LIMIT 3
+    )
+    SELECT v.vec_id,
+           round(list_inner_product(v.qe, q_qe)
+                 / sqrt(list_inner_product(v.qe, v.qe)
+                        * list_inner_product(q_qe, q_qe)), 6) AS cos_sim
+    FROM cells v JOIN probe USING (cell) CROSS JOIN q
+    WHERE v.vec_id <> 7
+    ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
+    """,
+    doc="IVF ANN: deterministic coarse quantizer (centroids = vec_id %% 25), "
+    "argmax cell assignment via partial max(struct) (no window over the big "
+    "side), top-3-cell probe — at scale `cell` is the partition key and a "
+    "probe is a partition-pruned scan (operators.simsearch.ivf_topk).",
+)
+def q_sim_ivf_ann(spark, sf_dir):
+    return S.ivf_topk(t(spark, sf_dir, "embeddings"), query_vec_id=7, k=5, nprobe=3)

@@ -44,3 +44,28 @@ def test_simhash_plan_has_no_cartesian(spark):
     plan = D.simhash_pairs(sims)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_cells_total_and_unique(spark):
+    """IVF coarse quantization: every vector lands in exactly one cell, and
+    every cell id is a centroid id (vec_id % stride == 0)."""
+    from corsearch_project_spark.operators import simsearch as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cells = S.ivf_cells(emb)
+    n = emb.count()
+    assert cells.count() == n
+    assert cells.select("vec_id").distinct().count() == n
+    bad = cells.where((F.col("cell") % S.IVF_STRIDE) != 0).count()
+    assert bad == 0
+
+
+def test_ivf_probe_plan_is_broadcast_only(spark):
+    """The IVF search must never shuffle the big side: centroids, probe set
+    and query vector are broadcast; no SortMergeJoin/ShuffledHashJoin."""
+    from corsearch_project_spark.operators import simsearch as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    plan = S.ivf_topk(emb, 7)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
