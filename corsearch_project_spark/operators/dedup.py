@@ -54,14 +54,18 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
-def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) exploded + distinct — the input relation for both the
-    Jaccard self-join and MinHash."""
-    return (
-        df.select(F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), n).alias("sh"))
-        .select("doc_id", F.explode("sh").alias("shingle"))
-        .distinct()
-    )
+def doc_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(id, shingle) exploded — the input relation for both the Jaccard
+    self-join and MinHash. Jaccard needs ``distinct=True`` (set semantics).
+    MinHash callers pass ``distinct=False``: min() is invariant under
+    duplicates, so skipping the distinct removes an entire shuffle+dedup
+    pass — map-side partial min absorbs the multiset for free."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), n).alias("sh")
+    ).select("doc_id", F.explode("sh").alias("shingle"))
+    return sh.distinct() if distinct else sh
 
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -186,7 +190,7 @@ def minhash_lsh_pairs(
     """Full MinHash+LSH dedup: candidates from banding, then the estimated
     similarity = fraction of matching signature components (computed from
     the wide signatures joined once per side — no per-perm join)."""
-    sh = doc_shingles(df, id_col, text_col, n)
+    sh = doc_shingles(df, id_col, text_col, n, distinct=False)
     # The signature relation feeds four join sides below; persist it so the
     # shingle explode + hash + groupBy run once (at cluster scale this is a
     # materialized signatures table — the standard MinHash pipeline shape).

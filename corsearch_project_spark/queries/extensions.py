@@ -148,3 +148,21 @@ def q_udf_grouped_map(spark, sf_dir):
     return c.groupBy("c_mktsegment").applyInPandas(
         scale, "c_custkey long, c_mktsegment string, scaled double"
     )
+
+
+@query(
+    "q_multimodal_meta",
+    None,  # binary decode plumbing — genuinely non-SQL; driver rows-only check
+    doc="Multimodal columns: opaque binary payloads + typed metadata, decoded "
+    "by an Arrow-batched mapInPandas stage (stub decoder, real Spark "
+    "plumbing: schema, batching, partitioning — operators/multimodal.py). "
+    "Input is the deterministic seeded media fixture (no external data).",
+)
+def q_multimodal_meta(spark, sf_dir):
+    from corsearch_project_spark.operators.multimodal import (
+        decode_image_meta,
+        gen_media_fixture,
+    )
+
+    media = gen_media_fixture(spark, n=60, seed=99)
+    return decode_image_meta(media.where(F.col("kind") == "image"))
