@@ -52,14 +52,19 @@ class StreamObj:
     raw: bytes
 
 
+# int-set membership: buf[i] yields an int in py3; avoids allocating a
+# one-byte bytes object per scanned character (hot: ~300k calls/1k PDFs)
+_WS_SET = frozenset(_WS)
+
+
 def _skip_ws(buf: bytes, i: int) -> int:
     n = len(buf)
     while i < n:
-        c = buf[i : i + 1]
-        if c in (b"%",):  # comment to EOL
+        b = buf[i]
+        if b == 0x25:  # '%' comment to EOL
             j = buf.find(b"\n", i)
             i = n if j < 0 else j + 1
-        elif c in _WS:
+        elif b in _WS_SET:
             i += 1
         else:
             break
@@ -77,23 +82,23 @@ def parse_object(buf: bytes, i: int) -> Tuple[object, int]:
     i = _skip_ws(buf, i)
     if i >= len(buf):
         return None, i
-    c = buf[i : i + 1]
-    if c == b"<":
+    c = buf[i]
+    if c == 0x3C:  # '<'
         if buf[i : i + 2] == b"<<":
             return _parse_dict(buf, i)
         return _parse_hex_string(buf, i)
-    if c == b"(":
+    if c == 0x28:  # '('
         return _parse_lit_string(buf, i)
-    if c == b"[":
+    if c == 0x5B:  # '['
         i += 1
         arr: List[object] = []
         while True:
             i = _skip_ws(buf, i)
-            if i >= len(buf) or buf[i : i + 1] == b"]":
+            if i >= len(buf) or buf[i] == 0x5D:  # ']'
                 return arr, min(i + 1, len(buf))
             v, i = parse_object(buf, i)
             arr.append(v)
-    if c == b"/":
+    if c == 0x2F:  # '/'
         m = _NAME_RE.match(buf, i)
         return "/" + m.group(1).decode("latin-1"), m.end()
     m = _REF_RE.match(buf, i)
@@ -156,42 +161,53 @@ _ESCAPES = {
 }
 
 
+_LIT_SPECIAL_RE = re.compile(rb"[\\()]")
+
+
 def _parse_lit_string(buf: bytes, i: int) -> Tuple[bytes, int]:
+    """Bulk-copy scanner: plain runs between the three special bytes
+    (backslash, parens) are appended as slices instead of byte-at-a-time —
+    same output, ~an order of magnitude fewer Python-level iterations."""
     i += 1
     out = bytearray()
     depth = 1
     n = len(buf)
     while i < n:
-        c = buf[i : i + 1]
-        if c == b"\\":
+        m = _LIT_SPECIAL_RE.search(buf, i)
+        if m is None:
+            out += buf[i:n]
+            i = n
+            break
+        j = m.start()
+        out += buf[i:j]
+        c = buf[j]
+        if c == 0x5C:  # backslash
+            i = j
             nxt = buf[i + 1 : i + 2]
             if nxt in _ESCAPES:
                 out += _ESCAPES[nxt]
                 i += 2
             elif nxt.isdigit():
                 oct_s = buf[i + 1 : i + 4]
-                m = re.match(rb"[0-7]{1,3}", oct_s)
-                out.append(int(m.group(0), 8) & 0xFF)
-                i += 1 + len(m.group(0))
+                om = re.match(rb"[0-7]{1,3}", oct_s)
+                out.append(int(om.group(0), 8) & 0xFF)
+                i += 1 + len(om.group(0))
             elif nxt in (b"\n", b"\r"):
                 i += 2  # line continuation
                 if nxt == b"\r" and buf[i : i + 1] == b"\n":
                     i += 1
             else:
                 i += 1
-        elif c == b"(":
+        elif c == 0x28:  # '('
             depth += 1
-            out += c
-            i += 1
-        elif c == b")":
+            out.append(c)
+            i = j + 1
+        else:  # ')'
             depth -= 1
             if depth == 0:
-                return bytes(out), i + 1
-            out += c
-            i += 1
-        else:
-            out += c
-            i += 1
+                return bytes(out), j + 1
+            out.append(c)
+            i = j + 1
     return bytes(out), i
 
 
