@@ -122,19 +122,20 @@ def tokenize(src: str) -> List[Tok]:
             break
         emit_text(i, lt)
         i = lt
-        if src.startswith("<!--", i):
-            j = src.find("-->", i + 4)
-            end_at = n if j < 0 else j + 3
-            toks.append(Tok(COMMENT, src[i:end_at], {}, False, i, end_at))
-            i = end_at
-            continue
-        if src.startswith("<!", i) or src.startswith("<?", i):
+        nxt = src[lt + 1 : lt + 2]  # one-char dispatch ('' at EOF)
+        if nxt == "!" or nxt == "?":
+            if src.startswith("<!--", i):
+                j = src.find("-->", i + 4)
+                end_at = n if j < 0 else j + 3
+                toks.append(Tok(COMMENT, src[i:end_at], {}, False, i, end_at))
+                i = end_at
+                continue
             j = src.find(">", i + 2)
             end_at = n if j < 0 else j + 1
             toks.append(Tok(DECL, src[i:end_at], {}, False, i, end_at))
             i = end_at
             continue
-        if src.startswith("</", i):
+        if nxt == "/":
             m = _TAGNAME_RE.match(src, i + 2)
             if m is None:
                 # "</" + junk: literal text up to and including next ">"
@@ -157,9 +158,10 @@ def tokenize(src: str) -> List[Tok]:
         name = m.group(0).lower()
         j = src.find(">", m.end())
         end_at = n if j < 0 else j + 1
-        inner = src[m.end() : (n if j < 0 else j)]
-        self_closing = inner.rstrip().endswith("/")
-        attrs = _parse_attrs(inner.rstrip().rstrip("/"))
+        inner = src[m.end() : (n if j < 0 else j)].rstrip()
+        self_closing = inner.endswith("/")
+        inner = inner.rstrip("/")
+        attrs = _parse_attrs(inner) if inner else {}
         toks.append(Tok(START, name, attrs, self_closing, i, end_at))
         i = end_at
         if (
