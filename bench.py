@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "q_join_asof",
     "q_agg_distinct",
     "q_agg_rollup",
+    "q_agg_cube",
+    "q_dedupe_latest_agg",
     "q_window_rownum",
     "q_window_frame",
     "q_window_tumbling",
@@ -48,6 +50,7 @@ BENCH_QUERIES = [
     "q_dedup_simhash",
     "q_sim_topk",
     "q_sim_lsh_ann",
+    "q_sim_ivf_ann",
     "q_text_quality",
     "q_text_langid",
 ]

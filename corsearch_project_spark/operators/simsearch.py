@@ -29,6 +29,13 @@ def with_quantized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("qe", quantized(F.col(vec_col)))
 
 
+def with_qnorm(df: DataFrame, out: str = "qn") -> DataFrame:
+    """Materialize the (exact integer) self-dot once per vector so join-side
+    scoring never recomputes norms per pair — at k centroids or b bucket
+    candidates that is k×/b× fewer HOF evaluations."""
+    return df.withColumn(out, idot(F.col("qe"), F.col("qe")))
+
+
 def cosine_q(qa: Column, qb: Column) -> Column:
     """Cosine over quantized vectors: exact integer dot/norms, one double
     division — rounded to 6 places to absorb nothing (it is deterministic)
@@ -40,19 +47,31 @@ def cosine_q(qa: Column, qb: Column) -> Column:
     )
 
 
+def cosine_qn(qa: Column, qb: Column, na: Column, nb: Column) -> Column:
+    """cosine_q with both norms precomputed (with_qnorm). Bit-identical:
+    the same integer norms cast to double through the same expression."""
+    return F.round(
+        idot(qa, qb).cast("double") / F.sqrt(na.cast("double") * nb.cast("double")),
+        6,
+    )
+
+
 def brute_force_topk(
     df: DataFrame, query_vec_id: int, k: int = 10, id_col: str = "vec_id"
 ) -> DataFrame:
     """Top-k cosine neighbors of one vector, ties broken by id."""
-    q = with_quantized(df).where(F.col(id_col) == query_vec_id).select(
-        F.col("qe").alias("q_qe")
+    base = with_qnorm(with_quantized(df))
+    q = base.where(F.col(id_col) == query_vec_id).select(
+        F.col("qe").alias("q_qe"), F.col("qn").alias("q_qn")
     )
-    cand = with_quantized(df).where(F.col(id_col) != query_vec_id)
+    cand = base.where(F.col(id_col) != query_vec_id)
     return (
         cand.crossJoin(F.broadcast(q))
         .select(
             F.col(id_col),
-            cosine_q(F.col("qe"), F.col("q_qe")).alias("cos_sim"),
+            cosine_qn(
+                F.col("qe"), F.col("q_qe"), F.col("qn"), F.col("q_qn")
+            ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
@@ -95,14 +114,21 @@ def lsh_topk(
     df: DataFrame, query_vec_id: int, k: int = 5, n_planes: int = N_PLANES, id_col: str = "vec_id"
 ) -> DataFrame:
     """ANN: top-k within the query vector's LSH bucket only."""
-    qv = with_lsh_bucket(df, n_planes, id_col=id_col)
+    qv = with_qnorm(with_lsh_bucket(df, n_planes, id_col=id_col))
     q = qv.where(F.col(id_col) == query_vec_id).select(
-        F.col("qe").alias("q_qe"), F.col("bucket").alias("q_bucket")
+        F.col("qe").alias("q_qe"),
+        F.col("qn").alias("q_qn"),
+        F.col("bucket").alias("q_bucket"),
     )
     return (
         qv.crossJoin(F.broadcast(q))
         .where((F.col("bucket") == F.col("q_bucket")) & (F.col(id_col) != query_vec_id))
-        .select(F.col(id_col), cosine_q(F.col("qe"), F.col("q_qe")).alias("cos_sim"))
+        .select(
+            F.col(id_col),
+            cosine_qn(
+                F.col("qe"), F.col("q_qe"), F.col("qn"), F.col("q_qn")
+            ).alias("cos_sim"),
+        )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
@@ -144,15 +170,19 @@ def ivf_cells(
     vector — the same map-side-reducing argmax idiom as dedupe_latest, no
     window over the big side. At 10^12 rows `cell` becomes the table's
     partition key, so a probe reads only its cells' partitions."""
-    qdf = with_quantized(df)
+    qdf = with_qnorm(with_quantized(df))
     cents = qdf.where(F.col(id_col) % stride == 0).select(
-        F.col(id_col).alias("cent_id"), F.col("qe").alias("cent_qe")
+        F.col(id_col).alias("cent_id"),
+        F.col("qe").alias("cent_qe"),
+        F.col("qn").alias("cent_qn"),
     )
     scored = qdf.crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
         "qe",
         "cent_id",
-        cosine_q(F.col("qe"), F.col("cent_qe")).alias("cent_sim"),
+        cosine_qn(
+            F.col("qe"), F.col("cent_qe"), F.col("qn"), F.col("cent_qn")
+        ).alias("cent_sim"),
     )
     picked = scored.groupBy(F.col(id_col), F.col("qe")).agg(
         F.max(
@@ -175,17 +205,23 @@ def ivf_topk(
     """IVF ANN: rank centroids by similarity to the query, search only the
     top-``nprobe`` cells. Probe set and query vector stay as broadcast
     one-row/one-column relations — no driver collect, no global pass."""
-    cells = ivf_cells(df, stride, id_col)
-    qdf = with_quantized(df)
-    q = qdf.where(F.col(id_col) == query_vec_id).select(F.col("qe").alias("q_qe"))
+    cells = with_qnorm(ivf_cells(df, stride, id_col))
+    qdf = with_qnorm(with_quantized(df))
+    q = qdf.where(F.col(id_col) == query_vec_id).select(
+        F.col("qe").alias("q_qe"), F.col("qn").alias("q_qn")
+    )
     cents = qdf.where(F.col(id_col) % stride == 0).select(
-        F.col(id_col).alias("cent_id"), F.col("qe").alias("cent_qe")
+        F.col(id_col).alias("cent_id"),
+        F.col("qe").alias("cent_qe"),
+        F.col("qn").alias("cent_qn"),
     )
     probe = (
         cents.crossJoin(F.broadcast(q))
         .select(
             F.col("cent_id").alias("cell"),
-            cosine_q(F.col("cent_qe"), F.col("q_qe")).alias("psim"),
+            cosine_qn(
+                F.col("cent_qe"), F.col("q_qe"), F.col("cent_qn"), F.col("q_qn")
+            ).alias("psim"),
         )
         .orderBy(F.desc("psim"), F.asc("cell"))
         .limit(nprobe)
@@ -195,7 +231,12 @@ def ivf_topk(
         cells.join(F.broadcast(probe), "cell")
         .where(F.col(id_col) != query_vec_id)
         .crossJoin(F.broadcast(q))
-        .select(F.col(id_col), cosine_q(F.col("qe"), F.col("q_qe")).alias("cos_sim"))
+        .select(
+            F.col(id_col),
+            cosine_qn(
+                F.col("qe"), F.col("q_qe"), F.col("qn"), F.col("q_qn")
+            ).alias("cos_sim"),
+        )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
