@@ -969,3 +969,47 @@ def q_dedupe_latest_agg(spark, sf_dir):
         F.col("m.o_orderkey").alias("latest_orderkey"),
         F.col("m.o_totalprice").alias("latest_price"),
     )
+
+
+@query(
+    "q_join_interval",
+    """
+    SELECT a.event_id AS purchase_id, COUNT(*) AS n_views,
+           CAST(SUM(CAST(round(v.value * 100.0, 0) AS BIGINT)) AS BIGINT) AS qvalue
+    FROM events a
+    JOIN events v
+      ON v.user_id = a.user_id
+     AND v.event_type = 'view'
+     AND v.ts >= a.ts - INTERVAL '1 hour'
+     AND v.ts < a.ts
+    WHERE a.event_type = 'purchase'
+    GROUP BY a.event_id
+    """,
+    doc="J7: point-in-interval join — views falling in the hour before each "
+    "purchase by the same user: equi key (user) as the join key, the time "
+    "band as a join filter (hash/SMJ + filter, no BNL). Values quantized "
+    "for cross-engine exactness.",
+)
+def q_join_interval(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    a = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+    )
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"), "value"
+    )
+    cond = (
+        (F.col("v_user") == F.col("a_user"))
+        & (F.col("v_ts") >= F.col("a_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") < F.col("a_ts"))
+    )
+    return (
+        a.join(v, cond)
+        .groupBy("purchase_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.sum(F.round(F.col("value") * 100.0, 0).cast("long")).alias("qvalue"),
+        )
+    )
