@@ -43,6 +43,20 @@ def extract_document(
     rule: Rule = DEFAULT_RULE,
 ) -> ExtractResult:
     data = data or b""
+    if len(data) > rule.max_doc_bytes:
+        # Oversize guard (rule.max_doc_bytes): deterministic skip — bounds
+        # kernel memory; the row stays in the output table with its digest
+        # of the empty string so lineage/doc counts still reconcile.
+        return ExtractResult(
+            url=url,
+            doc_kind="oversize",
+            text="",
+            spans=[],
+            text_sha256=_digest(""),
+            n_blocks=0,
+            n_chars=0,
+            bytes_in=len(data),
+        )
     kind = sniff_kind(data)
     if kind == "pdf":
         from corsearch_project_spark.webextract.pdfx import extract_pdf

@@ -91,6 +91,12 @@ class Rule:
     pdf_col_gap: float = 60.0
     # Forced charset decode, e.g. "latin-1"; None -> sniff.
     charset_override: Optional[str] = None
+    # Payload cap: documents larger than this many bytes are emitted as
+    # doc_kind='oversize' with empty text instead of being parsed — bounds
+    # per-row memory in the Arrow kernel (one multi-GB PDF must not OOM a
+    # Python worker at 10^12-doc scale). Deterministic: same cap single-
+    # process and distributed, so golden digests are unaffected below it.
+    max_doc_bytes: int = 33_554_432  # 32 MiB
 
     def merged(self, **overrides) -> "Rule":
         return replace(self, **overrides)

@@ -49,3 +49,26 @@ def test_truncated_real_documents_never_raise(seed, idx, cut):
     a = extract_document(r["url"], data, r["text"], DEFAULT_RULE)
     b = extract_document(r["url"], data, r["text"], DEFAULT_RULE)
     assert a.text_sha256 == b.text_sha256
+
+
+def test_oversize_payload_is_skipped_deterministically():
+    """rule.max_doc_bytes bounds per-row kernel memory: an over-cap payload
+    yields doc_kind='oversize' with the empty-string digest instead of being
+    parsed; under-cap behavior is unchanged."""
+    import hashlib
+
+    from corsearch_project_spark.webextract.extract import extract_document
+    from corsearch_project_spark.webextract.rules import DEFAULT_RULE
+
+    rule = DEFAULT_RULE.merged(max_doc_bytes=1024)
+    big = b"<html><body>" + b"<p>x</p>" * 1000 + b"</body></html>"
+    assert len(big) > 1024
+    r = extract_document("http://h.example/big", big, None, rule)
+    assert r.doc_kind == "oversize"
+    assert r.text == "" and r.spans == [] and r.n_blocks == 0
+    assert r.text_sha256 == hashlib.sha256(b"").hexdigest()
+    assert r.bytes_in == len(big)
+
+    small = b"<html><body><p>hello world, a real paragraph of text.</p></body></html>"
+    r2 = extract_document("http://h.example/small", small, None, rule)
+    assert r2.doc_kind == "html"
