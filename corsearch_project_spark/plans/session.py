@@ -63,6 +63,10 @@ def build_session(
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+        # Byte cap pairs with the row cap: 1024 fat rows (multi-MB PDFs up
+        # to rule.max_doc_bytes) could otherwise build a multi-GB Arrow
+        # batch; Spark 4 flushes a batch when EITHER limit is hit.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "64m")
         .config("spark.python.worker.reuse", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.parquet.compression.codec", "zstd")
