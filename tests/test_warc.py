@@ -1,0 +1,82 @@
+"""WARC ingestion source: synthetic WARC files (plain + gzip-per-record)
+must round-trip into the pages schema and feed the extraction pipeline
+end-to-end."""
+
+import datetime as dt
+import os
+
+from corsearch_project_spark.sources.warc import (
+    build_warc,
+    gunzip_members,
+    parse_warc,
+    read_warc,
+)
+
+RECS = [
+    (
+        "http://warc.example/a",
+        dt.datetime(2024, 1, 17, 8, 31, 4),
+        b"<html><body><article><p>First page of real article text, long "
+        b"enough to score as content in the block scorer.</p></article>"
+        b"</body></html>",
+    ),
+    (
+        "http://warc.example/b",
+        dt.datetime(2024, 1, 17, 9, 0, 0),
+        b"<html><body><main><p>Second page body paragraph with plenty of "
+        b"words to keep after boilerplate stripping runs.</p></main>"
+        b"</body></html>",
+    ),
+]
+
+
+def test_parse_warc_plain_and_gzip():
+    for gz in (False, True):
+        data = build_warc(RECS, gzip_members=gz)
+        rows = parse_warc(data)
+        assert [(u, ts) for u, ts, _ in rows] == [(u, ts) for u, ts, _ in RECS]
+        assert rows[0][2] == RECS[0][2]
+        assert rows[1][2] == RECS[1][2]
+
+
+def test_gunzip_members_multi():
+    data = build_warc(RECS, gzip_members=True)
+    plain = gunzip_members(data)
+    assert plain.count(b"WARC/1.0") == 2
+
+
+def test_parse_warc_skips_non_response_and_malformed():
+    req = (
+        b"WARC/1.0\r\nWARC-Type: request\r\n"
+        b"WARC-Target-URI: http://warc.example/a\r\n"
+        b"WARC-Date: 2024-01-17T08:31:03Z\r\nContent-Length: 4\r\n\r\nGETX\r\n\r\n"
+    )
+    junk = b"WARC/1.0\r\nContent-Length: notanumber\r\n\r\n"
+    data = req + junk + build_warc(RECS[:1])
+    rows = parse_warc(data)
+    assert len(rows) == 1 and rows[0][0] == "http://warc.example/a"
+
+
+def test_read_warc_to_pages_and_extract(spark, tmp_path):
+    from corsearch_project_spark.plans.extract_pipeline import ExtractConfig, run_extract
+
+    wpath = os.path.join(str(tmp_path), "seg.warc.gz")
+    with open(wpath, "wb") as f:
+        f.write(build_warc(RECS, gzip_members=True))
+
+    pages = read_warc(spark, wpath)
+    rows = {r["url"]: r for r in pages.collect()}
+    assert set(rows) == {"http://warc.example/a", "http://warc.example/b"}
+    assert rows["http://warc.example/a"]["warc_ts"] == RECS[0][1]
+    assert bytes(rows["http://warc.example/a"]["html"]) == RECS[0][2]
+    assert rows["http://warc.example/a"]["text"] is None
+
+    # end-to-end: WARC -> pages parquet -> extraction pipeline
+    src = os.path.join(str(tmp_path), "pages")
+    pages.write.parquet(src)
+    out = os.path.join(str(tmp_path), "out")
+    rep = run_extract(spark, ExtractConfig(input_path=src, output_path=out, run_id="W", buckets=4))
+    assert rep["docs_out"] == 2
+    got = spark.read.parquet(os.path.join(out, "extracted"))
+    kinds = {r["url"]: r["doc_kind"] for r in got.collect()}
+    assert kinds == {u: "html" for u, _, _ in RECS}
