@@ -2,9 +2,9 @@
 
 Plan shape (one Python stage by design, SURVEY §4):
 
-  scan(pages) ──filter lang/bucket (pushed to Parquet)──▶
+  scan(pages | WARC dumps via sources.warc) ──filter (pushed to Parquet)──▶
   dedupe latest-wins (partial-agg max(struct)) ──▶ bucket P1 + salt P2 ──▶
-  shuffle on (url_bucket, salt) ──▶ mapInPandas kernel E17 ──▶
+  shuffle on (url_bucket, salt) ──▶ mapInArrow kernel E17 ──▶
   re-derive url_bucket (JVM) ──▶ bucketed dynamic-overwrite write S3 ──▶
   lineage rollup from the committed table ──▶ append lineage S4
 
@@ -44,6 +44,7 @@ class ExtractConfig:
     input_path: str
     output_path: str  # root; extracted under <root>/extracted, lineage under <root>/lineage
     run_id: str = ""
+    input_format: str = "pages"  # 'pages' (parquet table) | 'warc' (raw dumps)
     buckets: int = DEFAULT_BUCKETS
     salt: int = DEFAULT_SALT
     hot_frac: float = 0.05
@@ -120,7 +121,12 @@ def run_extract(
         t_phase = now
 
     fmt = ParquetBucketedFormat(cfg.max_records_per_file)
-    pages = scan_pages(spark, cfg.input_path)
+    if cfg.input_format == "warc":
+        from corsearch_project_spark.sources.warc import read_warc
+
+        pages = read_warc(spark, cfg.input_path)
+    else:
+        pages = scan_pages(spark, cfg.input_path)
 
     skipped: List[int] = []
     if cfg.resume:

@@ -39,6 +39,9 @@ def main(argv=None) -> int:
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--rules-json", default=None, help="path to rules config json")
+    ap.add_argument("--input-format", choices=("pages", "warc"), default="pages",
+                    help="'pages' = parquet pages table; 'warc' = raw "
+                    "Common-Crawl WARC file(s), parsed inline")
     args = ap.parse_args(argv)
 
     spark = build_session("run_extract", master=args.master,
@@ -52,6 +55,7 @@ def main(argv=None) -> int:
 
     cfg = ExtractConfig(
         input_path=args.input,
+        input_format=args.input_format,
         output_path=args.output,
         run_id=args.run_id,
         buckets=args.buckets,

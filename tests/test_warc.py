@@ -80,3 +80,20 @@ def test_read_warc_to_pages_and_extract(spark, tmp_path):
     got = spark.read.parquet(os.path.join(out, "extracted"))
     kinds = {r["url"]: r["doc_kind"] for r in got.collect()}
     assert kinds == {u: "html" for u, _, _ in RECS}
+
+
+def test_run_extract_directly_from_warc(spark, tmp_path):
+    from corsearch_project_spark.plans.extract_pipeline import ExtractConfig, run_extract
+
+    wdir = os.path.join(str(tmp_path), "segs")
+    os.makedirs(wdir)
+    with open(os.path.join(wdir, "s1.warc.gz"), "wb") as f:
+        f.write(build_warc(RECS, gzip_members=True))
+    out = os.path.join(str(tmp_path), "wout")
+    rep = run_extract(
+        spark,
+        ExtractConfig(
+            input_path=wdir, output_path=out, run_id="W2", buckets=4, input_format="warc"
+        ),
+    )
+    assert rep["docs_out"] == 2
