@@ -97,3 +97,38 @@ def test_run_extract_directly_from_warc(spark, tmp_path):
         ),
     )
     assert rep["docs_out"] == 2
+
+
+def test_parse_warc_roundtrip_adversarial_bodies():
+    """Content-Length framing must survive bodies that CONTAIN record
+    delimiters and fake record headers."""
+    import datetime as dt
+
+    evil = [
+        ("http://e.example/1", dt.datetime(2024, 3, 1), b"\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\nfake"),
+        ("http://e.example/2", dt.datetime(2024, 3, 2), b"\x00\x1f\x8b binary junk \r\n\r\n more"),
+        ("http://e.example/3", dt.datetime(2024, 3, 3), b""),
+    ]
+    for gz in (False, True):
+        rows = parse_warc(build_warc(evil, gzip_members=gz))
+        assert [(u, b) for u, _, b in rows] == [(u, b) for u, _, b in evil]
+
+
+def test_parse_warc_hypothesis_roundtrip():
+    from hypothesis import given, settings, strategies as st
+    import datetime as dt
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        bodies=st.lists(st.binary(max_size=400), min_size=1, max_size=5),
+        gz=st.booleans(),
+    )
+    def check(bodies, gz):
+        recs = [
+            (f"http://h.example/{i}", dt.datetime(2024, 4, 1 + i % 27), b)
+            for i, b in enumerate(bodies)
+        ]
+        rows = parse_warc(build_warc(recs, gzip_members=gz))
+        assert [(u, b) for u, _, b in rows] == [(u, b) for u, _, b in recs]
+
+    check()
