@@ -1,6 +1,6 @@
 """The extraction kernel (SURVEY.md §2.2 E17): ONE vectorized Arrow stage.
 
-``df.mapInPandas(kernel, EXTRACTED_KERNEL_SCHEMA)`` — iterator-of-batches
+``df.mapInArrow(kernel, EXTRACTED_KERNEL_SCHEMA)`` — iterator-of-batches
 form so per-task setup (broadcast rule decode, module import) happens once
 per task, then every batch crosses the JVM↔Python boundary as a single Arrow
 RecordBatch (BASELINE.json:15: "vectorized pandas/Arrow UDFs with zero
@@ -33,6 +33,29 @@ from corsearch_project_spark.webextract.rules import (
 KERNEL_INPUT_COLS = ("url", "html", "text")
 
 
+def _safe_extract(url, data, fb, rule):
+    """Poison-doc guard: the core is designed never to raise (fuzz-tested),
+    but at 10^12 docs one pathological payload must not fail a multi-million
+    -doc task and poison its bucket through every retry. A raising document
+    degrades to a deterministic empty 'error' row (URL and bytes_in kept,
+    digest of the empty string) so counts and lineage still reconcile."""
+    from corsearch_project_spark.webextract.extract import ExtractResult, _digest
+
+    try:
+        return extract_document(url, data, fb, rule)
+    except Exception:
+        return ExtractResult(
+            url=url,
+            doc_kind="error",
+            text="",
+            spans=[],
+            text_sha256=_digest(""),
+            n_blocks=0,
+            n_chars=0,
+            bytes_in=len(data or b""),
+        )
+
+
 def make_kernel(rules_bc) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
     """rules_bc: SparkContext.broadcast of the plain-dict rules config (E5),
     or a plain dict (single-process/golden mode)."""
@@ -57,7 +80,7 @@ def make_kernel(rules_bc) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.Data
             }
             for url, data, fb in zip(urls, datas, texts):
                 t0 = time.perf_counter()
-                r = extract_document(
+                r = _safe_extract(
                     url,
                     bytes(data) if data is not None else b"",
                     fb,
@@ -131,7 +154,7 @@ def make_kernel_arrow(rules_bc):
             cols = {name: [] for name in out_schema.names}
             for url, data, fb in zip(urls, datas, texts):
                 t0 = time.perf_counter()
-                r = extract_document(
+                r = _safe_extract(
                     url,
                     data if data is not None else b"",
                     fb,

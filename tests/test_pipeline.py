@@ -153,3 +153,32 @@ def test_skew_salting_preserves_output(spark, tmp_path):
     lb = {(r["url_bucket"], r["sha256_rollup"])
           for r in spark.read.parquet(unsalted.lineage_path).collect()}
     assert la == lb
+
+
+def test_kernel_poison_doc_degrades_to_error_row(spark, monkeypatch):
+    """A document that makes the core raise must become a deterministic
+    'error' row, not a task failure (10^12-doc poison-doc guard)."""
+    import pandas as pd
+
+    from corsearch_project_spark.operators import kernel as K
+
+    real = K.extract_document
+
+    def exploding(url, data, fb, rule):
+        if url.endswith("/poison"):
+            raise ValueError("boom")
+        return real(url, data, fb, rule)
+
+    monkeypatch.setattr(K, "extract_document", exploding)
+    pdf = pd.DataFrame(
+        {
+            "url": ["http://x.example/ok", "http://x.example/poison"],
+            "html": [b"<html><body><p>fine body text that scores well enough to keep.</p></body></html>", b"<p>x</p>"],
+            "text": [None, None],
+        }
+    )
+    out = pd.concat(list(K.make_kernel({})([pdf])), ignore_index=True)
+    by_url = {r["url"]: r for _, r in out.iterrows()}
+    assert by_url["http://x.example/poison"]["doc_kind"] == "error"
+    assert by_url["http://x.example/poison"]["extracted_text"] == ""
+    assert by_url["http://x.example/ok"]["doc_kind"] == "html"
