@@ -397,7 +397,10 @@ def pages_to_pandas(rows: List[dict]):
             "url": [r["url"] for r in rows],
             "warc_ts": [r["warc_ts"] for r in rows],
             "html": [r["html"] for r in rows],
-            "text": [r["text"] for r in rows],
-            "lang": [r["lang"] for r in rows],
+            # explicit string dtype: an all-null object column would make
+            # pyarrow infer a null (INT32-physical) parquet type, which
+            # Spark's vectorized reader rejects against the string schema
+            "text": pd.array([r["text"] for r in rows], dtype="string"),
+            "lang": pd.array([r["lang"] for r in rows], dtype="string"),
         }
     )

@@ -65,6 +65,10 @@ class ExtractConfig:
     def lineage_path(self) -> str:
         return self.output_path.rstrip("/") + "/lineage"
 
+    @property
+    def snapshots_path(self) -> str:
+        return self.output_path.rstrip("/") + "/snapshots"
+
 
 def dedupe_latest(pages: DataFrame) -> DataFrame:
     """Common-Crawl re-crawls — latest warc_ts per url wins; ties broken
@@ -200,9 +204,21 @@ def run_extract(
             cfg.lineage_path,
         )
 
+    snap = None
+    if new_rows:
+        from corsearch_project_spark.sources.snapshots import append_snapshot
+
+        snap = append_snapshot(
+            spark,
+            cfg.snapshots_path,
+            cfg.run_id,
+            "resume-append" if cfg.resume else "overwrite",
+            [r.asDict() for r in new_rows],
+        )
     mark("lineage_append")
     return {
         "run_id": cfg.run_id,
+        "snapshot": snap,
         "phase_wall_s": phases,
         "buckets_written": run_buckets,
         "buckets_skipped": skipped,

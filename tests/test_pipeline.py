@@ -182,3 +182,40 @@ def test_kernel_poison_doc_degrades_to_error_row(spark, monkeypatch):
     assert by_url["http://x.example/poison"]["doc_kind"] == "error"
     assert by_url["http://x.example/poison"]["extracted_text"] == ""
     assert by_url["http://x.example/ok"]["doc_kind"] == "html"
+
+
+def test_snapshot_ledger_grows_and_reconciles(spark, tmp_path, pages_parquet=None):
+    """Every commit appends one snapshot row; resume reruns that skip all
+    buckets append none; totals reconcile with lineage."""
+    import os as _os
+
+    import pyarrow as pa, pyarrow.parquet as pq
+
+    from corsearch_project_spark.fixtures.gen_pages import gen_pages, pages_to_pandas
+    from corsearch_project_spark.plans.extract_pipeline import ExtractConfig, run_extract
+    from corsearch_project_spark.sources.snapshots import read_snapshots
+
+    src = _os.path.join(str(tmp_path), "p.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(pages_to_pandas(gen_pages(120, seed=77))),
+        src, coerce_timestamps="us", allow_truncated_timestamps=True,
+    )
+    out = _os.path.join(str(tmp_path), "out")
+    rep1 = run_extract(spark, ExtractConfig(input_path=src, output_path=out, run_id="S1", buckets=8))
+    assert rep1["snapshot"]["seq"] == 0
+    assert rep1["snapshot"]["operation"] == "overwrite"
+    assert rep1["snapshot"]["doc_count"] == rep1["docs_out"]
+
+    # full resume: all buckets done -> no new lineage rows -> no snapshot
+    rep2 = run_extract(
+        spark, ExtractConfig(input_path=src, output_path=out, run_id="S1", buckets=8, resume=True)
+    )
+    assert rep2["snapshot"] is None
+
+    # fresh run id overwrites everything again -> seq 1
+    rep3 = run_extract(spark, ExtractConfig(input_path=src, output_path=out, run_id="S2", buckets=8))
+    assert rep3["snapshot"]["seq"] == 1
+
+    hist = read_snapshots(spark, _os.path.join(out, "snapshots")).collect()
+    assert [r["seq"] for r in hist] == [0, 1]
+    assert all(r["n_buckets"] == 8 for r in hist)
