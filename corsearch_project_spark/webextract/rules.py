@@ -158,10 +158,16 @@ def rules_to_plain(rules: Dict[str, Rule]) -> Dict[str, dict]:
     return out
 
 
+_RULE_FIELDS = frozenset(Rule.__dataclass_fields__)
+
+
 def rules_from_plain(plain: Dict[str, dict]) -> Dict[str, Rule]:
     out = {}
     for k, d in plain.items():
-        d = dict(d)
+        # forward-compat: silently drop unknown keys so a rules.json written
+        # for a newer engine version still loads (config must never take a
+        # 10^12-doc job down over an unrecognized tuning knob)
+        d = {kk: v for kk, v in d.items() if kk in _RULE_FIELDS}
         d["strip_selectors"] = tuple(d.get("strip_selectors", ()))
         d["keep_selectors"] = tuple(d.get("keep_selectors", ()))
         out[k] = Rule(**d)

@@ -86,3 +86,13 @@ def test_cli_missing_input_exits_nonzero(tmp_path, capsys, spark):
          "--output", os.path.join(str(tmp_path), "o")]
     )
     assert rc == 1
+
+
+def test_rules_from_plain_ignores_unknown_keys():
+    from corsearch_project_spark.webextract.rules import rules_from_plain
+
+    rules = rules_from_plain(
+        {"x.com": {"source_key": "x.com", "min_text_density": 5.0,
+                   "future_knob": 42, "another_new_field": "y"}}
+    )
+    assert rules["x.com"].min_text_density == 5.0
