@@ -73,11 +73,35 @@ def _parse_warc_date(s: str) -> Optional[_dt.datetime]:
         return None
 
 
+def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
+    """Yield each gzip member decompressed independently — CC frames one
+    record per member, so peak memory stays at record granularity instead
+    of 2× the whole (up to ~1 GB) segment."""
+    i = 0
+    n = len(data)
+    while i < n and data[i : i + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+        yield d.decompress(data[i:])
+        tail = d.unused_data
+        if not tail:
+            return
+        i = n - len(tail)
+
+
 def parse_warc(data: bytes) -> List[Tuple[str, Optional[_dt.datetime], bytes]]:
     """WARC bytes (plain or gzip-per-record) ->
     [(url, warc_ts, http_body_bytes)] for each response record.
-    Deterministic, skip-don't-raise on malformed records."""
-    data = gunzip_members(data)
+    Deterministic, skip-don't-raise on malformed records. Gzip input is
+    decoded member-by-member (record granularity), not whole-segment."""
+    if data[:2] == b"\x1f\x8b":
+        out: List[Tuple[str, Optional[_dt.datetime], bytes]] = []
+        for member in _iter_gzip_members(data):
+            out.extend(_parse_warc_plain(member))
+        return out
+    return _parse_warc_plain(data)
+
+
+def _parse_warc_plain(data: bytes) -> List[Tuple[str, Optional[_dt.datetime], bytes]]:
     out: List[Tuple[str, Optional[_dt.datetime], bytes]] = []
     i = 0
     n = len(data)
