@@ -301,3 +301,54 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """(doc_id, component) for every vertex in the pair relation, where
+    component = min doc_id reachable through the near-dup graph — the
+    canonical-document grouping step after candidate generation.
+
+    Iterative min-label propagation: each round every vertex takes the min
+    of its own label and its neighbors' labels; converges in O(diameter)
+    rounds (near-dup components are dense cliques → 2-3 rounds in
+    practice; ``max_iter`` bounds adversarial chains). Each round is one
+    broadcast-or-shuffle equi-join + one partial-aggregating groupBy —
+    the standard large-scale CC recipe (cf. large-star/small-star), with
+    localCheckpoint() to truncate lineage growth across iterations."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "component", F.col("doc_id")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .where(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels

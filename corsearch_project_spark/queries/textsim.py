@@ -424,3 +424,40 @@ def q_text_fingerprint(spark, sf_dir):
 )
 def q_sim_ivf_ann(spark, sf_dir):
     return S.ivf_topk(t(spark, sf_dir, "embeddings"), query_vec_id=7, k=5, nprobe=3)
+
+
+def _sql_dedup_components() -> str:
+    """Recursive-CTE oracle for connected components over the MinHash-LSH
+    candidate graph: component = min doc_id in each transitive closure."""
+    base = _sql_minhash_lsh()
+    # reuse the full pairs query as a CTE body
+    return f"""
+    WITH RECURSIVE pairs AS ({base}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(v, u) AS (
+        SELECT a AS v, b AS u FROM edges
+        UNION
+        SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a
+    )
+    SELECT v AS doc_id,
+           CAST(LEAST(v, MIN(u)) AS BIGINT) AS component
+    FROM reach GROUP BY v
+    """
+
+
+@query(
+    "q_dedup_components",
+    _sql_dedup_components(),
+    doc="Iterative connected components over the near-dup candidate graph "
+    "(canonical-document grouping): min-label propagation, one equi-join + "
+    "partial-agg groupBy per round, localCheckpoint()ed lineage — checked "
+    "against a DuckDB recursive-CTE transitive closure (an iterative "
+    "distributed algorithm with an exact SQL oracle).",
+)
+def q_dedup_components(spark, sf_dir):
+    pairs = D.minhash_lsh_pairs(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return D.connected_components(pairs)

@@ -69,3 +69,12 @@ def test_ivf_probe_plan_is_broadcast_only(spark):
     plan = S.ivf_topk(emb, 7)._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """Label propagation must converge on a long chain (worst diameter) and
+    merge separate cliques correctly."""
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (20, 21)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["component"] for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
