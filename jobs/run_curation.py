@@ -7,13 +7,14 @@ composing the operators from ``operators/{textstats,dedup}.py``:
     1. per-doc stats: tokens, chars, quality score, language ID, fingerprint
     2. exact dedup: sha-identical docs → canonical url (min) per group
     3. near-dup candidates: MinHash+LSH pairs over word shingles
-    4. curated table: stats + is_exact_dup + near-dup degree + keep flag
+    4. connected components over the near-dup graph (canonical per cluster)
+    5. curated table: stats + is_exact_dup + is_near_dup + component + keep
 
 Outputs: <out>/curated (bucketed like the input), <out>/dup_pairs.
 At 10^12 docs every step is a bounded number of hash-partition shuffles
 (one groupBy for signatures, one band equi-join — no pairwise scans);
-full connected-component grouping of near-dup pairs is an iterative
-downstream job (documented in operators/dedup.py).
+connected-component grouping runs inline via
+operators/dedup.py:connected_components (O(diameter) join rounds).
 
     spark-submit --py-files csp.zip jobs/run_curation.py \
         --input /data/out/extracted --output /data/curated
@@ -73,21 +74,36 @@ def run_curation(
     pairs.write.mode("overwrite").parquet(pairs_path)
 
     # near-dup degree per url (how many high-similarity partners)
+    saved_pairs = spark.read.parquet(pairs_path)
     deg = (
-        spark.read.parquet(pairs_path)
+        saved_pairs
         .select(F.explode(F.array("doc_a", "doc_b")).alias("url"))
         .groupBy("url")
         .agg(F.count(F.lit(1)).alias("near_dup_degree"))
     )
 
+    # canonical grouping: connected components over the near-dup graph —
+    # component = min url in each cluster; only the component representative
+    # survives the keep filter (transitive near-dups die with it)
+    comps = D.connected_components(saved_pairs).select(
+        F.col("doc_id").alias("url"), F.col("component").alias("near_dup_component")
+    )
+
     curated = (
         stats.join(F.broadcast(canon) if canon.count() < 1_000_000 else canon, "text_sha256")
         .join(deg, "url", "left")
+        .join(comps, "url", "left")
         .withColumn("near_dup_degree", F.coalesce("near_dup_degree", F.lit(0)))
         .withColumn("is_exact_dup", F.col("url") != F.col("canonical_url"))
         .withColumn(
+            "is_near_dup",
+            F.col("near_dup_component").isNotNull()
+            & (F.col("url") != F.col("near_dup_component")),
+        )
+        .withColumn(
             "keep",
             (~F.col("is_exact_dup"))
+            & (~F.col("is_near_dup"))
             & (F.col("quality") >= min_quality)
             & (F.col("n_tokens") >= 5),
         )
@@ -105,6 +121,7 @@ def run_curation(
         "kept": out.where("keep").count(),
         "exact_dups": out.where("is_exact_dup").count(),
         "near_dup_docs": out.where("near_dup_degree > 0").count(),
+        "near_dup_clusters": out.where("url = near_dup_component").count(),
         "curated_path": curated_path,
         "dup_pairs_path": pairs_path,
     }

@@ -53,3 +53,28 @@ def test_curation_end_to_end(spark, tmp_path):
     # schema essentials
     for c in ("n_tokens", "quality", "pred_lang", "fingerprint", "keep"):
         assert c in cur.columns
+
+
+def test_curation_near_dup_component_kills_noncanonical(spark, tmp_path):
+    """Of a near-dup cluster, exactly the lexicographic-min url survives the
+    keep filter (given quality passes)."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    ).strip()
+    rows = [
+        ("https://c.test/a", base, "a" * 64, 0),
+        ("https://c.test/b", base.replace("alpha", "changed", 1), "b" * 64, 1),
+        ("https://c.test/c", base.replace("kappa", "altered", 1), "c" * 64, 2),
+        ("https://c.test/unique", "totally different words " + " ".join(f"w{i}" for i in range(60)), "d" * 64, 3),
+    ]
+    src = os.path.join(str(tmp_path), "ext2")
+    spark.createDataFrame(
+        rows, "url string, extracted_text string, text_sha256 string, url_bucket int"
+    ).write.parquet(src)
+    rep = run_curation(spark, src, os.path.join(str(tmp_path), "cur2"))
+    cur = {r["url"]: r for r in spark.read.parquet(rep["curated_path"]).collect()}
+    cluster = [u for u in cur if cur[u]["near_dup_component"] == "https://c.test/a"]
+    assert set(cluster) == {"https://c.test/a", "https://c.test/b", "https://c.test/c"}
+    assert cur["https://c.test/a"]["keep"]
+    assert not cur["https://c.test/b"]["keep"] and not cur["https://c.test/c"]["keep"]
+    assert cur["https://c.test/unique"]["near_dup_component"] is None
