@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "q_json_fns",
     "q_dedup_exact",
     "q_dedup_minhash_lsh",
+    # q_dedup_components excluded: an iterative driver-orchestrated job is
+    # dominated by per-round scheduling latency at sf0.1 edge counts, which
+    # measures the scheduler, not the engine (still in CORRECTNESS).
     "q_dedup_simhash",
     "q_sim_topk",
     "q_sim_lsh_ann",
