@@ -317,10 +317,14 @@ def connected_components(
     broadcast-or-shuffle equi-join + one partial-aggregating groupBy —
     the standard large-scale CC recipe (cf. large-star/small-star), with
     localCheckpoint() to truncate lineage growth across iterations."""
+    # Materialize the edge relation ONCE: every iteration joins against it,
+    # and without this each round would recompute the pairs' full upstream
+    # plan (e.g. the entire MinHash pipeline) from scratch.
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
         "component", F.col("doc_id")
@@ -331,24 +335,24 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
+        # ONE materialization per round: the checkpointed relation carries
+        # both the new label and a changed flag, so convergence detection is
+        # a near-free scan of checkpointed data instead of a diff join
+        # against the previous labels (halves the Spark jobs per round).
         updated = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                    labels["component"],
+                    F.coalesce(F.col("nbr_min"), labels["component"]),
                 ).alias("component"),
+                (F.col("nbr_min") < labels["component"]).alias("_chg"),
             )
+            .localCheckpoint(eager=True)
         )
-        updated = updated.localCheckpoint(eager=True)
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .where(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.where(F.col("_chg")).limit(1).count()
+        labels = updated.drop("_chg")
         if changed == 0:
             break
     return labels
