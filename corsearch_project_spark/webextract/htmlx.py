@@ -218,6 +218,9 @@ _IMPLIED_CLOSE = {
 }
 
 
+MAX_DOM_DEPTH = 512  # open-element cap; matches Blink's limit
+
+
 def build_dom(toks: List[Tok]) -> Node:
     root = Node("#root")
     stack: List[Node] = [root]
@@ -248,7 +251,15 @@ def build_dom(toks: List[Tok]) -> Node:
                 close_upto("p")
             node = Node(name, tok.attrs)
             stack[-1].children.append(node)
-            if name not in VOID_ELEMENTS and not tok.self_closing:
+            # Depth cap (browsers do the same — Blink caps at 512): beyond
+            # MAX_DOM_DEPTH new elements attach flat instead of nesting, so
+            # adversarially nested pages can neither blow the recursive
+            # walkers' stack nor change behavior for any sane document.
+            if (
+                name not in VOID_ELEMENTS
+                and not tok.self_closing
+                and len(stack) < MAX_DOM_DEPTH
+            ):
                 stack.append(node)
         elif tok.kind == END:
             close_upto(tok.data, respect_scope=False)  # unmatched: ignored

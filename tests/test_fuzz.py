@@ -72,3 +72,20 @@ def test_oversize_payload_is_skipped_deterministically():
     small = b"<html><body><p>hello world, a real paragraph of text.</p></body></html>"
     r2 = extract_document("http://h.example/small", small, None, rule)
     assert r2.doc_kind == "html"
+
+
+def test_adversarial_nesting_depth_is_capped():
+    """Pages nested deeper than MAX_DOM_DEPTH must extract their text (flat
+    attachment beyond the cap) instead of blowing the recursion limit —
+    browsers cap the same way."""
+    from corsearch_project_spark.webextract.extract import extract_document
+
+    for depth in (600, 5000, 20000):
+        doc = (
+            b"<html><body>" + b"<div>" * depth
+            + b"<p>deep text content here that should survive extraction fine.</p>"
+            + b"</div>" * depth + b"</body></html>"
+        )
+        r = extract_document(f"http://deep.example/{depth}", doc, None)
+        assert r.doc_kind == "html"
+        assert "deep text content" in r.text
