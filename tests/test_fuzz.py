@@ -89,3 +89,23 @@ def test_adversarial_nesting_depth_is_capped():
         r = extract_document(f"http://deep.example/{depth}", doc, None)
         assert r.doc_kind == "html"
         assert "deep text content" in r.text
+
+
+def test_adversarial_tokenizer_inputs_complete_quickly():
+    """Megabyte attributes, entity floods, attribute soup, unclosed-tag
+    floods and '<' floods must all extract without raising (and without
+    regex blowups — each case is sub-second)."""
+    from corsearch_project_spark.webextract.extract import extract_document
+
+    cases = {
+        "megattr": b'<html><body><p class="' + b"x" * 500_000
+        + b'">text body of reasonable size here</p></body></html>',
+        "entities": b"<html><body><p>" + b"&amp;" * 100_000 + b"</p></body></html>",
+        "attr_soup": b"<html><body><div " + b"a=1 " * 50_000
+        + b"><p>hello paragraph text content.</p></div></body></html>",
+        "unclosed": b"<html><body>" + b"<p>seg text here " * 20_000 + b"</body></html>",
+        "lt_flood": b"<html><body><p>" + b"< " * 100_000 + b"</p></body></html>",
+    }
+    for name, doc in cases.items():
+        r = extract_document(f"http://adv.example/{name}", doc, None)
+        assert r.doc_kind == "html", name
