@@ -96,3 +96,36 @@ def test_rules_from_plain_ignores_unknown_keys():
                    "future_knob": 42, "another_new_field": "y"}}
     )
     assert rules["x.com"].min_text_density == 5.0
+
+
+def test_validate_table_pass_and_fail(spark, pages_src, tmp_path, capsys):
+    """validate_table passes on a clean run and flags a corrupted table."""
+    import validate_table as V
+    from pyspark.sql import functions as F
+
+    from corsearch_project_spark.plans.extract_pipeline import ExtractConfig, run_extract
+
+    out = os.path.join(str(tmp_path), "vout")
+    run_extract(spark, ExtractConfig(input_path=pages_src, output_path=out, run_id="VT", buckets=8))
+    rep = V.validate_table(
+        spark, os.path.join(out, "extracted"), os.path.join(out, "lineage"), "VT", 8
+    )
+    assert rep["ok"] and rep["buckets_present"] == 8 and rep["docs"] == 60
+
+    # corrupt: append a duplicate-url row with a wrong digest into bucket 0
+    ext = spark.read.parquet(os.path.join(out, "extracted"))
+    victim = ext.limit(1)
+    bad = victim.withColumn("text_sha256", F.lit("0" * 64)).withColumn(
+        "url_bucket", F.lit(0)
+    )
+    bad.write.mode("append").partitionBy("url_bucket").parquet(
+        os.path.join(out, "extracted")
+    )
+    rep2 = V.validate_table(
+        spark, os.path.join(out, "extracted"), os.path.join(out, "lineage"), "VT", 8
+    )
+    assert not rep2["ok"]
+    checks = {f["check"] for f in rep2["failures"]}
+    assert "url_uniqueness" in checks
+    assert "lineage_reconciliation" in checks
+    assert "digest_integrity" in checks
