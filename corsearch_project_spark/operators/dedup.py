@@ -304,7 +304,11 @@ def simhash_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 20, a_col: str = "doc_a", b_col: str = "doc_b"
+    pairs: DataFrame,
+    max_iter: int = 20,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, component) for every vertex in the pair relation, where
     component = min doc_id reachable through the near-dup graph — the
@@ -316,19 +320,42 @@ def connected_components(
     practice; ``max_iter`` bounds adversarial chains). Each round is one
     broadcast-or-shuffle equi-join + one partial-aggregating groupBy —
     the standard large-scale CC recipe (cf. large-star/small-star), with
-    localCheckpoint() to truncate lineage growth across iterations."""
+    checkpointing to truncate lineage growth across iterations.
+
+    Checkpoint seam: with ``checkpoint_dir`` set, per-round materialization
+    uses reliable ``checkpoint()`` against that directory — the cluster
+    setting, where an executor loss after lineage truncation must be
+    recoverable from stable storage. Default (None) is executor-local
+    ``localCheckpoint()``: faster, correct on local[N], NOT fault-tolerant.
+
+    Convergence is REQUIRED: label propagation needs O(diameter) rounds, so
+    a component chain longer than ``max_iter`` hops would exit with wrong
+    labels. Exhausting ``max_iter`` without a fixed point raises rather
+    than silently returning unconverged components (which would make the
+    downstream keep-filter drop/keep the wrong documents)."""
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _materialize(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def _materialize(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     # Materialize the edge relation ONCE: every iteration joins against it,
     # and without this each round would recompute the pairs' full upstream
     # plan (e.g. the entire MinHash pipeline) from scratch.
-    edges = (
+    edges = _materialize(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
         "component", F.col("doc_id")
     )
+    changed = 1
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -339,7 +366,7 @@ def connected_components(
         # both the new label and a changed flag, so convergence detection is
         # a near-free scan of checkpointed data instead of a diff join
         # against the previous labels (halves the Spark jobs per round).
-        updated = (
+        updated = _materialize(
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
                 "doc_id",
@@ -349,10 +376,15 @@ def connected_components(
                 ).alias("component"),
                 (F.col("nbr_min") < labels["component"]).alias("_chg"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = updated.where(F.col("_chg")).limit(1).count()
         labels = updated.drop("_chg")
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "rounds (component diameter exceeds the round budget); raise "
+            "max_iter — returning unconverged labels would be silently wrong"
+        )
     return labels

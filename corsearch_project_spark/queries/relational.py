@@ -278,20 +278,33 @@ def q_join_range(spark, sf_dir):
         PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
     ) = 1
     """,
-    doc="J6 as-of join: latest order at-or-before each event's ts per user, "
-    "via range join + row_number()=1 (SURVEY §2.5 J6 window trick).",
+    doc="J6 as-of join: latest order at-or-before each event's ts per user. "
+    "Registered plan = operators.asof.asof_join_union: tagged union + ONE "
+    "window sort over |events|+|orders| — linear, no pairwise (event, "
+    "earlier-order) materialization. The range-join+row_number form "
+    "(asof_join_rownum) stays as the tested control arm (tests/test_asof.py); "
+    "it is quadratic-risk on users with many orders and dies at 100×.",
 )
 def q_join_asof(spark, sf_dir):
-    e = t(spark, sf_dir, "events")
-    o = t(spark, sf_dir, "orders")
-    j = e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts))
-    w = Window.partitionBy("event_id").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
+    from corsearch_project_spark.operators.asof import asof_join_union
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
     )
-    return (
-        j.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("event_id", "user_id", F.col("o_orderkey").alias("asof_orderkey"))
+    joined = asof_join_union(
+        e,
+        o,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey"],
+        left_key="event_id",
+        right_order="o_orderkey",
+    )
+    # inner semantics (match the oracle): drop events with no prior order
+    return joined.where(F.col("o_orderkey").isNotNull()).select(
+        "event_id", "user_id", F.col("o_orderkey").alias("asof_orderkey")
     )
 
 

@@ -213,10 +213,12 @@ def q_sim_topk(spark, sf_dir):
     return S.brute_force_topk(t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
 
-@query(
-    "q_sim_lsh_ann",
-    f"""
-    WITH qv AS (SELECT vec_id, {SQL_QUANT} AS qe FROM embeddings),
+# Shared oracle fragment: sign-random-projection LSH buckets over the
+# quantized embeddings — the exact SQL twin of simsearch.with_lsh_bucket
+# (same md5-parity sign matrix, same integer projections). Used by
+# q_sim_lsh_ann, q_sim_lsh_multiprobe and q_dedup_embed_lsh.
+_SQL_LSH_BUCKETS = f"""
+    qv AS (SELECT vec_id, {SQL_QUANT} AS qe FROM embeddings),
     pos AS (
         SELECT vec_id, qe, unnest(generate_series(0, len(qe) - 1)) AS i FROM qv
     ),
@@ -232,7 +234,13 @@ def q_sim_topk(spark, sf_dir):
                CAST(SUM(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << p)
                              ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
         FROM proj GROUP BY 1
-    ),
+    )"""
+
+
+@query(
+    "q_sim_lsh_ann",
+    f"""
+    WITH {_SQL_LSH_BUCKETS},
     qb AS (
         SELECT qv.qe AS q_qe, b.bucket AS q_bucket
         FROM qv JOIN buckets b USING (vec_id) WHERE vec_id = 0
@@ -251,6 +259,68 @@ def q_sim_topk(spark, sf_dir):
 )
 def q_sim_lsh_ann(spark, sf_dir):
     return S.lsh_topk(t(spark, sf_dir, "embeddings"), query_vec_id=0, k=5)
+
+
+@query(
+    "q_sim_lsh_multiprobe",
+    f"""
+    WITH {_SQL_LSH_BUCKETS},
+    qb AS (
+        SELECT qv.qe AS q_qe, b.bucket AS q_bucket
+        FROM qv JOIN buckets b USING (vec_id) WHERE vec_id = 0
+    )
+    SELECT v.vec_id,
+           round(list_inner_product(v.qe, q_qe)
+                 / sqrt(list_inner_product(v.qe, v.qe) * list_inner_product(q_qe, q_qe)),
+                 6) AS cos_sim
+    FROM qv v JOIN buckets b USING (vec_id) CROSS JOIN qb
+    WHERE bit_count(xor(b.bucket, q_bucket)) <= 1 AND v.vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
+    """,
+    doc="Multi-probe LSH ANN: probe the query's bucket plus every Hamming-1 "
+    "neighbor bucket (one plane-bit flip each) — recovers neighbors that "
+    "fell just across one hyperplane. The probe set is still n_planes+1 "
+    "bucket ids joined on equality → partition-pruned at scale.",
+)
+def q_sim_lsh_multiprobe(spark, sf_dir):
+    return S.lsh_topk(
+        t(spark, sf_dir, "embeddings"), query_vec_id=0, k=5, multiprobe=True
+    )
+
+
+@query(
+    "q_dedup_embed_lsh",
+    f"""
+    WITH {_SQL_LSH_BUCKETS},
+    banded AS (
+        SELECT vec_id, bd.bd AS band,
+               (bucket >> (bd.bd * 4)) & 15 AS bv
+        FROM buckets CROSS JOIN range(0, 2) bd(bd)
+    ),
+    cands AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           round(list_inner_product(sa.qe, sb.qe)
+                 / sqrt(list_inner_product(sa.qe, sa.qe) * list_inner_product(sb.qe, sb.qe)),
+                 6) AS cos_sim
+    FROM cands
+    JOIN qv sa ON sa.vec_id = vec_a
+    JOIN qv sb ON sb.vec_id = vec_b
+    WHERE round(list_inner_product(sa.qe, sb.qe)
+                / sqrt(list_inner_product(sa.qe, sa.qe) * list_inner_product(sb.qe, sb.qe)),
+                6) >= 0.35
+    """,
+    doc="Composed embedding dedup, the scale path: banded sign-LSH candidate "
+    "generation (2 bands x 4 planes, equi-join on band value) -> exact "
+    "quantized-cosine verification of candidates only. The all-pairs "
+    "q_dedup_embed is the bounded control arm; this is the plan a 100 TB "
+    "curation run calls (operators.simsearch.lsh_near_dup_pairs).",
+)
+def q_dedup_embed_lsh(spark, sf_dir):
+    return S.lsh_near_dup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
 # ------------------------------------------------------------ text analysis

@@ -80,8 +80,18 @@ def append_snapshot(
 
 
 def read_snapshots(spark: SparkSession, path: str) -> Optional[DataFrame]:
-    """Table history in commit order, or None when no snapshot exists."""
+    """Table history in commit order, or None when no snapshot exists.
+
+    Only the missing-path case maps to None (first commit of a fresh
+    table); a corrupted or unreadable snapshots table must PROPAGATE —
+    swallowing it would silently restart seq at 0 and write a conflicting
+    ledger row."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.schema(SNAPSHOT_SCHEMA).parquet(path).orderBy("seq")
-    except Exception:
-        return None
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise

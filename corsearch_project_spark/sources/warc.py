@@ -33,23 +33,19 @@ from typing import Iterator, List, Optional, Tuple
 
 CRLF2 = b"\r\n\r\n"
 
+# Feed the member decoder bounded chunks: passing the whole remaining buffer
+# per member makes zlib hand back the tail via .unused_data — an O(segment)
+# copy per member, O(n²) bytes over a ~1 GB per-record-gzipped CC segment.
+# With 1 MiB chunks the only copies are ≤ one chunk per member boundary.
+_GZ_CHUNK = 1 << 20
+
 
 def gunzip_members(data: bytes) -> bytes:
     """Decompress multi-member gzip (the CC per-record framing) to one
     contiguous byte string; plain (non-gzip) input passes through."""
     if data[:2] != b"\x1f\x8b":
         return data
-    out = bytearray()
-    i = 0
-    n = len(data)
-    while i < n and data[i : i + 2] == b"\x1f\x8b":
-        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
-        out += d.decompress(data[i:])
-        tail = d.unused_data
-        if not tail:
-            break
-        i = n - len(tail)
-    return bytes(out)
+    return b"".join(_iter_gzip_members(data))
 
 
 def _parse_headers(block: bytes) -> dict:
@@ -76,16 +72,28 @@ def _parse_warc_date(s: str) -> Optional[_dt.datetime]:
 def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
     """Yield each gzip member decompressed independently — CC frames one
     record per member, so peak memory stays at record granularity instead
-    of 2× the whole (up to ~1 GB) segment."""
+    of 2× the whole (up to ~1 GB) segment. The compressed buffer is walked
+    through a memoryview in bounded chunks, so no per-member tail copy
+    (zero-copy slices; total work is O(n) bytes)."""
+    mv = memoryview(data)
     i = 0
     n = len(data)
-    while i < n and data[i : i + 2] == b"\x1f\x8b":
+    while i < n and bytes(mv[i : i + 2]) == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
-        yield d.decompress(data[i:])
-        tail = d.unused_data
-        if not tail:
+        out = bytearray()
+        pos = i
+        while pos < n and not d.eof:
+            chunk = mv[pos : pos + _GZ_CHUNK]
+            out += d.decompress(chunk)
+            pos += len(chunk)
+        if not d.eof:
+            # truncated trailing member: surface what decoded, then stop
+            yield bytes(out)
             return
-        i = n - len(tail)
+        # unused_data is the slice of the LAST ≤1 MiB chunk past the member
+        # end — a bounded copy, not the whole remaining segment
+        i = pos - len(d.unused_data)
+        yield bytes(out)
 
 
 def parse_warc(data: bytes) -> List[Tuple[str, Optional[_dt.datetime], bytes]]:
@@ -99,6 +107,56 @@ def parse_warc(data: bytes) -> List[Tuple[str, Optional[_dt.datetime], bytes]]:
             out.extend(_parse_warc_plain(member))
         return out
     return _parse_warc_plain(data)
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer framing (hex size line + CRLF +
+    chunk + CRLF, terminated by a 0-size chunk). Tolerant: on any framing
+    error, return what decoded so far plus nothing — never raise."""
+    out = bytearray()
+    i = 0
+    n = len(body)
+    while i < n:
+        eol = body.find(b"\r\n", i)
+        if eol < 0:
+            break
+        size_tok = body[i:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        start = eol + 2
+        out += body[start : start + size]
+        i = start + size + 2  # skip chunk + trailing CRLF
+    return bytes(out)
+
+
+def _http_body(block: bytes) -> bytes:
+    """HTTP response block -> payload bytes: split headers at the first
+    CRLF CRLF, then undo Transfer-Encoding: chunked and Content-Encoding:
+    gzip/deflate when present (real CC response records carry both). A body
+    we cannot decode passes through as-is (skip-don't-raise discipline)."""
+    body_at = block.find(CRLF2)
+    if body_at < 0:
+        return block
+    headers = _parse_headers(block[:body_at])
+    body = block[body_at + 4 :]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    ce = headers.get("content-encoding", "").lower().strip()
+    try:
+        if ce in ("gzip", "x-gzip"):
+            body = zlib.decompress(body, 16 + zlib.MAX_WBITS)
+        elif ce == "deflate":
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:  # raw-deflate servers (common misconfig)
+                body = zlib.decompress(body, -zlib.MAX_WBITS)
+    except zlib.error:
+        pass
+    return body
 
 
 def _parse_warc_plain(data: bytes) -> List[Tuple[str, Optional[_dt.datetime], bytes]]:
@@ -127,9 +185,8 @@ def _parse_warc_plain(data: bytes) -> List[Tuple[str, Optional[_dt.datetime], by
             continue
         ts = _parse_warc_date(headers.get("warc-date", ""))
         # block = HTTP response: status line + headers, CRLF CRLF, body
-        body_at = block.find(CRLF2)
-        body = block[body_at + 4 :] if body_at >= 0 else block
-        out.append((url, ts, body))
+        # (de-chunked / de-gzipped per the HTTP headers)
+        out.append((url, ts, _http_body(block)))
     return out
 
 

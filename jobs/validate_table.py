@@ -3,7 +3,9 @@
 standalone job): verify an extracted table against its lineage ledger.
 
 Checks (each one aggregate job over pruned columns):
-  1. bucket completeness — every expected bucket 0..B-1 present;
+  1. bucket completeness — every bucket the lineage ledger recorded as
+     done for this run is present in the data (NOT all of 0..B-1: a bucket
+     no url hashes into — small runs, bucket_whitelist — is legitimate);
   2. url uniqueness — no url appears twice (dedupe + idempotent overwrite
      guarantee);
   3. lineage reconciliation — per-bucket doc_count AND the
@@ -46,7 +48,13 @@ def validate_table(spark, extracted_path: str, lineage_path: str, run_id: str,
     present = sorted(
         r["url_bucket"] for r in ext.select("url_bucket").distinct().collect()
     )
-    missing = sorted(set(range(buckets)) - set(present))
+    expected = sorted(
+        r["url_bucket"] for r in lin.select("url_bucket").distinct().collect()
+    )
+    # Completeness is judged against the ledger, not range(buckets): an
+    # empty bucket is valid, but a ledger-done bucket absent from the data
+    # means committed rows were lost.
+    missing = sorted(set(expected) - set(present))
     if missing:
         failures.append({"check": "bucket_completeness", "missing_buckets": missing})
 

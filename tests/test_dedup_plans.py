@@ -78,3 +78,71 @@ def test_connected_components_chain_and_cliques(spark):
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = {r["doc_id"]: r["component"] for r in D.connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def _clustered_embeddings(spark, n_clusters=20, per_cluster=4, n_random=80,
+                          dim=64, seed=7):
+    """Deterministic fixture with TRUE near-dup structure: n_clusters base
+    directions, per_cluster noisy copies each (pairwise cos ~0.97+), plus
+    n_random unrelated vectors — the recall measurement corpus the driver's
+    near-orthogonal embeddings table cannot provide."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    vid = 0
+    for _ in range(n_clusters):
+        base = rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        for _ in range(per_cluster):
+            v = base + 0.02 * rng.standard_normal(dim)
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(n_random):
+        v = rng.standard_normal(dim)
+        v /= np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_lsh_near_dup_recall_vs_exact_arm(spark):
+    """Composed LSH dedup (banded candidates -> exact verify) vs the
+    all-pairs exact arm on a clustered fixture: precision 1.0 by
+    construction (both arms verify with the same cosine), recall must clear
+    the banding model's floor (2 bands x 4 planes at cos>=0.9 => ~0.8+)."""
+    from corsearch_project_spark.operators import simsearch as S
+
+    emb = _clustered_embeddings(spark)
+    thr = 0.9
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.near_dup_pairs(emb, threshold=thr, max_id=10**9).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.lsh_near_dup_pairs(emb, threshold=thr).collect()
+    }
+    assert exact, "clustered fixture must contain true near-dup pairs"
+    assert lsh <= exact  # exact verification => no false positives
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.7, f"recall {recall:.3f} below banding floor"
+
+
+def test_lsh_multiprobe_improves_recall(spark):
+    """Multi-probe (Hamming-1 buckets) vs single-bucket LSH ANN on the
+    clustered fixture: the probed candidate set is a strict superset, so
+    recall@k vs brute force can only go up — and on a corpus with true
+    neighbors it must find at least as many of the brute-force top-k."""
+    from corsearch_project_spark.operators import simsearch as S
+
+    emb = _clustered_embeddings(spark)
+    k = 5
+    bf = [r["vec_id"] for r in S.brute_force_topk(emb, 0, k=k).collect()]
+    single = {r["vec_id"] for r in S.lsh_topk(emb, 0, k=k).collect()}
+    multi = {r["vec_id"] for r in S.lsh_topk(emb, 0, k=k, multiprobe=True).collect()}
+    r_single = len(single & set(bf)) / k
+    r_multi = len(multi & set(bf)) / k
+    assert r_multi >= r_single
+    assert r_multi >= 0.6, f"multiprobe recall@{k} {r_multi:.2f} too low"

@@ -48,6 +48,17 @@ def test_big_join_is_sort_merge_when_not_broadcastable(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
 
+def test_asof_query_is_linear_union_plan(spark):
+    """J6 plan gate (VERDICT r1 #2): the registered as-of query must be the
+    union-merge strategy — one window over |L|+|R|, NO join node at all, so
+    no pairwise (event, earlier-order) materialization before the window."""
+    df = REGISTRY["q_join_asof"].fn(spark, SF_SMOKE)
+    plan = plan_of(df, "simple")
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert "Union" in plan
+
+
 def test_topk_is_take_ordered(spark):
     df = REGISTRY["q_sort_topk"].fn(spark, SF_SMOKE)
     assert "TakeOrderedAndProject" in plan_of(df)
