@@ -47,12 +47,12 @@ BENCH_QUERIES = [
     "q_json_fns",
     "q_dedup_exact",
     "q_dedup_minhash_lsh",
-    # q_dedup_components excluded: an iterative driver-orchestrated job is
-    # dominated by per-round scheduling latency at sf0.1 edge counts, which
-    # measures the scheduler, not the engine (still in CORRECTNESS).
+    "q_dedup_components",  # most iteration-heavy operator: keep it visible
     "q_dedup_simhash",
+    "q_dedup_embed_lsh",
     "q_sim_topk",
     "q_sim_lsh_ann",
+    "q_sim_lsh_multiprobe",
     "q_sim_ivf_ann",
     "q_text_quality",
     "q_text_langid",
@@ -169,6 +169,47 @@ def _udf_boundary_bench(spark, sf_dir: str) -> dict:
     return out
 
 
+def _regression_check(timings: dict, sf: str) -> dict:
+    """Round-over-round comparator: against the latest BENCH_r{N}.json the
+    driver recorded, flag any query slower than 1.3× its previous time —
+    perf regressions become visible the way correctness already is. New
+    queries (no previous row) are reported but never flagged. Only compares
+    same-scale-factor runs: an sf0.01 dev run vs the driver's sf0.1 record
+    would flag meaningless 'regressions'."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = {}
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds[int(m.group(1))] = p
+    if not rounds:
+        return {"vs_round": None, "flagged": {}}
+    latest = max(rounds)
+    try:
+        with open(rounds[latest]) as f:
+            parsed = json.load(f).get("parsed", {})
+        prev = parsed.get("queries", {})
+        prev_sf = str(parsed.get("sf", ""))
+    except Exception:
+        return {"vs_round": f"r{latest:02d}", "flagged": {}, "err": "unreadable"}
+    if prev_sf != str(sf):
+        return {"vs_round": f"r{latest:02d}", "flagged": {},
+                "skipped": f"sf mismatch (prev {prev_sf}, now {sf})"}
+    flagged = {}
+    for name, now in timings.items():
+        was = prev.get(name)
+        if was and now > 1.3 * was:
+            flagged[name] = {"prev": was, "now": now, "ratio": round(now / was, 2)}
+    return {
+        "vs_round": f"r{latest:02d}",
+        "flagged": flagged,
+        "new_queries": sorted(set(timings) - set(prev)),
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from corsearch_project_spark.plans.session import build_session
@@ -193,6 +234,7 @@ def main() -> int:
     udf_boundary = _udf_boundary_bench(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
@@ -200,9 +242,10 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+                "sf": sf,
                 "extract": extract,
                 "udf_boundary": udf_boundary,
+                "regression_check": _regression_check(timings, sf),
             }
         )
     )

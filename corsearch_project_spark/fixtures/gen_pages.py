@@ -199,13 +199,29 @@ _TOUNICODE_CMAP = b"""/CIDInit /ProcSet findresource begin
 endcmap end end
 """
 
+# 2-byte codespace CMap for the Type0/Identity-H arm: CID == code point
+# over printable ASCII (what the synthetic text uses).
+_TOUNICODE_CMAP_CID = b"""/CIDInit /ProcSet findresource begin
+12 dict begin begincmap
+1 begincodespacerange <0000> <FFFF> endcodespacerange
+1 beginbfrange <0020> <007E> <0020> endbfrange
+endcmap end end
+"""
 
-def make_pdf(rng: random.Random) -> bytes:
+
+def make_pdf(rng: random.Random, force_font: str | None = None) -> bytes:
     """1–3 pages; FlateDecode content streams using only
-    BT/ET, Tf, Tm, Td, TD, TL, T*, Tj, TJ, ', Tc, Tw; WinAnsi + one
-    ToUnicode-CMap font case; optional two-column page."""
+    BT/ET, Tf, Tm, Td, TD, TL, T*, Tj, TJ, ', Tc, Tw; three font arms —
+    WinAnsi, single-byte ToUnicode CMap, and Type0/Identity-H with 2-byte
+    CIDs shown as hex strings (the composite-font case real crawl PDFs
+    carry). ``force_font`` ∈ {winansi, tounicode, type0} pins the arm for
+    tests WITHOUT changing rng consumption (the roll is always drawn), so
+    the same seed yields the same words under every arm."""
     n_pages = rng.randint(1, 3)
-    use_tounicode = rng.random() < 0.3
+    roll = rng.random()
+    font_mode = force_font or (
+        "tounicode" if roll < 0.3 else ("type0" if roll >= 0.85 else "winansi")
+    )
     objs: List[bytes] = []  # 1-indexed
 
     def add(obj: bytes) -> int:
@@ -218,7 +234,7 @@ def make_pdf(rng: random.Random) -> bytes:
     catalog_num = add(b"")  # placeholder, patched later
     pages_num = add(b"")
 
-    if use_tounicode:
+    if font_mode == "tounicode":
         cmap_stream = zlib.compress(_TOUNICODE_CMAP)
         cmap_num = add(
             b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(cmap_stream)
@@ -229,12 +245,37 @@ def make_pdf(rng: random.Random) -> bytes:
             b"<< /Type /Font /Subtype /TrueType /BaseFont /SynthSans "
             b"/ToUnicode %d 0 R >>" % cmap_num
         )
+    elif font_mode == "type0":
+        cmap_stream = zlib.compress(_TOUNICODE_CMAP_CID)
+        cmap_num = add(
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(cmap_stream)
+            + cmap_stream
+            + b"\nendstream"
+        )
+        desc_num = add(
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthCID "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> >>"
+        )
+        font_num = add(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
+            b"/Encoding /Identity-H /DescendantFonts [%d 0 R] "
+            b"/ToUnicode %d 0 R >>" % (desc_num, cmap_num)
+        )
     else:
         font_num = add(
             b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
             b"/Encoding /WinAnsiEncoding >>"
         )
     font_num_holder.append(font_num)
+    hexmode = font_mode == "type0"
+
+    def _show(s: str) -> str:
+        """One show-string operand: literal for 1-byte fonts, big-endian
+        2-byte-CID hex for Identity-H."""
+        if hexmode:
+            return "<" + "".join(f"{ord(c):04X}" for c in s) + ">"
+        return f"({_pdf_escape(s)})"
 
     for p in range(n_pages):
         two_col = rng.random() < 0.3
@@ -258,18 +299,15 @@ def make_pdf(rng: random.Random) -> bytes:
                         ops.append(f"1 0 0 1 {x:.1f} {y:.1f} Tm")
                     else:
                         ops.append("T*")
-                    esc = _pdf_escape(line)
                     style = rng.random()
                     if style < 0.6:
-                        ops.append(f"({esc}) Tj")
+                        ops.append(f"{_show(line)} Tj")
                     elif style < 0.8 and " " in line:
                         a, b = line.split(" ", 1)
-                        ops.append(
-                            f"[({_pdf_escape(a)}) -250 ({_pdf_escape(b)})] TJ"
-                        )
+                        ops.append(f"[{_show(a)} -250 {_show(b)}] TJ")
                     else:
                         ops.append("0.1 Tc 0.2 Tw")
-                        ops.append(f"({esc}) Tj")
+                        ops.append(f"{_show(line)} Tj")
                         ops.append("0 Tc 0 Tw")
                     if jitter and li > 0:
                         pass  # y-jitter folded into T* leading below

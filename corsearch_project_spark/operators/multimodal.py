@@ -4,11 +4,11 @@ columns with typed metadata (SURVEY training-data mandate).
 The Spark-side plumbing — schemas, Arrow batch shapes, mapInPandas
 signatures, partitioning — is real and tested. The *decoders* are stubs:
 the container ships no image/audio libraries (no PIL/ffmpeg/librosa), so
-each decode function first tries the real library and otherwise falls back
-to a clearly-marked deterministic fake (or raises NotImplementedError for
-operations with no meaningful fake). At cluster scale you install the codec
-libraries on executors and ONLY the `_decode_*_real` bodies change — every
-plan stays identical.
+every decode/resize stage takes a ``decoder`` seam ("auto" | "pil" |
+"stub"): auto tries the real library and falls back to a clearly-marked
+deterministic fake; "stub" pins the fake for codec-independent oracles. At
+cluster scale you install the codec libraries on executors and flip the
+seam — every plan stays identical.
 
 Design notes for 100 TB of media:
   * payloads stay in Parquet binary columns co-partitioned with their
@@ -93,9 +93,20 @@ def _decode_image_stub(payload: bytes):
     return 64 + d[0] % 192, 64 + d[1] % 192, 3
 
 
-def decode_image_meta(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
-    """Image header decode as an iterator-of-batches stage (U2 shape)."""
-    pil = _try_pil()
+def decode_image_meta(
+    media: DataFrame, batch_size_hint: int = 256, decoder: str = "auto"
+) -> DataFrame:
+    """Image header decode as an iterator-of-batches stage (U2 shape).
+
+    ``decoder``: "auto" (PIL when importable, else stub), "pil" (require the
+    real codec), or "stub" (force the deterministic fake — what the oracle
+    replays, codec-independent). The seam is the argument, not the code:
+    deploying with real codecs changes only this flag."""
+    if decoder not in ("auto", "pil", "stub"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    pil = _try_pil() if decoder in ("auto", "pil") else None
+    if decoder == "pil" and pil is None:
+        raise NotImplementedError("decoder='pil' requires PIL on executors")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -179,16 +190,70 @@ def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 4) -> D
     )
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Decode+resize is meaningless without a codec — hard stub by design;
-    the signature and return schema document the deployment surface."""
-    if _try_pil() is None:
-        raise NotImplementedError(
-            "resize_images requires PIL on executors (not shipped in this "
-            "container); decode_image_meta/extract_features show the same "
-            "plumbing with stub decoders"
-        )
-    raise NotImplementedError("real resize path: install PIL and implement here")
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("decoder", T.StringType(), False),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, decoder: str = "auto"
+) -> DataFrame:
+    """Decode → resize → re-encode, the fat-row transform stage. Real path
+    uses PIL per Arrow batch; the stub arm (same fallback shape as
+    decode_image_meta) emits a deterministic fixed-size surface — 'IMG!'
+    header with the new dimensions plus payload-hash-derived bytes sized
+    width*height (bounded 4 KiB) — so the end-to-end plumbing (binary in,
+    binary out, batch sizing for fat rows) runs and is testable without
+    codecs. Deploying swaps decoder='auto'→real PIL; the plan is identical."""
+    if decoder not in ("auto", "pil", "stub"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    pil = _try_pil() if decoder in ("auto", "pil") else None
+    if decoder == "pil" and pil is None:
+        raise NotImplementedError("decoder='pil' requires PIL on executors")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "payload": [], "width": [], "height": [],
+                   "decoder": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload or b"")
+                if pil:
+                    import io
+
+                    with pil.open(io.BytesIO(data)) as im:
+                        im = im.resize((width, height))
+                        buf = io.BytesIO()
+                        im.save(buf, format="PNG")
+                        body = buf.getvalue()
+                    dec = "pil"
+                else:
+                    n = min(width * height, 4096)
+                    seed = hashlib.sha256(data).digest()
+                    body = (
+                        b"IMG!"
+                        + struct.pack(">HH", width, height)
+                        + bytes([3])
+                        + (seed * (n // len(seed) + 1))[:n]
+                    )
+                    dec = "stub"
+                out["media_id"].append(mid)
+                out["payload"].append(body)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["decoder"].append(dec)
+            yield pd.DataFrame(out)
+
+    return (
+        media.where(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(run, RESIZED_SCHEMA)
+    )
 
 
 def gen_media_fixture(spark, n: int = 60, seed: int = 99) -> DataFrame:

@@ -206,7 +206,11 @@ def lsh_near_dup_pairs(
         raise ValueError("band_planes must divide n_planes")
     n_bands = n_planes // band_planes
     mask = (1 << band_planes) - 1
-    qv = with_qnorm(with_lsh_bucket(df, n_planes, dim=dim, id_col=id_col))
+    # The bucketed relation feeds four join sides (two banded, two verify);
+    # persist so the 8-plane HOF projection runs once per row — at cluster
+    # scale this is the materialized signature/bucket table (same shape as
+    # minhash_lsh_pairs' persisted sig).
+    qv = with_qnorm(with_lsh_bucket(df, n_planes, dim=dim, id_col=id_col)).persist()
     stack_args = ", ".join(
         f"{b}, (shiftright(bucket, {b * band_planes}) & {mask})"
         for b in range(n_bands)

@@ -150,13 +150,45 @@ def q_udf_grouped_map(spark, sf_dir):
     )
 
 
+def _multimodal_expected_values(n: int = 60, seed: int = 99) -> str:
+    """Pure-Python replay of gen_media_fixture's image rows + the stub
+    header decode — an independent recomputation (no Spark, no Arrow) that
+    becomes a VALUES-literal oracle. Must draw from random.Random in the
+    exact order the fixture generator does."""
+    import random
+
+    rows = []
+    for i in range(n):
+        rng = random.Random(seed ^ i)
+        kind = rng.choice(["image", "image", "audio", "video"])
+        if kind != "image":
+            continue
+        w = rng.randint(16, 512)
+        h = rng.randint(16, 512)
+        c = rng.choice([1, 3, 4])
+        rows.append(f"({i}, {w}, {h}, {c}, TRUE, 'stub')")
+    head = (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height, "
+        "CAST(channels AS INTEGER) AS channels, decode_ok, decoder FROM "
+    )
+    return (
+        head
+        + "(VALUES "
+        + ", ".join(rows)
+        + ") AS t(media_id, width, height, channels, decode_ok, decoder)"
+    )
+
+
 @query(
     "q_multimodal_meta",
-    None,  # binary decode plumbing — genuinely non-SQL; driver rows-only check
+    _multimodal_expected_values(),
     doc="Multimodal columns: opaque binary payloads + typed metadata, decoded "
-    "by an Arrow-batched mapInPandas stage (stub decoder, real Spark "
-    "plumbing: schema, batching, partitioning — operators/multimodal.py). "
-    "Input is the deterministic seeded media fixture (no external data).",
+    "by an Arrow-batched mapInPandas stage with the decoder seam pinned to "
+    "'stub' (operators/multimodal.py) so the output is deterministic and "
+    "codec-independent; the oracle is a pure-Python replay of the seeded "
+    "fixture + stub header decode as a VALUES literal. Input is the "
+    "deterministic seeded media fixture (no external data).",
 )
 def q_multimodal_meta(spark, sf_dir):
     from corsearch_project_spark.operators.multimodal import (
@@ -165,4 +197,4 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
     media = gen_media_fixture(spark, n=60, seed=99)
-    return decode_image_meta(media.where(F.col("kind") == "image"))
+    return decode_image_meta(media.where(F.col("kind") == "image"), decoder="stub")

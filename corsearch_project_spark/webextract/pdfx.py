@@ -10,7 +10,9 @@ unavailable offline (SURVEY.md §0.1) and the byte-identity contract
 - E12 stream decode: FlateDecode (zlib), ASCIIHexDecode, identity.
 - E13 content-stream interpreter: BT/ET, Tf, Tm, Td, TD, TL, T*, Tc, Tw,
   Tj, TJ, ', " — emits glyph runs (text, x, y, size) per page; fonts decoded
-  via ToUnicode CMap (bfchar/bfrange) or WinAnsi (cp1252) or latin-1.
+  via ToUnicode CMap (bfchar/bfrange) or WinAnsi (cp1252) or latin-1 for
+  simple fonts, and 2-byte-CID Type0/Identity-H composite fonts (ToUnicode
+  CMap, Identity fallback) — the dominant encoding in real crawl PDFs.
 - E14 glyph→line clustering by y-coordinate bands (rule.pdf_line_tol × size).
 - E15 line→block clustering by vertical gap (rule.pdf_block_gap × size).
 - E16 reading-order sort: column detection by x-interval overlap, columns
@@ -338,10 +340,22 @@ def _utf16be(hexs: bytes) -> str:
 
 
 class FontDecoder:
-    """Single-byte simple-font decoder: ToUnicode CMap > WinAnsi > latin-1."""
+    """Font decoder: ToUnicode CMap > WinAnsi > latin-1 for single-byte
+    simple fonts, plus composite Type0/Identity-H fonts (2-byte CIDs, the
+    encoding real Common-Crawl PDFs overwhelmingly use for subset-embedded
+    TrueType/CJK fonts): codes are consumed big-endian two bytes at a time,
+    mapped through the ToUnicode CMap when present, else Identity
+    (CID == code point — the deterministic no-CMap fallback)."""
 
     def __init__(self, doc: PdfDoc, font_dict: dict):
         self.cmap: Optional[Dict[int, str]] = None
+        enc = doc.resolve(font_dict.get("/Encoding")) if font_dict else None
+        subtype = font_dict.get("/Subtype") if font_dict else None
+        self.code_bytes = (
+            2
+            if subtype == "/Type0" or enc in ("/Identity-H", "/Identity-V")
+            else 1
+        )
         tu = doc.resolve(font_dict.get("/ToUnicode")) if font_dict else None
         if isinstance(tu, StreamObj):
             data = doc.stream_bytes(tu)
@@ -359,10 +373,20 @@ class FontDecoder:
                         cmap[k] = chr(base + (k - lo_i))
             if cmap:
                 self.cmap = cmap
-        enc = doc.resolve(font_dict.get("/Encoding")) if font_dict else None
         self.codec = "cp1252" if enc == "/WinAnsiEncoding" else "latin-1"
 
     def decode(self, raw: bytes) -> str:
+        if self.code_bytes == 2:
+            # big-endian 2-byte CIDs; a dangling odd byte is dropped
+            # deterministically (malformed show string, never raise)
+            if self.cmap is not None:
+                return "".join(
+                    self.cmap.get((raw[k] << 8) | raw[k + 1], "�")
+                    for k in range(0, len(raw) - 1, 2)
+                )
+            return "".join(
+                chr((raw[k] << 8) | raw[k + 1]) for k in range(0, len(raw) - 1, 2)
+            )
         if self.cmap is not None:
             return "".join(self.cmap.get(b, "�") for b in raw)
         return raw.decode(self.codec, errors="replace")

@@ -69,6 +69,33 @@ def test_frame_sampling_fanout(spark, media):
         assert all(len(f["frame_payload"]) > 0 for f in fr)
 
 
-def test_resize_is_explicit_stub(spark, media):
-    with pytest.raises(NotImplementedError):
-        M.resize_images(media, 224, 224)
+def test_resize_stub_arm_end_to_end(spark, media):
+    """resize_images now has a stub arm (same seam as decode_image_meta):
+    binary in -> binary out with the requested dims, deterministic, and the
+    emitted surface is itself stub-decodable (round-trips through
+    decode_image_meta)."""
+    out = M.resize_images(media, 224, 224, decoder="stub").collect()
+    n_images = media.where(F.col("kind") == "image").count()
+    assert len(out) == n_images
+    for r in out:
+        assert (r["width"], r["height"], r["decoder"]) == (224, 224, "stub")
+        assert bytes(r["payload"][:4]) == b"IMG!"
+    # determinism: second run bit-identical
+    again = M.resize_images(media, 224, 224, decoder="stub").collect()
+    assert sorted(bytes(r["payload"]) for r in out) == sorted(
+        bytes(r["payload"]) for r in again
+    )
+    # the resized surface round-trips through the stub meta decoder
+    resized_media = M.resize_images(media, 224, 224, decoder="stub").select(
+        "media_id", "payload"
+    ).withColumn("kind", F.lit("image"))
+    meta = M.decode_image_meta(resized_media, decoder="stub").collect()
+    assert all((m["width"], m["height"]) == (224, 224) for m in meta)
+
+
+def test_resize_pil_decoder_requires_pil(spark, media):
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            M.resize_images(media, 224, 224, decoder="pil")

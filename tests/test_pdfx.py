@@ -136,3 +136,55 @@ def test_fixture_writer_roundtrip_deterministic():
         assert extract_pdf(p1) == extract_pdf(p2)
         t, s = extract_pdf(p1)
         assert t and s
+
+
+def _hex_cids(s: str) -> str:
+    return "<" + "".join(f"{ord(c):04X}" for c in s) + ">"
+
+
+def test_type0_identity_h_with_tounicode():
+    """2-byte CID show strings through a Type0/Identity-H font decode via
+    the ToUnicode CMap — the composite-font case real crawl PDFs carry."""
+    font = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
+        b"/Encoding /Identity-H >>"
+    )
+    pdf = _simple_pdf(
+        f"BT /F1 12 Tf 1 0 0 1 72 720 Tm {_hex_cids('cid hello world')} Tj ET",
+        font=font,
+    )
+    text, spans = extract_pdf(pdf)
+    assert text == "cid hello world"
+    assert spans and spans[0][2] == "pdf:p1"
+
+
+def test_type0_tj_array_and_odd_byte():
+    """TJ arrays of CID hex strings work; a dangling odd byte in a show
+    string is dropped deterministically, never raised."""
+    font = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
+        b"/Encoding /Identity-H >>"
+    )
+    pdf = _simple_pdf(
+        f"BT /F1 12 Tf 1 0 0 1 72 720 Tm "
+        f"[{_hex_cids('alpha')} -250 {_hex_cids('beta')}] TJ ET "
+        f"BT /F1 12 Tf 1 0 0 1 72 700 Tm <006100> Tj ET",
+        font=font,
+    )
+    text, _ = extract_pdf(pdf)
+    assert "alpha beta" in text
+    assert "a" in text  # <0061> decodes, the dangling 00 is dropped
+
+
+def test_type0_fixture_arm_matches_single_byte_arms_bytewise():
+    """The fixture writer's three font arms (winansi / single-byte CMap /
+    Identity-H CIDs) must extract to IDENTICAL text+spans for the same seed
+    — the byte-identity contract is font-encoding-invariant."""
+    for seed in (3, 11, 42):
+        rngs = [random.Random(seed) for _ in range(3)]
+        outs = [
+            extract_pdf(make_pdf(r, force_font=m))
+            for r, m in zip(rngs, ("winansi", "tounicode", "type0"))
+        ]
+        assert outs[0] == outs[1] == outs[2]
+        assert outs[0][0], "fixture page must extract non-empty text"

@@ -64,6 +64,29 @@ def test_topk_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan_of(df)
 
 
+def test_shipping_priority_plan_pushes_all_filters_and_topk(spark):
+    """Composite-query plan gate (VERDICT r1 #7): TPC-H-Q3 shape must push
+    ALL three selective predicates to the parquet scans (including the date
+    ranges) and compile the ordered LIMIT to TakeOrderedAndProject — the
+    plan that survives 100× (filtered scan, no global sort)."""
+    plan = plan_of(REGISTRY["q_shipping_priority"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    pushed = "\n".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "EqualTo(c_mktsegment,BUILDING)" in pushed
+    assert "LessThan(o_orderdate" in pushed
+    assert "l_shipdate" in pushed
+
+
+def test_local_supplier_volume_plan_broadcasts_dims_no_cartesian(spark):
+    """TPC-H-Q5 snowflake gate: nation/region (and at test scale every
+    build side under the threshold) broadcast; never a cartesian or
+    nested-loop join for the co-nationality predicate."""
+    plan = plan_of(REGISTRY["q_local_supplier_volume"].fn(spark, SF_SMOKE), "simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_pipeline_has_exactly_one_python_stage_and_pruned_kernel_input(spark, tmp_path):
     from corsearch_project_spark.fixtures.gen_pages import default_rules, gen_pages, pages_to_pandas
     from corsearch_project_spark.operators.kernel import run_kernel
