@@ -314,12 +314,15 @@ def connected_components(
     component = min doc_id reachable through the near-dup graph — the
     canonical-document grouping step after candidate generation.
 
-    Iterative min-label propagation: each round every vertex takes the min
-    of its own label and its neighbors' labels; converges in O(diameter)
-    rounds (near-dup components are dense cliques → 2-3 rounds in
-    practice; ``max_iter`` bounds adversarial chains). Each round is one
-    broadcast-or-shuffle equi-join + one partial-aggregating groupBy —
-    the standard large-scale CC recipe (cf. large-star/small-star), with
+    Iterative min-label propagation WITH pointer-jump shortcutting: each
+    round every vertex takes the min of (its own label, its neighbors'
+    labels, the label OF its label). The shortcut join halves the distance
+    to the component min each round, so convergence is O(log diameter)
+    rounds — a 10^6-hop near-dup chain converges in ~20 rounds where plain
+    propagation needs 10^6 (the same doubling trick that makes
+    large-star/small-star O(log n); near-dup components are usually dense
+    cliques that finish in 2-3 rounds either way). Each round is two
+    equi-joins + one partial-aggregating groupBy, one materialization, with
     checkpointing to truncate lineage growth across iterations.
 
     Checkpoint seam: with ``checkpoint_dir`` set, per-round materialization
@@ -328,11 +331,12 @@ def connected_components(
     recoverable from stable storage. Default (None) is executor-local
     ``localCheckpoint()``: faster, correct on local[N], NOT fault-tolerant.
 
-    Convergence is REQUIRED: label propagation needs O(diameter) rounds, so
-    a component chain longer than ``max_iter`` hops would exit with wrong
-    labels. Exhausting ``max_iter`` without a fixed point raises rather
-    than silently returning unconverged components (which would make the
-    downstream keep-filter drop/keep the wrong documents)."""
+    Convergence is REQUIRED: a component whose log-diameter exceeds
+    ``max_iter`` would exit with wrong labels. Exhausting ``max_iter``
+    without a fixed point raises rather than silently returning unconverged
+    components (which would make the downstream keep-filter drop/keep the
+    wrong documents). With shortcutting the default budget of 20 rounds
+    covers diameters up to ~2^20 — far beyond any real dedup graph."""
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
@@ -362,19 +366,40 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
+        stepped = labels.join(
+            neighbor_min, labels.doc_id == neighbor_min.src, "left"
+        ).select(
+            "doc_id",
+            F.col("component").alias("_old"),
+            F.least(
+                labels["component"],
+                F.coalesce(F.col("nbr_min"), labels["component"]),
+            ).alias("_c1"),
+        )
+        # Pointer-jump shortcut: look up the label OF the candidate label
+        # (every label value is itself a vertex id, so the join is total).
+        # This halves each vertex's distance to the component min per round
+        # — O(log diameter) total rounds instead of O(diameter).
+        parent = labels.select(
+            F.col("doc_id").alias("_pid"), F.col("component").alias("_pcomp")
+        )
         # ONE materialization per round: the checkpointed relation carries
         # both the new label and a changed flag, so convergence detection is
         # a near-free scan of checkpointed data instead of a diff join
         # against the previous labels (halves the Spark jobs per round).
         updated = _materialize(
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            stepped.join(parent, stepped["_c1"] == parent["_pid"], "left")
             .select(
                 "doc_id",
                 F.least(
-                    labels["component"],
-                    F.coalesce(F.col("nbr_min"), labels["component"]),
+                    F.col("_c1"), F.coalesce(F.col("_pcomp"), F.col("_c1"))
                 ).alias("component"),
-                (F.col("nbr_min") < labels["component"]).alias("_chg"),
+                (
+                    F.least(
+                        F.col("_c1"), F.coalesce(F.col("_pcomp"), F.col("_c1"))
+                    )
+                    < F.col("_old")
+                ).alias("_chg"),
             )
         )
         changed = updated.where(F.col("_chg")).limit(1).count()

@@ -2,6 +2,7 @@
 (linear-shuffle) plans must produce exactly the relation the quadratic
 control plans produce — recall guarantees, not heuristics."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from corsearch_project_spark.operators import dedup as D
@@ -78,6 +79,69 @@ def test_connected_components_chain_and_cliques(spark):
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = {r["doc_id"]: r["component"] for r in D.connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_log_rounds_on_long_chain(spark):
+    """Pointer-jump shortcutting must converge a 300-hop chain well inside
+    the default 20-round budget (plain O(diameter) propagation would need
+    300 rounds and raise); labels cross-checked against union-find."""
+    import random as _random
+
+    edges = [(i, i + 1) for i in range(300)]
+    # a few extra random edges so the graph isn't purely a path
+    r = _random.Random(5)
+    extra = [(r.randrange(0, 280), r.randrange(0, 280) + 1) for _ in range(20)]
+    all_edges = edges + [(a, b) for a, b in extra if a != b]
+    pairs = spark.createDataFrame(all_edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in D.connected_components(pairs, max_iter=20).collect()
+    }
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in all_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+    assert got == want
+
+
+def test_connected_components_raises_on_round_exhaustion(spark):
+    """Exhausting max_iter without a fixed point must raise, never return
+    silently-wrong labels (ADVICE r1: unconverged exit corrupts the
+    downstream keep-filter)."""
+    edges = [(i, i + 1) for i in range(64)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, max_iter=2)
+
+
+def test_connected_components_reliable_checkpoint_seam(spark, tmp_path):
+    """checkpoint_dir switches per-round materialization to reliable
+    checkpoint() (the cluster fault-tolerance arm); results must be
+    identical to the localCheckpoint default, and checkpoint files must
+    actually land in the directory."""
+    edges = [(1, 2), (2, 3), (7, 8)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    ckdir = str(tmp_path / "cc_ck")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in D.connected_components(pairs, checkpoint_dir=ckdir).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+    import os
+
+    assert any(files for _, _, files in os.walk(ckdir)), (
+        "reliable checkpoint dir is empty — checkpoint() arm did not run"
+    )
 
 
 def _clustered_embeddings(spark, n_clusters=20, per_cluster=4, n_random=80,

@@ -219,3 +219,22 @@ def test_snapshot_ledger_grows_and_reconciles(spark, tmp_path, pages_parquet=Non
     hist = read_snapshots(spark, _os.path.join(out, "snapshots")).collect()
     assert [r["seq"] for r in hist] == [0, 1]
     assert all(r["n_buckets"] == 8 for r in hist)
+
+
+def test_read_snapshots_missing_vs_corrupt(spark, tmp_path):
+    """Missing path -> None (fresh table); a CORRUPT snapshots table must
+    raise, not silently restart seq at 0 with a conflicting ledger row
+    (ADVICE r1: only the path-not-found AnalysisException maps to None)."""
+    import pytest as _pytest
+
+    from corsearch_project_spark.sources.snapshots import read_snapshots
+
+    assert read_snapshots(spark, str(tmp_path / "nope")) is None
+
+    bad = tmp_path / "snapcorrupt"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"PAR1 this is not parquet")
+    with _pytest.raises(Exception):
+        df = read_snapshots(spark, str(bad))
+        assert df is not None  # must not be swallowed into the None arm
+        df.collect()  # corruption surfaces at scan time at the latest

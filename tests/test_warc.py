@@ -132,3 +132,121 @@ def test_parse_warc_hypothesis_roundtrip():
         assert [(u, b) for u, _, b in rows] == [(u, b) for u, _, b in recs]
 
     check()
+
+
+def _warc_response(url: str, http_headers: bytes, body: bytes) -> bytes:
+    """Hand-built single response record with a custom HTTP block — for
+    exercising Transfer-Encoding / Content-Encoding paths build_warc's
+    plain fixture writer never emits."""
+    http = b"HTTP/1.1 200 OK\r\n" + http_headers + b"\r\n" + body
+    return (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        + f"WARC-Target-URI: {url}\r\n".encode()
+        + b"WARC-Date: 2024-01-17T08:31:04Z\r\n"
+        + f"Content-Length: {len(http)}\r\n".encode()
+        + b"\r\n"
+        + http
+        + b"\r\n\r\n"
+    )
+
+
+def _chunked(payload: bytes, sizes) -> bytes:
+    out = bytearray()
+    i = 0
+    for s in sizes:
+        part = payload[i : i + s]
+        if not part:
+            break
+        out += f"{len(part):x}".encode() + b"\r\n" + part + b"\r\n"
+        i += s
+    out += b"0\r\n\r\n"
+    return bytes(out)
+
+
+def test_http_chunked_body_is_dechunked():
+    body = b"<html><body><p>chunk framed page body text</p></body></html>"
+    rec = _warc_response(
+        "http://warc.example/chunked",
+        b"Content-Type: text/html\r\nTransfer-Encoding: chunked\r\n",
+        _chunked(body, [7, 16, 5, 9999]),
+    )
+    rows = parse_warc(rec)
+    assert rows == [(
+        "http://warc.example/chunked",
+        dt.datetime(2024, 1, 17, 8, 31, 4),
+        body,
+    )]
+
+
+def test_http_content_encoding_gzip_and_deflate():
+    import zlib
+
+    body = b"<html><body><p>compressed page body</p></body></html>"
+    cases = [
+        (b"gzip", zlib.compressobj(wbits=16 + zlib.MAX_WBITS)),
+        (b"deflate", zlib.compressobj()),  # zlib-wrapped deflate
+        (b"deflate", zlib.compressobj(wbits=-zlib.MAX_WBITS)),  # raw (misconfig)
+    ]
+    for ce, co in cases:
+        enc = co.compress(body) + co.flush()
+        rec = _warc_response(
+            "http://warc.example/enc",
+            b"Content-Type: text/html\r\nContent-Encoding: " + ce + b"\r\n",
+            enc,
+        )
+        rows = parse_warc(rec)
+        assert rows[0][2] == body, ce
+
+
+def test_http_chunked_plus_gzip_combined():
+    """Real CC records can carry BOTH: chunked framing around a gzipped
+    entity — de-chunk first, then decompress."""
+    import zlib
+
+    body = b"<html><body><p>both layers at once</p></body></html>"
+    co = zlib.compressobj(wbits=16 + zlib.MAX_WBITS)
+    gz = co.compress(body) + co.flush()
+    rec = _warc_response(
+        "http://warc.example/both",
+        b"Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n",
+        _chunked(gz, [11, 4, 9999]),
+    )
+    rows = parse_warc(rec)
+    assert rows[0][2] == body
+
+
+def test_http_malformed_chunked_and_bad_gzip_never_raise():
+    bad_chunk = _warc_response(
+        "http://warc.example/badchunk",
+        b"Transfer-Encoding: chunked\r\n",
+        b"ZZZ\r\nnot a chunk",
+    )
+    bad_gzip = _warc_response(
+        "http://warc.example/badgzip",
+        b"Content-Encoding: gzip\r\n",
+        b"\x1f\x8bgarbage-not-gzip",
+    )
+    rows = parse_warc(bad_chunk + bad_gzip)
+    # bad chunk framing -> empty-ish body; bad gzip passes through raw
+    assert [r[0] for r in rows] == [
+        "http://warc.example/badchunk",
+        "http://warc.example/badgzip",
+    ]
+    assert rows[1][2] == b"\x1f\x8bgarbage-not-gzip"
+
+
+def test_gzip_member_iteration_is_linear_chunked():
+    """Many small members (the CC per-record framing at segment scale) must
+    decode correctly via the bounded-chunk walker — and each member is
+    independent (record granularity, no cross-member state)."""
+    import zlib
+
+    members = bytearray()
+    want = []
+    for i in range(500):
+        payload = (f"record-{i}-" * 5).encode()
+        want.append(payload)
+        co = zlib.compressobj(wbits=16 + zlib.MAX_WBITS)
+        members += co.compress(payload) + co.flush()
+    assert gunzip_members(bytes(members)) == b"".join(want)
