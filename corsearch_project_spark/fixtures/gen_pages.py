@@ -209,19 +209,37 @@ endcmap end end
 """
 
 
-def make_pdf(rng: random.Random, force_font: str | None = None) -> bytes:
+def make_pdf(
+    rng: random.Random,
+    force_font: str | None = None,
+    force_layout: str | None = None,
+) -> bytes:
     """1–3 pages; FlateDecode content streams using only
     BT/ET, Tf, Tm, Td, TD, TL, T*, Tj, TJ, ', Tc, Tw; three font arms —
     WinAnsi, single-byte ToUnicode CMap, and Type0/Identity-H with 2-byte
     CIDs shown as hex strings (the composite-font case real crawl PDFs
-    carry). ``force_font`` ∈ {winansi, tounicode, type0} pins the arm for
-    tests WITHOUT changing rng consumption (the roll is always drawn), so
-    the same seed yields the same words under every arm."""
+    carry) — and two FILE-LAYOUT arms: ``classic`` (xref table + trailer
+    keyword, PDF 1.4) and ``objstm`` (PDF 1.5 compressed layout: all
+    non-stream objects packed into a FlateDecode /ObjStm, trailer dict
+    carried by a /Type /XRef cross-reference stream with PNG-Up-predicted
+    entry rows — the dominant shape of real crawl PDFs). Both arms encode
+    the SAME words, so extracted text is layout-invariant.
+
+    ``force_font`` ∈ {winansi, tounicode, type0} and ``force_layout`` ∈
+    {classic, objstm} pin the arms for tests WITHOUT changing rng
+    consumption (rolls are always drawn; the layout roll derives from the
+    font roll rather than the main stream, so pre-layout corpora keep
+    byte-identical words), so the same seed yields the same words under
+    every arm combination."""
     n_pages = rng.randint(1, 3)
     roll = rng.random()
     font_mode = force_font or (
         "tounicode" if roll < 0.3 else ("type0" if roll >= 0.85 else "winansi")
     )
+    # layout roll from a derived stream: must not consume from `rng` (the
+    # frozen golden corpus pins the word stream drawn after this point)
+    lay_roll = random.Random(int(roll * (1 << 53))).random()
+    layout = force_layout or ("objstm" if lay_roll < 0.35 else "classic")
     objs: List[bytes] = []  # 1-indexed
 
     def add(obj: bytes) -> int:
@@ -353,6 +371,8 @@ def make_pdf(rng: random.Random, force_font: str | None = None) -> bytes:
         len(page_nums),
     )
 
+    if layout == "objstm":
+        return _assemble_objstm(objs, catalog_num)
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0] * (len(objs) + 1)
     for i, body in enumerate(objs, start=1):
@@ -367,6 +387,77 @@ def make_pdf(rng: random.Random, force_font: str | None = None) -> bytes:
         b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
         % (len(objs) + 1, catalog_num, xref_at)
     )
+    return bytes(out)
+
+
+def _assemble_objstm(objs: List[bytes], catalog_num: int) -> bytes:
+    """PDF 1.5 compressed layout: non-stream objects packed into one
+    FlateDecode /ObjStm (original numbering preserved so inter-object refs
+    hold); stream objects stay top-level; the trailer dict rides the
+    /Type /XRef stream whose entry rows use W [1 4 2] with the PNG Up
+    predictor (/Predictor 12) — exactly what pdflatex/ghostscript-era
+    writers emit, and what real Common-Crawl PDFs overwhelmingly are.
+    There is NO `trailer` keyword in this layout: /Root discovery must go
+    through the xref stream dict."""
+    import struct
+
+    n_base = len(objs)
+    packed = [i for i, b in enumerate(objs, start=1) if b"endstream" not in b]
+    top = [i for i, b in enumerate(objs, start=1) if b"endstream" in b]
+
+    offs: List[Tuple[int, int]] = []
+    body = bytearray()
+    for num in packed:
+        offs.append((num, len(body)))
+        body += objs[num - 1] + b"\n"
+    header = " ".join(f"{n} {o}" for n, o in offs).encode() + b"\n"
+    payload = zlib.compress(bytes(header) + bytes(body))
+    objstm_num = n_base + 1
+    xref_num = n_base + 2
+    objstm = (
+        b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
+        b"\nstream\n" % (len(packed), len(header), len(payload))
+        + payload
+        + b"\nendstream"
+    )
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict = {}
+    for num in top:
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num - 1] + b"\nendobj\n"
+    offsets[objstm_num] = len(out)
+    out += b"%d 0 obj\n" % objstm_num + objstm + b"\nendobj\n"
+
+    # xref stream entries: type 0 free / 1 top-level offset / 2 in-stream
+    xref_at = len(out)
+    offsets[xref_num] = xref_at
+    size = xref_num + 1
+    idx_of = {num: k for k, num in enumerate(packed)}
+    rowlen = 7  # W [1 4 2]
+    raw = bytearray()
+    prior = bytes(rowlen)
+    for i in range(size):
+        if i == 0:
+            row = struct.pack(">BIH", 0, 0, 65535)
+        elif i in offsets:
+            row = struct.pack(">BIH", 1, offsets[i], 0)
+        elif i in idx_of:
+            row = struct.pack(">BIH", 2, objstm_num, idx_of[i])
+        else:
+            row = struct.pack(">BIH", 0, 0, 0)
+        raw += bytes([2]) + bytes((row[j] - prior[j]) & 0xFF for j in range(rowlen))
+        prior = row
+    xdata = zlib.compress(bytes(raw))
+    xref = (
+        b"<< /Type /XRef /Size %d /Root %d 0 R /W [1 4 2] /Index [0 %d] "
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >> "
+        b"/Length %d >>\nstream\n" % (size, catalog_num, size, len(xdata))
+        + xdata
+        + b"\nendstream"
+    )
+    out += b"%d 0 obj\n" % xref_num + xref + b"\nendobj\n"
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_at
     return bytes(out)
 
 

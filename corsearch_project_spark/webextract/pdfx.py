@@ -7,7 +7,10 @@ unavailable offline (SURVEY.md §0.1) and the byte-identity contract
 
 - E11 lexer/parser: dict/array/name/number/string/hex-string tokens,
   indirect refs, sequential body scan with regex recovery (no xref needed).
-- E12 stream decode: FlateDecode (zlib), ASCIIHexDecode, identity.
+- E12 stream decode: FlateDecode (zlib), ASCIIHexDecode, ASCII85Decode,
+  RunLengthDecode, LZWDecode, identity; TIFF/PNG predictors via
+  /DecodeParms. PDF 1.5+ compressed layouts are supported: /ObjStm
+  containers are unpacked and /XRef stream dicts supply the trailer.
 - E13 content-stream interpreter: BT/ET, Tf, Tm, Td, TD, TL, T*, Tc, Tw,
   Tj, TJ, ', " — emits glyph runs (text, x, y, size) per page; fonts decoded
   via ToUnicode CMap (bfchar/bfrange) or WinAnsi (cp1252) or latin-1 for
@@ -220,6 +223,112 @@ def _parse_lit_string(buf: bytes, i: int) -> Tuple[bytes, int]:
 _OBJ_HEADER_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 
 
+def _rle_decode(data: bytes) -> bytes:
+    """PDF RunLengthDecode: length byte L — L<128: copy L+1 literal bytes;
+    L>128: repeat next byte 257-L times; L==128: EOD. Tolerant: truncated
+    input yields what decoded so far."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        l = data[i]
+        if l == 128:
+            break
+        if l < 128:
+            out += data[i + 1 : i + 2 + l]
+            i += 2 + l
+        else:
+            if i + 1 < n:
+                out += data[i + 1 : i + 2] * (257 - l)
+            i += 2
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> Optional[bytes]:
+    """PDF LZWDecode (TIFF-style LZW, MSB-first variable code width 9-12,
+    codes 256=clear, 257=EOD). Returns None on malformed input."""
+    out = bytearray()
+    table: List[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: Optional[bytes] = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out += entry
+            prev = entry
+            if len(table) >= (1 << width) - 1 and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _unpredict(data: bytes, pred: int, columns: int, colors: int, bpc: int) -> bytes:
+    """Undo TIFF (2) / PNG (10-15) predictors — real xref/ObjStm streams
+    are near-universally Flate + PNG Up (12). Tolerant of a ragged tail."""
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    if pred == 2:  # TIFF horizontal differencing (byte-aligned case only)
+        out = bytearray(data)
+        for r0 in range(0, len(out) - rowlen + 1, rowlen):
+            for i in range(r0 + bpp, r0 + rowlen):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    if pred < 10:
+        return data
+    # PNG: each row is 1 tag byte + rowlen filtered bytes
+    out = bytearray()
+    prior = bytearray(rowlen)
+    i, n = 0, len(data)
+    while i + 1 <= n:
+        tag = data[i]
+        row = bytearray(data[i + 1 : i + 1 + rowlen])
+        i += 1 + rowlen
+        if len(row) < rowlen:
+            row += bytes(rowlen - len(row))
+        if tag == 1:  # Sub
+            for j in range(bpp, rowlen):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif tag == 2:  # Up
+            for j in range(rowlen):
+                row[j] = (row[j] + prior[j]) & 0xFF
+        elif tag == 3:  # Average
+            for j in range(rowlen):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + ((left + prior[j]) >> 1)) & 0xFF
+        elif tag == 4:  # Paeth
+            for j in range(rowlen):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prior[j]
+                c = prior[j - bpp] if j >= bpp else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[j] = (row[j] + pr) & 0xFF
+        out += row
+        prior = row
+    return bytes(out)
+
+
 class PdfDoc:
     def __init__(self, data: bytes):
         self.data = data
@@ -264,6 +373,38 @@ class PdfDoc:
                     self.trailer.update(d)
             except Exception:
                 pass
+        # PDF 1.5+ compressed layouts (the dominant shape in real crawl
+        # PDFs): most objects — catalog, page tree, fonts — hide inside
+        # FlateDecode /ObjStm containers, and the trailer dict lives in the
+        # /XRef stream's own dict instead of a `trailer` keyword. The
+        # sequential scan above only sees the containers; unpack them.
+        for o in list(self.objects.values()):
+            if isinstance(o, StreamObj) and o.d.get("/Type") == "/ObjStm":
+                self._load_objstm(o)
+        for o in self.objects.values():
+            if isinstance(o, StreamObj) and o.d.get("/Type") == "/XRef":
+                for k, v in o.d.items():
+                    self.trailer.setdefault(k, v)
+
+    def _load_objstm(self, obj: StreamObj) -> None:
+        """Unpack a compressed object stream: decoded body starts with N
+        pairs of (object number, byte offset relative to /First)."""
+        data = self.stream_bytes(obj)
+        n = self.resolve(obj.d.get("/N"))
+        first = self.resolve(obj.d.get("/First"))
+        if not data or not isinstance(n, int) or not isinstance(first, int):
+            return
+        ints = [int(t) for t in re.findall(rb"\d+", data[:first])]
+        for k in range(min(n, len(ints) // 2)):
+            objnum, off = ints[2 * k], ints[2 * k + 1]
+            try:
+                val, _ = parse_object(data, first + off)
+            except Exception:
+                continue
+            # first definition wins, same convention as the body scan
+            # (objects in streams cannot themselves be streams)
+            if objnum not in self.objects and not isinstance(val, StreamObj):
+                self.objects[objnum] = val
 
     def resolve(self, v, depth: int = 0):
         while isinstance(v, Ref) and depth < 32:
@@ -279,8 +420,13 @@ class PdfDoc:
         raw = obj.raw
         filt = self.resolve(obj.d.get("/Filter"))
         filters = filt if isinstance(filt, list) else ([filt] if filt else [])
-        for f in filters:
+        parms = self.resolve(obj.d.get("/DecodeParms", obj.d.get("/DP")))
+        parms_list = parms if isinstance(parms, list) else [parms] * max(
+            len(filters), 1
+        )
+        for idx, f in enumerate(filters):
             f = self.resolve(f)
+            p = self.resolve(parms_list[idx]) if idx < len(parms_list) else None
             if f == "/FlateDecode":
                 try:
                     raw = zlib.decompress(raw)
@@ -294,8 +440,35 @@ class PdfDoc:
                 if len(hexs) % 2:
                     hexs += b"0"
                 raw = bytes.fromhex(hexs.decode("ascii"))
+            elif f == "/ASCII85Decode":
+                import base64
+
+                body = raw.split(b"~>")[0]
+                body = re.sub(rb"[\x00\t\n\x0c\r ]", b"", body)
+                if body.startswith(b"<~"):
+                    body = body[2:]
+                try:
+                    raw = base64.a85decode(body, adobe=False)
+                except Exception:
+                    return b""
+            elif f == "/RunLengthDecode":
+                raw = _rle_decode(raw)
+            elif f == "/LZWDecode":
+                raw = _lzw_decode(raw)
+                if raw is None:
+                    return b""
             else:
                 return b""  # unsupported filter: deterministic empty
+            if isinstance(p, dict):
+                pred = self.resolve(p.get("/Predictor", 1))
+                if isinstance(pred, int) and pred > 1:
+                    raw = _unpredict(
+                        raw,
+                        pred,
+                        int(self.resolve(p.get("/Columns", 1)) or 1),
+                        int(self.resolve(p.get("/Colors", 1)) or 1),
+                        int(self.resolve(p.get("/BitsPerComponent", 8)) or 8),
+                    )
         return raw
 
     # -- page tree ----------------------------------------------------------

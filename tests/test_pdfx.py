@@ -188,3 +188,113 @@ def test_type0_fixture_arm_matches_single_byte_arms_bytewise():
         ]
         assert outs[0] == outs[1] == outs[2]
         assert outs[0][0], "fixture page must extract non-empty text"
+
+
+def test_objstm_layout_matches_classic_bytewise():
+    """The fixture writer's two file-layout arms (classic xref/trailer vs
+    PDF 1.5 ObjStm + xref stream) must extract IDENTICAL text+spans for the
+    same seed — byte-identity is file-layout-invariant."""
+    for seed in (3, 11, 42, 77):
+        rngs = [random.Random(seed) for _ in range(2)]
+        a = extract_pdf(make_pdf(rngs[0], force_layout="classic"))
+        b = extract_pdf(make_pdf(rngs[1], force_layout="objstm"))
+        assert a == b
+        assert a[0]
+
+
+def test_objstm_has_no_trailer_keyword_and_root_via_xref_stream():
+    """/Root discovery in the objstm arm must genuinely go through the
+    /Type /XRef stream dict (the layout real crawl PDFs use) — there is no
+    `trailer` keyword to fall back on."""
+    data = make_pdf(random.Random(5), force_layout="objstm")
+    assert b"trailer" not in data
+    assert b"/ObjStm" in data and b"/XRef" in data
+    doc = PdfDoc(data)
+    assert doc.trailer.get("/Root") is not None
+    assert doc.pages(), "page tree must resolve out of the ObjStm container"
+
+
+def test_stream_filters_ascii85_rle_lzw():
+    import base64
+
+    from corsearch_project_spark.webextract.pdfx import (
+        StreamObj,
+        _lzw_decode,
+        _rle_decode,
+    )
+
+    doc = PdfDoc(b"%PDF-1.4\n")  # empty doc, used only for stream_bytes
+    payload = b"BT (filter test) Tj ET " * 4
+
+    a85 = base64.a85encode(payload) + b"~>"
+    obj = StreamObj({"/Filter": "/ASCII85Decode", "/Length": len(a85)}, a85)
+    assert doc.stream_bytes(obj) == payload
+
+    # RunLength: L=4 copies 5 literal bytes, L=251 repeats next byte 6 times
+    assert _rle_decode(b"\x04hello" + bytes([251]) + b"x" + b"\x80") == b"hello" + b"x" * 6
+    obj = StreamObj({"/Filter": "/RunLengthDecode"}, b"\x02abc\x80")
+    assert doc.stream_bytes(obj) == b"abc"
+
+    # LZW round-trip against a hand-rolled encoder
+    def lzw_encode(data: bytes) -> bytes:
+        table = {bytes([i]): i for i in range(256)}
+        nxt = 258
+        width = 9
+        out = []
+        bits = []
+        def emit(code):
+            bits.append((code, width))
+        emit(256)
+        w = b""
+        for ch in data:
+            wc = w + bytes([ch])
+            if wc in table:
+                w = wc
+            else:
+                emit(table[w])
+                table[wc] = nxt
+                nxt += 1
+                if nxt >= (1 << width) - 1 and width < 12:
+                    width += 1
+                w = bytes([ch])
+        if w:
+            emit(table[w])
+        emit(257)
+        acc = n = 0
+        ba = bytearray()
+        for code, wd in bits:
+            acc = (acc << wd) | code
+            n += wd
+            while n >= 8:
+                ba.append((acc >> (n - 8)) & 0xFF)
+                n -= 8
+        if n:
+            ba.append((acc << (8 - n)) & 0xFF)
+        return bytes(ba)
+
+    msg = b"TOBEORNOTTOBEORTOBEORNOT" * 8
+    assert _lzw_decode(lzw_encode(msg)) == msg
+    obj = StreamObj({"/Filter": "/LZWDecode"}, lzw_encode(payload))
+    assert doc.stream_bytes(obj) == payload
+
+
+def test_png_predictor_up_roundtrip():
+    from corsearch_project_spark.webextract.pdfx import StreamObj
+
+    doc = PdfDoc(b"%PDF-1.4\n")
+    rowlen = 7
+    rows = [bytes((i * 13 + j * 7) % 256 for j in range(rowlen)) for i in range(9)]
+    raw = bytearray()
+    prior = bytes(rowlen)
+    for row in rows:
+        raw += bytes([2]) + bytes((row[j] - prior[j]) & 0xFF for j in range(rowlen))
+        prior = row
+    comp = zlib.compress(bytes(raw))
+    obj = StreamObj(
+        {
+            "/Filter": "/FlateDecode",
+            "/DecodeParms": {"/Predictor": 12, "/Columns": rowlen},
+        },
+        comp,
+    )
+    assert doc.stream_bytes(obj) == b"".join(rows)
