@@ -22,9 +22,23 @@ def quantized(col: Column) -> Column:
     )
 
 
-def idot(a: Column, b: Column) -> Column:
-    """Exact integer dot product of two bigint arrays via higher-order fns
-    (SURVEY §2.8 O13) — JVM-side, no UDF."""
+def idot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Exact integer dot product of two bigint arrays (SURVEY §2.8 O13) —
+    JVM-side, no UDF.
+
+    With ``dim`` given, the product is an EXPLICIT Σ a[i]*b[i] expansion
+    that stays inside whole-stage codegen; without it, the general
+    aggregate/zip_with higher-order form. The two are arithmetically
+    identical (same left-to-right integer adds, same null semantics for
+    all-or-nothing arrays), but HOF lambdas are CodegenFallback —
+    interpreted and boxed per element, measured ~100× slower — so every
+    fixed-dim hot path (cosine verify over candidate pairs, qnorms) must
+    pass dim."""
+    if dim is not None:
+        s: Column = a.getItem(0) * b.getItem(0)
+        for i in range(1, dim):
+            s = s + a.getItem(i) * b.getItem(i)
+        return s
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda s, v: s + v
     )

@@ -1,15 +1,22 @@
 """Similarity search over an embedding column (array<float>).
 
-Two tiers (SURVEY-mandated training-data ops):
+Tiers (SURVEY-mandated training-data ops):
 
   * brute-force cosine top-k — the correctness baseline: one broadcast of
     the query vector, a JVM higher-order-function dot product per row, and
     TakeOrderedAndProject for the top-k (no global sort).
-  * LSH-bucketed ANN — the scale path: 8 sign-random-projection hyperplanes
+  * LSH-bucketed ANN (+ multi-probe) — 8 sign-random-projection hyperplanes
     (derived from the portable hash so the DuckDB oracle reproduces them)
-    assign each vector a bucket; search touches only the query's bucket.
-    At 10^12 rows the bucket column becomes the table's partition key, so
-    candidate retrieval is a partition-pruned scan, not a full pass.
+    assign each vector a bucket; search touches only the query's bucket
+    (or its Hamming-1 neighborhood). At 10^12 rows the bucket column
+    becomes the table's partition key, so candidate retrieval is a
+    partition-pruned scan, not a full pass.
+  * Composed embedding dedup (`lsh_near_dup_pairs`) — wide (48-plane)
+    banded signatures via ONE Arrow matmul stage (`lsh_signature_arrow`;
+    see its docstring for why Catalyst loses at this width), banded
+    equi-join candidates, exact quantized-cosine verify.
+  * IVF — broadcast centroids, partial-agg argmax assignment, probe-set
+    search.
 
 All arithmetic is quantized (round(x*1000) → bigint) making dot products
 and norms exact integers; the single double division + sqrt at the end is
@@ -29,10 +36,13 @@ def with_quantized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("qe", quantized(F.col(vec_col)))
 
 
+DIM = 64  # embedding dimensionality of the contract table (TESTDATA.md)
+
+
 def with_qnorm(df: DataFrame, out: str = "qn") -> DataFrame:
     """Materialize the (exact integer) self-dot once per vector so join-side
     scoring never recomputes norms per pair — at k centroids or b bucket
-    candidates that is k×/b× fewer HOF evaluations."""
+    candidates that is k×/b× fewer dot-product evaluations."""
     return df.withColumn(out, idot(F.col("qe"), F.col("qe")))
 
 
@@ -47,11 +57,20 @@ def cosine_q(qa: Column, qb: Column) -> Column:
     )
 
 
-def cosine_qn(qa: Column, qb: Column, na: Column, nb: Column) -> Column:
+def cosine_qn(
+    qa: Column, qb: Column, na: Column, nb: Column, dim: int | None = None
+) -> Column:
     """cosine_q with both norms precomputed (with_qnorm). Bit-identical:
-    the same integer norms cast to double through the same expression."""
+    the same integer norms cast to double through the same expression.
+
+    ``dim`` opts into idot's explicit codegen expansion — pass it ONLY on
+    single-pair hot paths (the LSH verify join); expanding it inside
+    many-centroid scoring multiplies the expression tree by the centroid
+    count and Janino compile time dominates (measured: q_sim_ivf_ann
+    2.3 s → 8.3 s when expansion leaked into the IVF argmax)."""
     return F.round(
-        idot(qa, qb).cast("double") / F.sqrt(na.cast("double") * nb.cast("double")),
+        idot(qa, qb, dim=dim).cast("double")
+        / F.sqrt(na.cast("double") * nb.cast("double")),
         6,
     )
 
@@ -98,16 +117,91 @@ def with_lsh_bucket(
 ) -> DataFrame:
     """(id, qe, bucket): bucket = Σ_p (⟨sgn_p, qe⟩ > 0) << p over the
     constant sign matrix — one narrow projection per row, no joins, no
-    shuffles; the bucket column is what a 10^12-row table partitions on."""
+    shuffles; the bucket column is what a 10^12-row table partitions on.
+
+    The per-plane projection is an EXPLICIT ±element_at sum, not an
+    aggregate/zip_with HOF: higher-order lambdas are CodegenFallback
+    (interpreted, boxed, ~100× slower per element — measured 10.9 s for
+    2000 rows × 48 planes vs 0.1 s for this form). dim×n_planes explicit
+    terms stay inside whole-stage codegen, which is the only shape that
+    survives a 10^12-row signature pass."""
     planes = plane_matrix(n_planes, dim)
+    qe = F.col("qe")
+    elems = [qe.getItem(i) for i in range(dim)]
     bucket: Column = F.lit(0).cast("long")
     for p, row in enumerate(planes):
-        arr = F.array(*[F.lit(v).cast("long") for v in row])
-        proj = idot(F.col("qe"), arr)
+        pos = [elems[i] for i in range(dim) if row[i] > 0]
+        neg = [elems[i] for i in range(dim) if row[i] < 0]
+        proj: Column = pos[0] if pos else F.lit(0).cast("long")
+        for e in pos[1:]:
+            proj = proj + e
+        for e in neg:
+            proj = proj - e
         bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
     return with_quantized(df).select(F.col(id_col), "qe", bucket.alias("bucket"))
+
+
+def lsh_signature_arrow(
+    df: DataFrame, n_planes: int, dim: int = DIM, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, qe, bucket, qn) via ONE Arrow-vectorized matmul stage — the
+    wide-signature scale path.
+
+    Catalyst offers two native shapes for a 48-plane sign projection and
+    both lose: aggregate/zip_with HOFs are CodegenFallback (interpreted +
+    boxed per element — measured 10.9 s for 2000 rows), and the explicit
+    Σ±qe[i] expansion is a 3072-term expression whose Janino compile alone
+    costs ~10 s per fresh plan. A numpy int64 matmul per Arrow batch is
+    exact (same md5-parity sign matrix, HALF_UP quantization identical to
+    F.round), bucket-equal to the Catalyst arm (gated in
+    tests/test_dedup_plans.py), and runs at memory bandwidth. Same
+    mapInArrow discipline as the extraction kernel: one Python stage, no
+    per-row Python. The 8-plane ANN path stays pure-JVM (`with_lsh_bucket`)
+    where the expression is small enough for codegen."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    planes_t = np.array(plane_matrix(n_planes, dim), dtype=np.int64).T  # dim×P
+    shifts = np.arange(n_planes, dtype=np.int64)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("qe", T.ArrayType(T.LongType())),
+            T.StructField("bucket", T.LongType()),
+            T.StructField("qn", T.LongType()),
+        ]
+    )
+    arrow_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("qe", pa.list_(pa.int64())),
+            pa.field("bucket", pa.int64()),
+            pa.field("qn", pa.int64()),
+        ]
+    )
+
+    def sig(batches):
+        for rb in batches:
+            pdf = rb.to_pandas()
+            v = np.stack(pdf["embedding"].values).astype(np.float64) * 1000.0
+            # HALF_UP (away from zero), bit-identical to F.round(x, 0)
+            q = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+            bits = (q @ planes_t > 0).astype(np.int64)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    id_col: pdf[id_col].values,
+                    "qe": list(q),
+                    "bucket": (bits << shifts).sum(axis=1),
+                    "qn": (q * q).sum(axis=1),
+                },
+                schema=arrow_schema,
+            )
+
+    return df.select(id_col, "embedding").mapInArrow(sig, out_schema)
 
 
 def lsh_topk(
@@ -182,8 +276,8 @@ def near_dup_pairs(
 def lsh_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.35,
-    n_planes: int = N_PLANES,
-    band_planes: int = 4,
+    n_planes: int = 48,
+    band_planes: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -199,6 +293,13 @@ def lsh_near_dup_pairs(
     (1-(1-p^band_planes)^n_bands, p = 1-θ/π), measured against the exact arm
     in tests/test_dedup_plans.py on a clustered fixture.
 
+    ``band_planes`` is the fan-out knob and MUST grow with n: expected
+    candidates ≈ n²·n_bands/2^band_planes, so bucket width 2^band_planes
+    is sized to keep per-bucket membership near-constant (8 bits → 256
+    buckets/band; the r1 default of 4 bits → 16 buckets produced 12% of
+    ALL pairs as candidates at n=2000 — quadratic in disguise). 48/8 keeps
+    model recall ≈0.87 at cos≥0.9 while cutting candidates 16×.
+
     At 10^12 rows: signature pass is narrow per-row projections (no
     shuffle), the band self-join shuffles only (band, value) keys, and the
     verify join pulls just the candidate pairs' vectors."""
@@ -207,10 +308,12 @@ def lsh_near_dup_pairs(
     n_bands = n_planes // band_planes
     mask = (1 << band_planes) - 1
     # The bucketed relation feeds four join sides (two banded, two verify);
-    # persist so the 8-plane HOF projection runs once per row — at cluster
-    # scale this is the materialized signature/bucket table (same shape as
-    # minhash_lsh_pairs' persisted sig).
-    qv = with_qnorm(with_lsh_bucket(df, n_planes, dim=dim, id_col=id_col)).persist()
+    # persist so the signature matmul runs once per row — at cluster scale
+    # this is the materialized signature/bucket table (same shape as
+    # minhash_lsh_pairs' persisted sig). lsh_signature_arrow (not the
+    # Catalyst expression arm) because 48 planes is past the width where
+    # codegen stays viable — see its docstring for the measurements.
+    qv = lsh_signature_arrow(df, n_planes, dim=dim, id_col=id_col).persist()
     stack_args = ", ".join(
         f"{b}, (shiftright(bucket, {b * band_planes}) & {mask})"
         for b in range(n_bands)
@@ -242,7 +345,9 @@ def lsh_near_dup_pairs(
         .select(
             "vec_a",
             "vec_b",
-            cosine_qn(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")).alias(
+            cosine_qn(
+                F.col("qa"), F.col("qb"), F.col("na"), F.col("nb"), dim=dim
+            ).alias(
                 "cos_sim"
             ),
         )

@@ -215,9 +215,11 @@ def q_sim_topk(spark, sf_dir):
 
 # Shared oracle fragment: sign-random-projection LSH buckets over the
 # quantized embeddings — the exact SQL twin of simsearch.with_lsh_bucket
-# (same md5-parity sign matrix, same integer projections). Used by
-# q_sim_lsh_ann, q_sim_lsh_multiprobe and q_dedup_embed_lsh.
-_SQL_LSH_BUCKETS = f"""
+# (same md5-parity sign matrix, same integer projections). The 8-plane
+# instance serves the ANN probes; q_dedup_embed_lsh instantiates 48 planes
+# (6 bands x 8 bits) to match lsh_near_dup_pairs' banding defaults.
+def _sql_lsh_buckets(n_planes: int = 8) -> str:
+    return f"""
     qv AS (SELECT vec_id, {SQL_QUANT} AS qe FROM embeddings),
     pos AS (
         SELECT vec_id, qe, unnest(generate_series(0, len(qe) - 1)) AS i FROM qv
@@ -227,7 +229,7 @@ _SQL_LSH_BUCKETS = f"""
         SELECT d.vec_id, pl.p AS p,
                CAST(SUM(CASE WHEN {SQL_PHASH.format(s="CAST(pl.p AS VARCHAR) || ':' || CAST(d.i AS VARCHAR)")} % 2 = 1
                              THEN 1 ELSE -1 END * d.x) AS BIGINT) AS proj
-        FROM dims d CROSS JOIN range(0, 8) pl(p) GROUP BY 1, 2
+        FROM dims d CROSS JOIN range(0, {n_planes}) pl(p) GROUP BY 1, 2
     ),
     buckets AS (
         SELECT vec_id,
@@ -235,6 +237,9 @@ _SQL_LSH_BUCKETS = f"""
                              ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
         FROM proj GROUP BY 1
     )"""
+
+
+_SQL_LSH_BUCKETS = _sql_lsh_buckets(8)
 
 
 @query(
@@ -291,11 +296,11 @@ def q_sim_lsh_multiprobe(spark, sf_dir):
 @query(
     "q_dedup_embed_lsh",
     f"""
-    WITH {_SQL_LSH_BUCKETS},
+    WITH {_sql_lsh_buckets(48)},
     banded AS (
         SELECT vec_id, bd.bd AS band,
-               (bucket >> (bd.bd * 4)) & 15 AS bv
-        FROM buckets CROSS JOIN range(0, 2) bd(bd)
+               (bucket >> (bd.bd * 8)) & 255 AS bv
+        FROM buckets CROSS JOIN range(0, 6) bd(bd)
     ),
     cands AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -314,7 +319,7 @@ def q_sim_lsh_multiprobe(spark, sf_dir):
                 6) >= 0.35
     """,
     doc="Composed embedding dedup, the scale path: banded sign-LSH candidate "
-    "generation (2 bands x 4 planes, equi-join on band value) -> exact "
+    "generation (6 bands x 8 planes, equi-join on band value) -> exact "
     "quantized-cosine verification of candidates only. The all-pairs "
     "q_dedup_embed is the bounded control arm; this is the plan a 100 TB "
     "curation run calls (operators.simsearch.lsh_near_dup_pairs).",

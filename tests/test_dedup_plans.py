@@ -175,7 +175,7 @@ def test_lsh_near_dup_recall_vs_exact_arm(spark):
     """Composed LSH dedup (banded candidates -> exact verify) vs the
     all-pairs exact arm on a clustered fixture: precision 1.0 by
     construction (both arms verify with the same cosine), recall must clear
-    the banding model's floor (2 bands x 4 planes at cos>=0.9 => ~0.8+)."""
+    the banding model's floor (6 bands x 8 planes at cos>=0.9 => ~0.87)."""
     from corsearch_project_spark.operators import simsearch as S
 
     emb = _clustered_embeddings(spark)
@@ -210,3 +210,23 @@ def test_lsh_multiprobe_improves_recall(spark):
     r_multi = len(multi & set(bf)) / k
     assert r_multi >= r_single
     assert r_multi >= 0.6, f"multiprobe recall@{k} {r_multi:.2f} too low"
+
+
+def test_lsh_signature_arrow_equals_catalyst_arm(spark):
+    """The Arrow matmul signature pass must be BIT-IDENTICAL to the
+    Catalyst expression arm — same md5-parity sign matrix, same HALF_UP
+    quantization, same qe/qn/bucket — on real embeddings (sf smoke) for
+    both a narrow (8) and wide (48) plane count."""
+    from corsearch_project_spark.operators import simsearch as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    for n_planes in (8, 48):
+        arrow = {
+            r["vec_id"]: (tuple(r["qe"]), r["bucket"], r["qn"])
+            for r in S.lsh_signature_arrow(emb, n_planes).collect()
+        }
+        expr = {
+            r["vec_id"]: (tuple(r["qe"]), r["bucket"], r["qn"])
+            for r in S.with_qnorm(S.with_lsh_bucket(emb, n_planes)).collect()
+        }
+        assert arrow == expr, f"signature arms diverge at n_planes={n_planes}"
