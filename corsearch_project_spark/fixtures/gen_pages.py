@@ -213,6 +213,7 @@ def make_pdf(
     rng: random.Random,
     force_font: str | None = None,
     force_layout: str | None = None,
+    force_form: bool | None = None,
 ) -> bytes:
     """1–3 pages; FlateDecode content streams using only
     BT/ET, Tf, Tm, Td, TD, TL, T*, Tj, TJ, ', Tc, Tw; three font arms —
@@ -225,9 +226,14 @@ def make_pdf(
     entry rows — the dominant shape of real crawl PDFs). Both arms encode
     the SAME words, so extracted text is layout-invariant.
 
-    ``force_font`` ∈ {winansi, tounicode, type0} and ``force_layout`` ∈
-    {classic, objstm} pin the arms for tests WITHOUT changing rng
-    consumption (rolls are always drawn; the layout roll derives from the
+    A third arm (``use_form`` / ``force_form``) routes ~25% of PDFs' page
+    content through an identity-matrix /Subtype /Form XObject invoked by
+    ``Do`` — the pdftex/stamping shape — with extraction proven
+    form-invariant.
+
+    ``force_font`` ∈ {winansi, tounicode, type0}, ``force_layout`` ∈
+    {classic, objstm} and ``force_form`` pin the arms for tests WITHOUT
+    changing rng consumption (rolls are always drawn; the layout roll derives from the
     font roll rather than the main stream, so pre-layout corpora keep
     byte-identical words), so the same seed yields the same words under
     every arm combination."""
@@ -238,8 +244,12 @@ def make_pdf(
     )
     # layout roll from a derived stream: must not consume from `rng` (the
     # frozen golden corpus pins the word stream drawn after this point)
-    lay_roll = random.Random(int(roll * (1 << 53))).random()
-    layout = force_layout or ("objstm" if lay_roll < 0.35 else "classic")
+    lay_rng = random.Random(int(roll * (1 << 53)))
+    layout = force_layout or ("objstm" if lay_rng.random() < 0.35 else "classic")
+    # ~25% of PDFs route page content through a /Subtype /Form XObject with
+    # an identity matrix (the pdftex/stamping shape real crawl PDFs carry):
+    # same words, same coordinates — extraction must be form-invariant.
+    use_form = lay_rng.random() < 0.25 if force_form is None else force_form
     objs: List[bytes] = []  # 1-indexed
 
     def add(obj: bytes) -> int:
@@ -351,17 +361,40 @@ def make_pdf(
             text_column(72.0, paras(rng.randint(1, 3), 5, 9))
 
         content = ("\n".join(ops) + "\n").encode("cp1252", errors="replace")
-        comp = zlib.compress(content)
-        c_num = add(
-            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
-            + comp
-            + b"\nendstream"
-        )
-        page_num = add(
-            b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
-            b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R >>"
-            % (pages_num, font_num, c_num)
-        )
+        if use_form:
+            fcomp = zlib.compress(content)
+            form_num = add(
+                b"<< /Type /XObject /Subtype /Form /Matrix [1 0 0 1 0 0] "
+                b"/Resources << /Font << /F1 %d 0 R >> >> "
+                b"/Length %d /Filter /FlateDecode >>\nstream\n"
+                % (font_num, len(fcomp))
+                + fcomp
+                + b"\nendstream"
+            )
+            comp = zlib.compress(b"/Fm1 Do\n")
+            c_num = add(
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+                + comp
+                + b"\nendstream"
+            )
+            page_num = add(
+                b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 %d 0 R >> "
+                b"/XObject << /Fm1 %d 0 R >> >> /Contents %d 0 R >>"
+                % (pages_num, font_num, form_num, c_num)
+            )
+        else:
+            comp = zlib.compress(content)
+            c_num = add(
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+                + comp
+                + b"\nendstream"
+            )
+            page_num = add(
+                b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R >>"
+                % (pages_num, font_num, c_num)
+            )
         page_nums.append(page_num)
 
     objs[catalog_num - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num

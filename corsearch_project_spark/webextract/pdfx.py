@@ -578,7 +578,63 @@ class Run:
     size: float
 
 
-def interpret_content(doc: PdfDoc, content: bytes, fonts: Dict[str, FontDecoder]) -> List[Run]:
+def _fonts_from_res(doc: PdfDoc, res: dict) -> Dict[str, "FontDecoder"]:
+    fonts_d = doc.resolve(res.get("/Font"))
+    fonts: Dict[str, FontDecoder] = {}
+    if isinstance(fonts_d, dict):
+        for name, fobj in fonts_d.items():
+            fd = doc.resolve(fobj)
+            if isinstance(fd, StreamObj):
+                fd = fd.d
+            if isinstance(fd, dict):
+                fonts[name] = FontDecoder(doc, fd)
+    return fonts
+
+
+def _xobjects_from_res(doc: PdfDoc, res: dict) -> dict:
+    xo = doc.resolve(res.get("/XObject"))
+    return xo if isinstance(xo, dict) else {}
+
+
+def _skip_inline_image(content: bytes, i: int) -> int:
+    """Position just past the EI of a BI…ID…EI inline image. The binary
+    payload can contain byte sequences that look like text operators, so
+    the interpreter must jump over it, never tokenize it. Returns end of
+    content on malformed input (skip-don't-raise)."""
+    n = len(content)
+    j = content.find(b"ID", i)
+    if j < 0:
+        return n
+    j += 2
+    if j < n and content[j] in _WS_SET:
+        j += 1
+    while True:
+        k = content.find(b"EI", j)
+        if k < 0:
+            return n
+        before_ok = k == 0 or content[k - 1] in _WS_SET
+        after = content[k + 2 : k + 3]
+        after_ok = not after or after[0] in _WS_SET or after[0] in _DELIM
+        if before_ok and after_ok:
+            return k + 2
+        j = k + 2
+
+
+def interpret_content(
+    doc: PdfDoc,
+    content: bytes,
+    fonts: Dict[str, FontDecoder],
+    xobjects: Optional[dict] = None,
+    depth: int = 0,
+) -> List[Run]:
+    """Content-stream interpreter (E13). ``xobjects`` maps names to
+    /Subtype /Form stream objects so `Do` recurses into form content —
+    real crawl PDFs routinely put body text inside Form XObjects (headers,
+    stamped pages, pdftex groups); without recursion that text is silently
+    lost. Depth-capped at 8 (forms referencing forms; cycles impossible
+    beyond the cap). A form's /Matrix translate+scale components map its
+    runs into page space; skew terms are ignored (never emitted by the
+    text-document generators this targets)."""
     runs: List[Run] = []
     i = 0
     n = len(content)
@@ -656,6 +712,39 @@ def interpret_content(doc: PdfDoc, content: bytes, fonts: Dict[str, FontDecoder]
                         show(el)
                     elif isinstance(el, (int, float)):
                         cx -= el / 1000.0 * size * sx
+            elif op == "BI":
+                i = _skip_inline_image(content, i)
+            elif op == "Do" and a and depth < 8:
+                xo = (xobjects or {}).get(a[-1] if isinstance(a[-1], str) else "")
+                xo = doc.resolve(xo)
+                if isinstance(xo, StreamObj) and xo.d.get("/Subtype") == "/Form":
+                    xres = doc.resolve(xo.d.get("/Resources")) or {}
+                    if isinstance(xres, StreamObj):
+                        xres = xres.d
+                    xfonts = _fonts_from_res(doc, xres) if isinstance(xres, dict) else {}
+                    xxobjs = _xobjects_from_res(doc, xres) if isinstance(xres, dict) else {}
+                    child = interpret_content(
+                        doc,
+                        doc.stream_bytes(xo),
+                        xfonts or fonts,  # forms often inherit page fonts
+                        xxobjs or xobjects,
+                        depth + 1,
+                    )
+                    m = doc.resolve(xo.d.get("/Matrix"))
+                    ma, md, me, mf = 1.0, 1.0, 0.0, 0.0
+                    if isinstance(m, list) and len(m) == 6:
+                        try:
+                            ma, md = float(m[0]), float(m[3])
+                            me, mf = float(m[4]), float(m[5])
+                        except Exception:
+                            pass
+                    if (ma, md, me, mf) == (1.0, 1.0, 0.0, 0.0):
+                        runs.extend(child)
+                    else:
+                        runs.extend(
+                            Run(r.text, ma * r.x + me, md * r.y + mf, r.size * md)
+                            for r in child
+                        )
             # Tc/Tw/ET/other operators: state tracked implicitly or ignored
             stack = []
         else:
@@ -761,19 +850,12 @@ def extract_pdf(data: bytes, rule: Rule = DEFAULT_RULE):
         res = doc.resolve(page.get("/Resources")) or {}
         if isinstance(res, StreamObj):
             res = res.d
-        fonts_d = doc.resolve(res.get("/Font")) if isinstance(res, dict) else {}
-        fonts: Dict[str, FontDecoder] = {}
-        if isinstance(fonts_d, dict):
-            for name, fobj in fonts_d.items():
-                fd = doc.resolve(fobj)
-                if isinstance(fd, StreamObj):
-                    fd = fd.d
-                if isinstance(fd, dict):
-                    fonts[name] = FontDecoder(doc, fd)
+        fonts = _fonts_from_res(doc, res) if isinstance(res, dict) else {}
+        xobjs = _xobjects_from_res(doc, res) if isinstance(res, dict) else {}
         contents = doc.resolve(page.get("/Contents"))
         parts = contents if isinstance(contents, list) else [contents]
         content = b"\n".join(doc.stream_bytes(p) for p in parts if p is not None)
-        runs = interpret_content(doc, content, fonts)
+        runs = interpret_content(doc, content, fonts, xobjs)
         if not runs:
             continue
         for col_runs in cluster_columns(runs, rule.pdf_col_gap):

@@ -298,3 +298,134 @@ def test_png_predictor_up_roundtrip():
         comp,
     )
     assert doc.stream_bytes(obj) == b"".join(rows)
+
+
+def _pdf_with_form(form_content: bytes, page_content: str,
+                   matrix: bytes = b"") -> bytes:
+    """Page whose /Contents invokes a Form XObject via Do."""
+    comp = zlib.compress(page_content.encode("cp1252"))
+    fstream = zlib.compress(form_content)
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> /XObject << /Fm1 6 0 R >> >> "
+        b"/Contents 5 0 R >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>",
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+        + comp
+        + b"\nendstream",
+        b"<< /Type /XObject /Subtype /Form " + matrix
+        + b"/Resources << /Font << /F1 4 0 R >> >> "
+        b"/Length %d /Filter /FlateDecode >>\nstream\n" % len(fstream)
+        + fstream
+        + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, o in enumerate(objs, 1):
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    out += b"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n"
+    return bytes(out)
+
+
+def test_form_xobject_text_is_extracted():
+    """Text living inside a /Subtype /Form XObject (invoked by Do) must be
+    extracted — real crawl PDFs put body text in forms routinely."""
+    pdf = _pdf_with_form(
+        b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (form body text here) Tj ET",
+        "BT /F1 12 Tf 1 0 0 1 72 720 Tm (page text first) Tj ET /Fm1 Do",
+    )
+    text, spans = extract_pdf(pdf)
+    assert "page text first" in text
+    assert "form body text here" in text
+
+
+def test_form_xobject_matrix_translation_orders_lines():
+    """A form /Matrix translation must map form runs into page space: a
+    form drawn at y=0 with matrix ty=650 lands BETWEEN page lines at 700
+    and 600 in reading order."""
+    pdf = _pdf_with_form(
+        b"BT /F1 12 Tf 1 0 0 1 72 0 Tm (middle line) Tj ET",
+        "BT /F1 12 Tf 1 0 0 1 72 700 Tm (top line) Tj ET /Fm1 Do "
+        "BT /F1 12 Tf 1 0 0 1 72 600 Tm (bottom line) Tj ET",
+        matrix=b"/Matrix [1 0 0 1 0 650] ",
+    )
+    text, _ = extract_pdf(pdf)
+    assert text.index("top line") < text.index("middle line") < text.index(
+        "bottom line"
+    )
+
+
+def test_form_xobject_depth_cap_no_infinite_recursion():
+    """A form that invokes itself must terminate via the depth cap."""
+    fstream = zlib.compress(
+        b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (loop) Tj ET /Fm1 Do"
+    )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> /XObject << /Fm1 5 0 R >> >> "
+        b"/Contents 6 0 R >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>",
+        b"<< /Type /XObject /Subtype /Form "
+        b"/Resources << /Font << /F1 4 0 R >> /XObject << /Fm1 5 0 R >> >> "
+        b"/Length %d /Filter /FlateDecode >>\nstream\n" % len(fstream)
+        + fstream
+        + b"\nendstream",
+    ]
+    page = zlib.compress(b"/Fm1 Do")
+    objs.append(
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(page)
+        + page
+        + b"\nendstream"
+    )
+    out = bytearray(b"%PDF-1.4\n")
+    for i, o in enumerate(objs, 1):
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    out += b"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n"
+    text, _ = extract_pdf(bytes(out))
+    assert "loop" in text  # extracted, bounded times, no hang/raise
+
+
+def test_inline_image_binary_is_skipped():
+    """BI…ID…EI binary payloads can contain byte runs that parse as text
+    operators — the interpreter must jump the blob, not tokenize it."""
+    evil = b"\x00\x01(fake text) Tj BT ET\xff\xfe EI-not-it x"
+    content = (
+        "BT /F1 12 Tf 1 0 0 1 72 720 Tm (before image) Tj ET "
+        "BI /W 4 /H 4 /BPC 8 /CS /RGB ID ".encode()
+        + evil
+        + b" EI\nBT /F1 12 Tf 1 0 0 1 72 700 Tm (after image) Tj ET"
+    )
+    comp = zlib.compress(content)
+    pdf = _simple_pdf("")  # template only; rebuild with raw bytes content
+    # build directly: reuse _simple_pdf layout with custom bytes
+    objs_content = (
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+        + comp
+        + b"\nendstream"
+    )
+    pdf = pdf.replace(
+        pdf[pdf.index(b"5 0 obj\n") + 8 : pdf.index(b"\nendobj\n5" if False else b"\nendobj\ntrailer")],
+        objs_content,
+    )
+    text, _ = extract_pdf(pdf)
+    assert "before image" in text
+    assert "after image" in text
+    assert "fake text" not in text
+
+
+def test_form_fixture_arm_matches_direct_content_bytewise():
+    """The fixture writer's form arm (page content routed through an
+    identity-matrix Form XObject) must extract IDENTICAL text+spans to the
+    direct-content arm for the same seed, across both file layouts."""
+    for seed in (3, 11, 42):
+        for lay in ("classic", "objstm"):
+            rngs = [random.Random(seed) for _ in range(2)]
+            a = extract_pdf(make_pdf(rngs[0], force_layout=lay, force_form=False))
+            b = extract_pdf(make_pdf(rngs[1], force_layout=lay, force_form=True))
+            assert a == b
+            assert a[0]
