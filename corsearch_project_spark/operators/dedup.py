@@ -360,7 +360,7 @@ def connected_components(
         "component", F.col("doc_id")
     )
     changed = 1
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
@@ -376,30 +376,39 @@ def connected_components(
                 F.coalesce(F.col("nbr_min"), labels["component"]),
             ).alias("_c1"),
         )
-        # Pointer-jump shortcut: look up the label OF the candidate label
-        # (every label value is itself a vertex id, so the join is total).
-        # This halves each vertex's distance to the component min per round
-        # — O(log diameter) total rounds instead of O(diameter).
-        parent = labels.select(
-            F.col("doc_id").alias("_pid"), F.col("component").alias("_pcomp")
-        )
+        if rnd == 0:
+            # Round 1: every label is still its own id, so the parent lookup
+            # is the identity — skip the shortcut join entirely.
+            jumped = stepped.select(
+                "doc_id", "_old", F.col("_c1").alias("_c2")
+            )
+        else:
+            # Pointer-jump shortcut: look up the label OF the candidate
+            # label (every label value is itself a vertex id, so the join
+            # is total). This halves each vertex's distance to the
+            # component min per round — O(log diameter) total rounds
+            # instead of O(diameter).
+            parent = labels.select(
+                F.col("doc_id").alias("_pid"), F.col("component").alias("_pcomp")
+            )
+            jumped = stepped.join(
+                parent, stepped["_c1"] == parent["_pid"], "left"
+            ).select(
+                "doc_id",
+                "_old",
+                F.least(
+                    F.col("_c1"), F.coalesce(F.col("_pcomp"), F.col("_c1"))
+                ).alias("_c2"),
+            )
         # ONE materialization per round: the checkpointed relation carries
         # both the new label and a changed flag, so convergence detection is
         # a near-free scan of checkpointed data instead of a diff join
         # against the previous labels (halves the Spark jobs per round).
         updated = _materialize(
-            stepped.join(parent, stepped["_c1"] == parent["_pid"], "left")
-            .select(
+            jumped.select(
                 "doc_id",
-                F.least(
-                    F.col("_c1"), F.coalesce(F.col("_pcomp"), F.col("_c1"))
-                ).alias("component"),
-                (
-                    F.least(
-                        F.col("_c1"), F.coalesce(F.col("_pcomp"), F.col("_c1"))
-                    )
-                    < F.col("_old")
-                ).alias("_chg"),
+                F.col("_c2").alias("component"),
+                (F.col("_c2") < F.col("_old")).alias("_chg"),
             )
         )
         changed = updated.where(F.col("_chg")).limit(1).count()
