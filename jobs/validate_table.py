@@ -10,8 +10,10 @@ Checks (each one aggregate job over pruned columns):
      guarantee);
   3. lineage reconciliation — per-bucket doc_count AND the
      order-insensitive XOR-sha256 rollup recomputed from the data equal the
-     lineage rows' values (proves the ledger describes exactly the
-     committed bytes);
+     LATEST lineage row per bucket, ordered by the snapshot ledger's seq
+     (post-merge tables mix run_ids: the run that last rewrote a bucket
+     describes its current contents — proves the ledger matches exactly
+     the committed bytes);
   4. digest integrity — JVM-side sha2(extracted_text) equals the kernel's
      Python-side text_sha256 for every row (cross-runtime hash agreement).
 
@@ -37,19 +39,52 @@ from corsearch_project_spark.functions.sql import digest_xor_chunks, digest_xor_
 from corsearch_project_spark.plans.session import build_session
 
 
+def _latest_lineage(spark, lineage_path: str, snapshots_path: str | None):
+    """Latest committed lineage row per bucket, ordered by the snapshot
+    ledger's seq (the run that last rewrote a bucket describes its current
+    contents — the merge-increment job rewrites buckets under new run_ids,
+    so reconciliation can NOT assume one run owns the whole table). Falls
+    back to the raw lineage rows when no snapshots table exists."""
+    from pyspark.sql import Window
+
+    lin = spark.read.parquet(lineage_path).where(F.col("status") == "done")
+    seqs = None
+    if snapshots_path:
+        try:
+            from corsearch_project_spark.sources.snapshots import read_snapshots
+
+            snaps = read_snapshots(spark, snapshots_path)
+            if snaps is not None:
+                seqs = snaps.select("run_id", "seq").distinct()
+        except Exception:
+            seqs = None
+    if seqs is None:
+        return lin
+    w = Window.partitionBy("url_bucket").orderBy(F.desc_nulls_last("seq"))
+    return (
+        lin.join(seqs, "run_id", "left")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "seq")
+    )
+
+
 def validate_table(spark, extracted_path: str, lineage_path: str, run_id: str,
-                   buckets: int) -> dict:
+                   buckets: int, snapshots_path: str | None = None) -> dict:
     ext = spark.read.parquet(extracted_path)
-    lin = spark.read.parquet(lineage_path).where(
+    lin_run = spark.read.parquet(lineage_path).where(
         (F.col("run_id") == run_id) & (F.col("status") == "done")
     )
+    # Reconciliation target: the latest row per bucket across ALL runs
+    # (post-merge tables mix run_ids); completeness stays per --run-id.
+    lin = _latest_lineage(spark, lineage_path, snapshots_path)
     failures = []
 
     present = sorted(
         r["url_bucket"] for r in ext.select("url_bucket").distinct().collect()
     )
     expected = sorted(
-        r["url_bucket"] for r in lin.select("url_bucket").distinct().collect()
+        r["url_bucket"] for r in lin_run.select("url_bucket").distinct().collect()
     )
     # Completeness is judged against the ledger, not range(buckets): an
     # empty bucket is valid, but a ledger-done bucket absent from the data
@@ -115,11 +150,17 @@ def main(argv=None) -> int:
     ap.add_argument("--lineage", required=True)
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--buckets", type=int, required=True)
+    ap.add_argument("--snapshots", default=None,
+                    help="snapshots table path (default: sibling of --lineage)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
+    snapshots = args.snapshots or os.path.join(
+        os.path.dirname(args.lineage.rstrip("/")), "snapshots"
+    )
     spark = build_session("validate_table", master=args.master)
-    report = validate_table(spark, args.extracted, args.lineage, args.run_id, args.buckets)
+    report = validate_table(spark, args.extracted, args.lineage, args.run_id,
+                            args.buckets, snapshots_path=snapshots)
     print(json.dumps(report))
     return 0 if report["ok"] else 2
 
