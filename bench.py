@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "q_sim_ivf_ann",
     "q_text_quality",
     "q_text_langid",
+    "q_ngram_topk",
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

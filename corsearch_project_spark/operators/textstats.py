@@ -88,3 +88,35 @@ def fingerprint(text: Column, n: int = 4) -> Column:
     grams = word_shingles(text, n)
     hashes = F.transform(grams, lambda g: phash(g))
     return F.array_min(hashes)
+
+
+def hash_split(key: Column, train: int = 80, valid: int = 10) -> Column:
+    """Reproducible train/valid/test assignment from the portable hash of a
+    stable key (url/doc_id) — the standard deterministic-split recipe for
+    training corpora: membership is a pure function of the key, so reruns,
+    increments and different cluster sizes all agree; no rand(), no state.
+    Buckets: [0,train) -> 'train', [train,train+valid) -> 'valid',
+    rest -> 'test'."""
+    h = phash(key) % 100
+    return (
+        F.when(h < train, F.lit("train"))
+        .when(h < train + valid, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def pack_bins(tokens: Column, budget: int, order, partition) -> Column:
+    """Sequence-packing bin id: contiguous docs (in ``order`` within
+    ``partition``) are packed by global token cumsum — bin = floor(
+    cumsum_before / budget). One window per partition key (packing shard);
+    at 10^12 docs the shard key (lang, url_bucket, ...) bounds window state
+    per task, so no global sort materializes."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*partition)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(tokens).over(w), F.lit(0).cast("long"))
+    return F.floor(cum_before / F.lit(budget)).cast("long")

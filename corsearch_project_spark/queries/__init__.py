@@ -9,6 +9,7 @@ from corsearch_project_spark.queries import relational  # noqa: F401
 from corsearch_project_spark.queries import textsim  # noqa: F401
 from corsearch_project_spark.queries import extensions  # noqa: F401
 from corsearch_project_spark.queries import analytics  # noqa: F401
+from corsearch_project_spark.queries import training  # noqa: F401
 
 
 def spark_queries():

@@ -194,3 +194,13 @@ def test_dedupe_agg_equals_window_and_is_partial(spark, tmp_path):
     plan = dedupe_latest(pages)._jdf.queryExecution().executedPlan().toString()
     assert "partial_max" in plan
     assert "Window" not in plan
+
+
+def test_training_query_plans(spark):
+    """Training-corpus queries keep their scale shapes: the hash split is a
+    pure projection (no exchange), bigram top-k compiles to
+    TakeOrderedAndProject (no global sort)."""
+    plan = plan_of(REGISTRY["q_sample_hash_split"].fn(spark, SF_SMOKE))
+    assert "Exchange" not in plan, "hash split must not shuffle"
+    plan = plan_of(REGISTRY["q_ngram_topk"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
