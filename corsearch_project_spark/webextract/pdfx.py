@@ -23,7 +23,9 @@ unavailable offline (SURVEY.md §0.1) and the byte-identity contract
 
 Supported subset = exactly what fixtures/gen_pages.py's writer emits, which
 is legitimate because this core *defines* the golden corpus (SURVEY §1.3).
-Unsupported filters/operators are skipped deterministically (never raise).
+Unsupported filters/operators are skipped deterministically (never raise);
+encrypted documents (/Encrypt in the trailer) are detected and emit empty
+text rather than ciphertext noise.
 
 PDF spans index into the *emitted text* (there is no decoded char source for
 binary PDFs); kind is ``pdf:p<page>`` so blocks remain page-attributable.
@@ -844,6 +846,11 @@ def extract_pdf(data: bytes, rule: Rule = DEFAULT_RULE):
     try:
         doc = PdfDoc(data)
     except Exception:
+        return "", []
+    if doc.trailer.get("/Encrypt") is not None:
+        # Encrypted content streams are RC4/AES ciphertext; decoding them
+        # without key material would emit deterministic NOISE — poison in a
+        # training corpus. Detect and emit empty instead (skip-don't-raise).
         return "", []
     out_blocks: List[Tuple[str, str]] = []  # (block_text, kind)
     for pageno, page in enumerate(doc.pages(), start=1):

@@ -109,3 +109,53 @@ def test_adversarial_tokenizer_inputs_complete_quickly():
     for name, doc in cases.items():
         r = extract_document(f"http://adv.example/{name}", doc, None)
         assert r.doc_kind == "html", name
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**16), flips=st.lists(
+    st.tuples(st.floats(0.0, 0.999), st.integers(0, 255)), min_size=1, max_size=8))
+def test_corrupted_objstm_pdfs_never_raise(seed, flips):
+    """PDF 1.5 compressed layouts under random byte corruption (flipped
+    bytes hit the ObjStm payload, xref stream, predictor rows, CMaps…)
+    must extract deterministically and never raise — the decode paths all
+    follow skip-don't-raise."""
+    import random as _random
+
+    from corsearch_project_spark.fixtures.gen_pages import make_pdf
+
+    data = bytearray(make_pdf(_random.Random(seed), force_layout="objstm"))
+    for frac, val in flips:
+        data[int(frac * len(data))] = val
+    payload = bytes(data)
+    a = extract_document("https://x.test/o", payload, None, DEFAULT_RULE)
+    b = extract_document("https://x.test/o", payload, None, DEFAULT_RULE)
+    assert a.text_sha256 == b.text_sha256
+
+
+def test_encrypted_pdf_degrades_to_empty_not_crash():
+    """A PDF with an /Encrypt trailer entry (RC4/AES content) cannot be
+    decoded without key material; decoding anyway would emit ciphertext
+    NOISE into the corpus, so detection must yield EMPTY text, never raise
+    and never garbage — the crawl-scale contract."""
+    import zlib as _z
+
+    from corsearch_project_spark.webextract.pdfx import extract_pdf
+
+    comp = _z.compress(b"BT /F1 12 Tf (ciphertext-bytes-here) Tj ET")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+        + comp + b"\nendstream",
+        b"<< /Filter /Standard /V 2 /R 3 /O (o) /U (u) /P -44 >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, o in enumerate(objs, 1):
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    out += (b"trailer\n<< /Size 7 /Root 1 0 R /Encrypt 6 0 R >>\n"
+            b"startxref\n0\n%%EOF\n")
+    t1 = extract_pdf(bytes(out))
+    assert t1 == ("", [])  # detected: empty, not ciphertext noise
