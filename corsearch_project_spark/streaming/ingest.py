@@ -183,3 +183,58 @@ def running_counts_tws(events: DataFrame, key_col: str = "user_id") -> DataFrame
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_extract_with_lineage(
+    spark: SparkSession,
+    input_path: str,
+    output_root: str,
+    rules_bc,
+    run_id: str,
+    buckets: int = 64,
+    max_files_per_trigger: Optional[int] = None,
+):
+    """Continuous ingest with the SAME ledger as the batch pipeline: each
+    micro-batch runs the kernel, appends to the bucketed table, and appends
+    per-bucket lineage rows under run_id '<run>-b<batch>' — so
+    jobs/validate_table.py and the resume/merge machinery see streaming
+    commits exactly like batch commits.
+
+    foreachBatch (not a direct file sink) because one micro-batch must
+    produce TWO writes (data + lineage) atomically-enough: the lineage row
+    is written after the data append returns, mirroring the batch
+    pipeline's commit-then-ledger ordering. The stream checkpoint makes
+    file ingestion exactly-once across restarts — a drained query restarted
+    with the same checkpoint re-processes nothing (T5/T7 semantics).
+
+    At cluster scale this is the kappa-style backfill-free path: point it
+    at the landing directory of a crawler and the extracted table + ledger
+    stay continuously current."""
+    from corsearch_project_spark.sources.lineage import lineage_rows
+    from corsearch_project_spark.sources.schemas import LINEAGE_SCHEMA
+
+    out = output_root.rstrip("/")
+    extracted_path = out + "/extracted"
+    lineage_path = out + "/lineage"
+    checkpoint = out + "/checkpoint"
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ext = with_url_bucket(
+            run_kernel(batch_df.select("url", "html", "text"), rules_bc), buckets
+        ).persist()
+        (
+            ext.write.mode("append")
+            .partitionBy("url_bucket")
+            .parquet(extracted_path)
+        )
+        lin = lineage_rows(ext, f"{run_id}-b{batch_id}", input_path)
+        lin.coalesce(1).write.mode("append").parquet(lineage_path)
+        ext.unpersist()
+
+    return (
+        stream_pages(spark, input_path, max_files_per_trigger)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(process_batch)
+        .start()
+    )

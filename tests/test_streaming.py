@@ -220,3 +220,41 @@ def test_stateful_running_counts_tws(spark, tmp_path):
         ).collect()
     }
     assert final == {1: 3, 2: 2}
+
+
+def test_stream_extract_with_lineage_and_exactly_once_resume(spark, tmp_path):
+    """Continuous ingest with the batch ledger: per-micro-batch lineage rows
+    reconcile against the data (count + XOR rollup), and restarting a
+    drained query with the same checkpoint re-processes NOTHING; new files
+    landed after the first drain are picked up exactly once."""
+    rows = gen_pages(40, seed=654, dup_frac=0.0)
+    src = os.path.join(str(tmp_path), "cont_src")
+    spark.createDataFrame(pages_to_pandas(rows[:25])).write.mode("overwrite").parquet(src)
+
+    rules_bc = spark.sparkContext.broadcast(rules_to_plain(default_rules()))
+    out = os.path.join(str(tmp_path), "cont_out")
+    _drain(S.stream_extract_with_lineage(spark, src, out, rules_bc, "SRUN", buckets=8))
+
+    ext = spark.read.parquet(os.path.join(out, "extracted"))
+    assert ext.count() == 25
+    lin = spark.read.parquet(os.path.join(out, "lineage"))
+    assert lin.count() > 0
+    assert all(r["run_id"].startswith("SRUN-b") for r in lin.collect())
+
+    # ledger reconciliation: per-bucket counts match the data
+    got = {r["url_bucket"]: r["doc_count"] for r in
+           lin.groupBy("url_bucket").agg(F.sum("doc_count").alias("doc_count")).collect()}
+    want = {r["url_bucket"]: r["cnt"] for r in
+            ext.groupBy("url_bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got == want
+
+    # drain again with NO new input: nothing re-processed (exactly-once)
+    _drain(S.stream_extract_with_lineage(spark, src, out, rules_bc, "SRUN", buckets=8))
+    assert spark.read.parquet(os.path.join(out, "extracted")).count() == 25
+
+    # land the remaining 15 docs as a new file; only they are processed
+    spark.createDataFrame(pages_to_pandas(rows[25:])).write.mode("append").parquet(src)
+    _drain(S.stream_extract_with_lineage(spark, src, out, rules_bc, "SRUN", buckets=8))
+    final = spark.read.parquet(os.path.join(out, "extracted"))
+    assert final.count() == 40
+    assert final.select("url").distinct().count() == 40
