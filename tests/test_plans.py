@@ -204,3 +204,14 @@ def test_training_query_plans(spark):
     assert "Exchange" not in plan, "hash split must not shuffle"
     plan = plan_of(REGISTRY["q_ngram_topk"].fn(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q7_q8_plans_broadcast_dims_no_cartesian(spark):
+    """TPC-H Q7/Q8 snowflake gates: nation/region dims broadcast, never a
+    cartesian/nested-loop for the disjunctive pair predicate or the
+    market-share conditional."""
+    for q in ("q_volume_shipping", "q_market_share"):
+        plan = plan_of(REGISTRY[q].fn(spark, SF_SMOKE), "simple")
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+        assert plan.count("BroadcastHashJoin") >= 2, q
