@@ -9,12 +9,14 @@ composing the operators from ``operators/{textstats,dedup}.py``:
     3. near-dup candidates: MinHash+LSH pairs over word shingles
     4. connected components over the near-dup graph (canonical per cluster)
     5. curated table: stats + is_exact_dup + is_near_dup + component + keep
+  6. reproducible train/valid/test assignment (portable-hash split)
 
 Outputs: <out>/curated (bucketed like the input), <out>/dup_pairs.
 At 10^12 docs every step is a bounded number of hash-partition shuffles
 (one groupBy for signatures, one band equi-join — no pairwise scans);
 connected-component grouping runs inline via
-operators/dedup.py:connected_components (O(diameter) join rounds).
+operators/dedup.py:connected_components (pointer-jump shortcutting:
+O(log diameter) join rounds).
 
     spark-submit --py-files csp.zip jobs/run_curation.py \
         --input /data/out/extracted --output /data/curated
@@ -107,6 +109,9 @@ def run_curation(
             & (F.col("quality") >= min_quality)
             & (F.col("n_tokens") >= 5),
         )
+        # reproducible split as a pure function of the url hash: increments
+        # and reruns agree on membership (operators/textstats.hash_split)
+        .withColumn("split", X.hash_split(F.col("url")))
     )
     curated_path = output_path.rstrip("/") + "/curated"
     (

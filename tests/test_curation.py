@@ -78,3 +78,38 @@ def test_curation_near_dup_component_kills_noncanonical(spark, tmp_path):
     assert cur["https://c.test/a"]["keep"]
     assert not cur["https://c.test/b"]["keep"] and not cur["https://c.test/c"]["keep"]
     assert cur["https://c.test/unique"]["near_dup_component"] is None
+
+
+def test_curated_split_is_reproducible_and_partitioned(spark, tmp_path):
+    """The curated table's split column: pure function of url (same url ->
+    same split on rerun), all three classes present at this corpus size,
+    proportions within loose bounds of 80/10/10."""
+    import os
+
+
+    rows = gen_pages(120, seed=77, dup_frac=0.0)
+    src = str(tmp_path / "p.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(pages_to_pandas(rows)), src,
+                   coerce_timestamps="us", allow_truncated_timestamps=True)
+    out = str(tmp_path / "o")
+    run_extract(spark, ExtractConfig(input_path=src, output_path=out,
+                                     run_id="C", buckets=8))
+    cur_out = str(tmp_path / "c")
+    run_curation(spark, os.path.join(out, "extracted"), cur_out)
+    cur = spark.read.parquet(os.path.join(cur_out, "curated"))
+    splits = {r["split"]: r["n"] for r in
+              cur.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(splits) == {"train", "valid", "test"}
+    total = sum(splits.values())
+    assert splits["train"] / total > 0.6  # 80% nominal, loose bound
+    # reproducible: second curation run assigns identical splits
+    cur_out2 = str(tmp_path / "c2")
+    run_curation(spark, os.path.join(out, "extracted"), cur_out2)
+    a = {r["url"]: r["split"] for r in cur.select("url", "split").collect()}
+    b = {r["url"]: r["split"] for r in
+         spark.read.parquet(os.path.join(cur_out2, "curated"))
+         .select("url", "split").collect()}
+    assert a == b
