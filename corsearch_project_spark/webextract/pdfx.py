@@ -280,7 +280,10 @@ def _lzw_decode(data: bytes) -> Optional[bytes]:
                 return None
             out += entry
             prev = entry
-            if len(table) >= (1 << width) - 1 and width < 12:
+            # Width bump must track the ENCODER's next-code counter, which
+            # runs one ahead of this table (the first code after a clear
+            # emits without adding an entry) — hence len(table) + 1.
+            if len(table) + 1 >= (1 << width) - 1 and width < 12:
                 width += 1
     return bytes(out)
 

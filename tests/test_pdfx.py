@@ -429,3 +429,61 @@ def test_form_fixture_arm_matches_direct_content_bytewise():
             b = extract_pdf(make_pdf(rngs[1], force_layout=lay, force_form=True))
             assert a == b
             assert a[0]
+
+
+def test_ascii85_z_shorthand_and_whitespace():
+    """Real PDF ASCII85 streams use the 'z' zero-group shorthand and wrap
+    lines with whitespace — both must decode."""
+    import base64
+
+    from corsearch_project_spark.webextract.pdfx import StreamObj
+
+    doc = PdfDoc(b"%PDF-1.4\n")
+    payload = b"\0\0\0\0" + b"stream with zero groups" + b"\0\0\0\0"
+    enc = base64.a85encode(payload)
+    assert enc.startswith(b"z")  # encoder emits the shorthand
+    wrapped = enc[:10] + b"\n  " + enc[10:] + b"~>"
+    obj = StreamObj({"/Filter": "/ASCII85Decode"}, wrapped)
+    assert doc.stream_bytes(obj) == payload
+
+
+def test_lzw_code_width_transitions():
+    """LZW width must bump at table sizes 511/1023/2047 (the 'early change'
+    convention TIFF-style PDF LZW uses); a long low-entropy stream crosses
+    all three boundaries."""
+    from corsearch_project_spark.webextract.pdfx import _lzw_decode
+
+    # reuse the reference encoder from the earlier test, inline minimal copy
+    def lzw_encode(data: bytes) -> bytes:
+        table = {bytes([i]): i for i in range(256)}
+        nxt, width = 258, 9
+        bits = [(256, 9)]
+        w = b""
+        for ch in data:
+            wc = w + bytes([ch])
+            if wc in table:
+                w = wc
+            else:
+                bits.append((table[w], width))
+                table[wc] = nxt
+                nxt += 1
+                if nxt >= (1 << width) - 1 and width < 12:
+                    width += 1
+                w = bytes([ch])
+        if w:
+            bits.append((table[w], width))
+        bits.append((257, width))
+        acc = n = 0
+        ba = bytearray()
+        for code, wd in bits:
+            acc = (acc << wd) | code
+            n += wd
+            while n >= 8:
+                ba.append((acc >> (n - 8)) & 0xFF)
+                n -= 8
+        if n:
+            ba.append((acc << (8 - n)) & 0xFF)
+        return bytes(ba)
+
+    msg = bytes(range(256)) * 40  # grows the table past 2048 entries
+    assert _lzw_decode(lzw_encode(msg)) == msg
