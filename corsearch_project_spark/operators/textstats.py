@@ -107,9 +107,12 @@ def hash_split(key: Column, train: int = 80, valid: int = 10) -> Column:
 
 def pack_bins(tokens: Column, budget: int, order, partition) -> Column:
     """Sequence-packing bin id: contiguous docs (in ``order`` within
-    ``partition``) are packed by global token cumsum — bin = floor(
-    cumsum_before / budget). One window per partition key (packing shard);
-    at 10^12 docs the shard key (lang, url_bucket, ...) bounds window state
+    ``partition``) are packed by token cumsum — bin = floor(
+    cumsum_before / budget). A bin can overflow by at most the ONE doc
+    straddling its boundary (exact greedy packing needs a sequential reset
+    per bin — not expressible as a window); downstream packers truncate or
+    spill the straddler. One window per partition key (packing shard); at
+    10^12 docs the shard key (lang, url_bucket, ...) bounds window state
     per task, so no global sort materializes."""
     from pyspark.sql import Window
 

@@ -113,3 +113,49 @@ def test_curated_split_is_reproducible_and_partitioned(spark, tmp_path):
          spark.read.parquet(os.path.join(cur_out2, "curated"))
          .select("url", "split").collect()}
     assert a == b
+
+
+def test_export_corpus_shards(spark, tmp_path):
+    """extract → curate → export closes the loop: only keep=true docs land
+    in shards, partitioned by split, with pack bins that respect the token
+    budget (each bin's token sum ≤ budget unless a single doc exceeds it)."""
+    import os
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs"))
+    from export_corpus import export_corpus
+
+    rows = gen_pages(120, seed=88, dup_frac=0.1)
+    src = str(tmp_path / "p.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(pages_to_pandas(rows)), src,
+                   coerce_timestamps="us", allow_truncated_timestamps=True)
+    out = str(tmp_path / "o")
+    run_extract(spark, ExtractConfig(input_path=src, output_path=out,
+                                     run_id="E", buckets=8))
+    cur_out = str(tmp_path / "c")
+    run_curation(spark, os.path.join(out, "extracted"), cur_out)
+    shards = str(tmp_path / "shards")
+    rep = export_corpus(spark, os.path.join(out, "extracted"),
+                        os.path.join(cur_out, "curated"), shards,
+                        pack_budget=256)
+    kept = spark.read.parquet(os.path.join(cur_out, "curated")).where("keep")
+    assert rep["docs"] == kept.count() > 0
+    df = spark.read.parquet(shards)
+    # split dirs on disk
+    assert any(d.startswith("split=") for d in os.listdir(shards))
+    # bin budget: cumsum binning overflows by at most the one straddling
+    # doc — per-bin sum ≤ budget + max doc in the bin (exact greedy would
+    # need a sequential reset; documented in textstats.pack_bins)
+    bins = df.groupBy("split", "url_bucket", "bin_id").agg(
+        F.sum("n_tokens").alias("tok"), F.max("n_tokens").alias("mx"),
+        F.count(F.lit(1)).alias("n")).collect()
+    for b in bins:
+        assert b["tok"] <= 256 + b["mx"], b
+    # no dropped doc sneaks in
+    dropped = spark.read.parquet(os.path.join(cur_out, "curated")).where("NOT keep")
+    joined = df.join(dropped.select("url"), "url", "inner").count()
+    assert joined == 0
