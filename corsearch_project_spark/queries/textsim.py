@@ -528,8 +528,9 @@ def _sql_dedup_components() -> str:
     "q_dedup_components",
     _sql_dedup_components(),
     doc="Iterative connected components over the near-dup candidate graph "
-    "(canonical-document grouping): min-label propagation, one equi-join + "
-    "partial-agg groupBy per round, localCheckpoint()ed lineage — checked "
+    "(canonical-document grouping): min-label propagation with pointer-jump "
+    "shortcutting (O(log diameter) rounds), convergence-checked-or-raise, "
+    "checkpointed lineage (reliable-dir seam for clusters) — checked "
     "against a DuckDB recursive-CTE transitive closure (an iterative "
     "distributed algorithm with an exact SQL oracle).",
 )
