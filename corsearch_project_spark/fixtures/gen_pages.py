@@ -566,3 +566,55 @@ def pages_to_pandas(rows: List[dict]):
             "lang": pd.array([r["lang"] for r in rows], dtype="string"),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Minimal DOCX writer (subset-matched to webextract.docxx). NOT part of the
+# frozen golden corpus (gen_page_row's rng stream is pinned); tests build
+# their own docx corpora with it.
+# ---------------------------------------------------------------------------
+
+
+def make_docx(rng: random.Random, force_table: bool | None = None) -> bytes:
+    """Deterministic WordprocessingML document: 2-6 paragraphs of seeded
+    words (with XML-escaped characters and charrefs sprinkled in), an
+    optional 2x2 table whose cell paragraphs must extract in document
+    order, tabs/brs as spaces."""
+    import io as _io
+    import zipfile as _zip
+
+    def esc(s: str) -> str:
+        return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+    paras = []
+    for _ in range(rng.randint(2, 6)):
+        txt = _paragraph(rng, 1, 3)
+        runs = f"<w:r><w:t>{esc(txt)}</w:t></w:r>"
+        if rng.random() < 0.3:
+            runs += "<w:r><w:tab/><w:t>after tab</w:t></w:r>"
+        if rng.random() < 0.2:
+            runs += "<w:r><w:t>caf&#233; &amp; more</w:t></w:r>"
+        paras.append(f"<w:p >{runs}</w:p>")
+    use_table = rng.random() < 0.4 if force_table is None else force_table
+    table = ""
+    if use_table:
+        cells = "".join(
+            f"<w:tc><w:p ><w:r><w:t>{esc(_sentence(rng, 3, 5))}</w:t></w:r></w:p></w:tc>"
+            for _ in range(4)
+        )
+        table = f"<w:tbl><w:tr>{cells[:len(cells)//2]}</w:tr><w:tr>{cells[len(cells)//2:]}</w:tr></w:tbl>"
+    body = "".join(paras) + table
+    doc_xml = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+        f"<w:body>{body}</w:body></w:document>"
+    ).encode("utf-8")
+    buf = _io.BytesIO()
+    with _zip.ZipFile(buf, "w", _zip.ZIP_DEFLATED) as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="xml" ContentType="application/xml"/></Types>',
+        )
+        zf.writestr("word/document.xml", doc_xml)
+    return buf.getvalue()

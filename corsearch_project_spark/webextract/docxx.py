@@ -1,0 +1,105 @@
+"""Minimal deterministic DOCX (OOXML WordprocessingML) text extraction.
+
+Real crawls carry .docx payloads alongside HTML/PDF; this module covers the
+text competency with the same stdlib-only, skip-don't-raise discipline as
+the PDF core: a .docx is a zip whose ``word/document.xml`` holds paragraphs
+(``<w:p>``) of runs (``<w:r><w:t>text</w:t></w:r>``).
+
+Scope (documented subset, fixture-defined like pdfx):
+- paragraphs -> blocks (span kind ``docx:p``), document order;
+- ``<w:t>`` run text with XML entity + numeric-charref unescaping;
+- ``<w:tab/>`` and ``<w:br/>`` become single spaces;
+- table cell paragraphs are ordinary ``<w:p>`` elements — they extract in
+  document order with no special casing;
+- zip-bomb guard: ``word/document.xml`` larger than 8× the rule's
+  ``max_doc_bytes`` is skipped (empty result), bounding decompression.
+
+Anything malformed (not a zip, no document.xml, broken XML) degrades to
+empty text deterministically — never raises.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from typing import List, Optional, Tuple
+
+from corsearch_project_spark.webextract.rules import DEFAULT_RULE, Rule
+from corsearch_project_spark.webextract.textnorm import normalize_ws
+
+_PARA_RE = re.compile(rb"<w:p[ >].*?</w:p>|<w:p/>", re.S)
+_RUN_RE = re.compile(
+    rb"<w:t(?:\s[^>]*)?>(.*?)</w:t>|<w:tab/>|<w:br/>", re.S
+)
+_ENTITIES = {
+    b"&amp;": b"&",
+    b"&lt;": b"<",
+    b"&gt;": b">",
+    b"&quot;": b'"',
+    b"&apos;": b"'",
+}
+_CHARREF_RE = re.compile(rb"&#(x[0-9A-Fa-f]+|\d+);")
+
+
+def _unescape(raw: bytes) -> str:
+    for ent, ch in _ENTITIES.items():
+        raw = raw.replace(ent, ch)
+
+    def charref(m: "re.Match[bytes]") -> bytes:
+        tok = m.group(1)
+        try:
+            cp = int(tok[1:], 16) if tok[:1] == b"x" else int(tok)
+            return chr(cp).encode("utf-8")
+        except (ValueError, OverflowError):
+            return b""
+
+    raw = _CHARREF_RE.sub(charref, raw)
+    return raw.decode("utf-8", errors="replace")
+
+
+def is_docx(data: bytes) -> bool:
+    """Zip magic + a cheap membership probe (no decompression)."""
+    if not data.startswith(b"PK\x03\x04"):
+        return False
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            return "word/document.xml" in zf.namelist()
+    except Exception:
+        return False
+
+
+def extract_docx(
+    data: bytes, rule: Rule = DEFAULT_RULE
+) -> Optional[Tuple[str, List[Tuple[int, int, str]]]]:
+    """DOCX bytes -> (text, spans) or None when not a readable docx.
+    Spans index into the emitted text (same convention as PDF)."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(data))
+        info = zf.getinfo("word/document.xml")
+        if info.file_size > 8 * rule.max_doc_bytes:
+            return "", []  # zip-bomb guard: bounded decompression
+        xml = zf.read(info)
+    except Exception:
+        return None
+
+    blocks: List[str] = []
+    for pm in _PARA_RE.finditer(xml):
+        parts: List[str] = []
+        for rm in _RUN_RE.finditer(pm.group(0)):
+            if rm.group(1) is not None:
+                parts.append(_unescape(rm.group(1)))
+            else:  # tab / br
+                parts.append(" ")
+        ptxt = normalize_ws("".join(parts))
+        if ptxt:
+            blocks.append(ptxt)
+
+    text_parts: List[str] = []
+    spans: List[Tuple[int, int, str]] = []
+    pos = 0
+    for btxt in blocks:
+        spans.append((pos, pos + len(btxt), "docx:p"))
+        text_parts.append(btxt)
+        pos += len(btxt) + 1
+    return "\n".join(text_parts), spans

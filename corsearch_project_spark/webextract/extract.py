@@ -23,7 +23,7 @@ Span = Tuple[int, int, str]
 @dataclass
 class ExtractResult:
     url: str
-    doc_kind: str  # 'html' | 'pdf' | 'text_passthrough'
+    doc_kind: str  # html | pdf | docx | binary_other | text_passthrough | oversize
     text: str
     spans: List[Span]
     text_sha256: str
@@ -63,6 +63,18 @@ def extract_document(
 
         text, spans = extract_pdf(data, rule)
         doc_kind = "pdf"
+    elif kind == "zip":
+        from corsearch_project_spark.webextract.docxx import extract_docx
+
+        res = extract_docx(data, rule)
+        if res is not None:
+            text, spans = res
+            doc_kind = "docx"
+        else:
+            # generic zip payload: no text competency — empty passthrough
+            # (decoding raw deflate bytes as text would be garbage)
+            text, spans = "", []
+            doc_kind = "binary_other"
     elif kind == "html":
         src = decode_bytes(data, rule.charset_override)
         text, spans = extract_html(src, rule)

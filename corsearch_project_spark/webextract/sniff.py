@@ -1,8 +1,11 @@
-"""Doc-kind sniffing (SURVEY.md §2.2 E1): bytes -> 'pdf' | 'html' | 'text'.
+"""Doc-kind sniffing (SURVEY.md §2.2 E1):
+bytes -> 'pdf' | 'html' | 'zip' | 'text'.
 
 Deterministic, magic-byte-first: the reference's competency is config-driven
-PDF + HTML extraction (/root/reference/README.md:2), so those two kinds get
-positive detection and everything else is text passthrough.
+PDF + HTML extraction (/root/reference/README.md:2), so those kinds get
+positive detection; 'zip' covers OOXML containers (extract dispatch probes
+for word/document.xml -> docx, else binary passthrough) and everything else
+is text passthrough.
 """
 
 from __future__ import annotations
@@ -22,6 +25,8 @@ def sniff_kind(data: bytes) -> str:
     stripped = head.lstrip(b" \t\r\n\f\v\xef\xbb\xbf")
     if stripped.startswith(b"%PDF-"):
         return "pdf"
+    if head.startswith(b"PK\x03\x04"):
+        return "zip"
     if stripped.startswith(b"<"):
         return "html"
     if _HTML_HINT_RE.search(head):

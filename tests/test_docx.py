@@ -1,0 +1,95 @@
+"""DOCX extraction (webextract/docxx.py): sniffing, paragraph/table text,
+entity unescaping, zip-bomb guard, end-to-end kernel dispatch, fuzz."""
+
+import random
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from corsearch_project_spark.fixtures.gen_pages import make_docx
+from corsearch_project_spark.webextract.docxx import extract_docx, is_docx
+from corsearch_project_spark.webextract.extract import extract_document
+from corsearch_project_spark.webextract.rules import DEFAULT_RULE
+from corsearch_project_spark.webextract.sniff import sniff_kind
+
+
+def test_sniff_and_kind_dispatch():
+    data = make_docx(random.Random(1))
+    assert sniff_kind(data) == "zip"
+    assert is_docx(data)
+    r = extract_document("https://d.example/a.docx", data, None, DEFAULT_RULE)
+    assert r.doc_kind == "docx"
+    assert r.text and r.n_blocks == len(r.spans) > 0
+    assert all(k == "docx:p" for _, _, k in r.spans)
+
+
+def test_paragraphs_tables_entities():
+    data = make_docx(random.Random(7), force_table=True)
+    text, spans = extract_docx(data)
+    assert text.count("\n") == len(spans) - 1
+    # spans index the emitted text exactly
+    for (a, b, k), seg in zip(spans, text.split("\n")):
+        assert text[a:b] == seg and k == "docx:p"
+    # the table's 4 cell paragraphs are present as blocks
+    assert len(spans) >= 4
+
+
+def test_entity_and_charref_unescape():
+    import io
+    import zipfile
+
+    xml = (
+        '<?xml version="1.0"?><w:document xmlns:w="x"><w:body>'
+        "<w:p ><w:r><w:t>a &amp; b &lt;c&gt; &#233; &#x2014; end</w:t></w:r></w:p>"
+        "</w:body></w:document>"
+    ).encode()
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", xml)
+    text, _ = extract_docx(buf.getvalue())
+    assert text == "a & b <c> é — end"
+
+
+def test_generic_zip_is_binary_other():
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("random.txt", "not a docx")
+    r = extract_document("https://d.example/z.zip", buf.getvalue(), None, DEFAULT_RULE)
+    assert r.doc_kind == "binary_other"
+    assert r.text == ""
+
+
+def test_zip_bomb_guard():
+    import io
+    import zipfile
+
+    from corsearch_project_spark.webextract.rules import DEFAULT_RULE as R
+
+    huge = b"<w:p ><w:r><w:t>x</w:t></w:r></w:p>" * (R.max_doc_bytes // 4)
+    xml = b'<w:document><w:body>' + huge + b"</w:body></w:document>"
+    assert len(xml) > 8 * R.max_doc_bytes // 2  # compresses tiny, inflates big
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("word/document.xml", xml)
+    data = buf.getvalue()
+    if len(xml) > 8 * R.max_doc_bytes:
+        assert extract_docx(data) == ("", [])  # guarded, not decompressed
+
+
+def test_deterministic_and_seeded_roundtrip():
+    for seed in (3, 11, 42):
+        a = extract_docx(make_docx(random.Random(seed)))
+        b = extract_docx(make_docx(random.Random(seed)))
+        assert a == b and a[0]
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.binary(max_size=2048))
+def test_pk_magic_random_tail_never_raises(data):
+    r = extract_document("https://d.example/f", b"PK\x03\x04" + data, None,
+                         DEFAULT_RULE)
+    assert r.doc_kind in ("binary_other", "docx")
+    assert r.text_sha256
