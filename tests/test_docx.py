@@ -93,3 +93,46 @@ def test_pk_magic_random_tail_never_raises(data):
                          DEFAULT_RULE)
     assert r.doc_kind in ("binary_other", "docx")
     assert r.text_sha256
+
+
+def test_docx_rows_through_distributed_kernel(spark, tmp_path):
+    """Mixed pages corpus (html + docx + pdf) through run_extract: docx rows
+    land in the extracted table with doc_kind='docx' and digests equal the
+    single-process core."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from corsearch_project_spark.fixtures.gen_pages import (
+        gen_pages,
+        make_docx,
+        pages_to_pandas,
+    )
+    from corsearch_project_spark.plans.extract_pipeline import (
+        ExtractConfig,
+        run_extract,
+    )
+
+    rows = gen_pages(20, seed=55, dup_frac=0.0)
+    for i in range(5):
+        d = dict(rows[i])
+        d["url"] = f"https://docx.example/report/{i}"
+        d["html"] = make_docx(random.Random(1000 + i))
+        d["text"] = None
+        rows.append(d)
+    src = str(tmp_path / "p.parquet")
+    pq.write_table(pa.Table.from_pandas(pages_to_pandas(rows)), src,
+                   coerce_timestamps="us", allow_truncated_timestamps=True)
+    out = str(tmp_path / "o")
+    run_extract(spark, ExtractConfig(input_path=src, output_path=out,
+                                     run_id="DX", buckets=4))
+    ext = spark.read.parquet(os.path.join(out, "extracted"))
+    docx_rows = {r["url"]: r["text_sha256"]
+                 for r in ext.where("doc_kind = 'docx'").collect()}
+    assert len(docx_rows) == 5
+    for i in range(5):
+        text, _ = extract_docx(make_docx(random.Random(1000 + i)))
+        want = hashlib.sha256(text.encode()).hexdigest()
+        assert docx_rows[f"https://docx.example/report/{i}"] == want
