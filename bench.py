@@ -204,15 +204,25 @@ def _regression_check(timings: dict, sf: str) -> dict:
     if prev_sf != str(sf):
         return {"vs_round": f"r{latest:02d}", "flagged": {},
                 "skipped": f"sf mismatch (prev {prev_sf}, now {sf})"}
+    # Host-speed normalization: this burstable VM throttles under sustained
+    # load, slowing EVERY query by the same factor — that is environment,
+    # not regression. A genuine regression is an OUTLIER against the run's
+    # own median ratio, so the flag threshold scales with it.
+    ratios = sorted(
+        now / prev[name] for name, now in timings.items() if prev.get(name)
+    )
+    med = ratios[len(ratios) // 2] if ratios else 1.0
+    threshold = 1.3 * max(1.0, med)
     flagged = {}
     for name, now in timings.items():
         was = prev.get(name)
-        # 1.3× ratio AND >0.5 s absolute: sub-second queries jitter ±0.2 s
-        # with host load on this shared VM, which is noise, not regression
-        if was and now > 1.3 * was and now - was > 0.5:
+        # threshold ratio AND >0.5 s absolute: sub-second queries jitter
+        # ±0.2 s with host load, which is noise, not regression
+        if was and now > threshold * was and now - was > 0.5:
             flagged[name] = {"prev": was, "now": now, "ratio": round(now / was, 2)}
     return {
         "vs_round": f"r{latest:02d}",
+        "median_ratio": round(med, 3),
         "flagged": flagged,
         "new_queries": sorted(set(timings) - set(prev)),
     }
