@@ -188,6 +188,38 @@ def hardware_ceiling(n: int, n4: int, docs: int = 40_000) -> dict:
     }
 
 
+def credit_probe(docs: int = 8_000) -> float:
+    """Fast host-speed probe (docs/sec) for the burstable-vCPU credit guard.
+
+    Pinned to cores 0-7 (the same cores the pinned bench runs use) so that
+    build/edit work on the other cores during a long run does not pollute
+    the reading. The signature of credit exhaustion on this microVM is a
+    monotone decay of EXACTLY this number over a ~45-min sustained run
+    (documented in BENCH/BASELINE.md §4.1, round-2 2M attempt)."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    from corsearch_project_spark.fixtures.gen_pages import default_rules, gen_pages
+    from corsearch_project_spark.webextract.rules import rules_to_plain
+
+    rows = gen_pages(docs, seed=999, skew="heavy")
+    plain = rules_to_plain(default_rules())
+    jobs = [(rows[i::16], plain) for i in range(16)]
+    try:
+        os.sched_setaffinity(0, set(range(8)))  # children inherit the mask
+    except (AttributeError, OSError):
+        pass
+    try:
+        t0 = time.perf_counter()
+        with ProcessPoolExecutor(max_workers=8) as ex:
+            total = sum(ex.map(_ceiling_work, jobs))
+        return round(total / (time.perf_counter() - t0), 1)
+    finally:
+        try:
+            os.sched_setaffinity(0, set(range(os.cpu_count() or 32)))
+        except (AttributeError, OSError):
+            pass
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=250_000)
@@ -196,10 +228,18 @@ def main() -> int:
                     help="comma-separated N and 4N parallelism levels")
     ap.add_argument("--kernel-partitions", type=int, default=64)
     ap.add_argument("--skip-ceiling", action="store_true")
+    ap.add_argument("--out", default="scaling.json",
+                    help="artifact filename under BENCH/ (avoids clobbering "
+                         "earlier runs; BASELINE.md cites these by name)")
+    ap.add_argument("--guard-drop", type=float, default=0.15,
+                    help="abort when the interleaved credit probe drops more "
+                         "than this fraction below the run-start probe")
     args = ap.parse_args()
     masters = tuple(args.masters.split(","))
     assert len(masters) == 2
 
+    invalidated = None
+    probes = []
     workdir = tempfile.mkdtemp(prefix="csp_scaling_")
     try:
         input_path = gen_fixture(args.docs, workdir)
@@ -209,8 +249,27 @@ def main() -> int:
         )
         if ceiling:
             print(json.dumps({"hardware_ceiling": ceiling}), file=sys.stderr)
+        probes.append(credit_probe())
+        print(json.dumps({"credit_probe": probes[-1]}), file=sys.stderr)
         runs = []
         for rep in range(args.reps):  # interleaved: decorrelates host-load drift
+            if rep > 0:
+                # Credit-exhaustion guard: re-probe between rep rounds; a
+                # >guard-drop fall from the run-start probe is the throttle
+                # signature, and medians over throttled reps describe the
+                # host, not the engine — abort and mark the artifact.
+                probes.append(credit_probe())
+                print(json.dumps({"credit_probe": probes[-1]}), file=sys.stderr)
+                if probes[-1] < probes[0] * (1.0 - args.guard_drop):
+                    invalidated = (
+                        f"host-throttled: credit probe fell {probes[0]} -> "
+                        f"{probes[-1]} docs/s (> {args.guard_drop:.0%} drop) "
+                        f"before rep {rep}; aborted to avoid recording "
+                        "throttled medians"
+                    )
+                    print(json.dumps({"invalidated": invalidated}),
+                          file=sys.stderr)
+                    break
             for master in masters:
                 r = run_once(master, zip_path, input_path, workdir, rep,
                              args.kernel_partitions)
@@ -242,15 +301,21 @@ def main() -> int:
         "scaling_efficiency_pipeline": efficiency,
         "scaling_efficiency_kernel_stage": kernel_efficiency,
         "target": 0.8,
-        "pass": kernel_efficiency >= 0.8,
+        # The north rule's target is FULL-PIPELINE efficiency >= 0.8; the
+        # kernel-stage number is reported separately (round-2 verdict: a
+        # pass flag keyed on the kernel alone misleads machine readers).
+        "pass": invalidated is None and efficiency >= 0.8,
+        "pass_kernel_stage": kernel_efficiency >= 0.8,
+        "invalidated": invalidated,
+        "credit_probes_docs_per_sec": probes,
         "hardware_ceiling": ceiling,
         "runs": runs,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", os.path.basename(args.out)), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
-    return 0
+    return 0 if invalidated is None else 2
 
 
 if __name__ == "__main__":
