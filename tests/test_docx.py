@@ -33,6 +33,37 @@ def test_paragraphs_tables_entities():
     assert len(spans) >= 4
 
 
+def test_table_cells_extract_complete_and_in_order():
+    """Every cell's full text must appear, in document order — catches the
+    round-2 ADVICE bug where the fixture's mid-tag row split silently
+    dropped a cell's text and len(spans)>=4 never noticed."""
+    import io
+    import zipfile
+
+    for seed in range(50):
+        data = make_docx(random.Random(seed), force_table=True)
+        xml = zipfile.ZipFile(io.BytesIO(data)).read("word/document.xml")
+        # fixture emits well-formed rows: no tag ever split across a row
+        assert b"<w:tr>w" not in xml and b"tc><w:tr" not in xml
+        text, _ = extract_docx(data)
+        # recover the 4 cell texts straight from the XML and demand each,
+        # unescaped, appears in the extracted output in order
+        import re
+
+        from corsearch_project_spark.webextract.docxx import _unescape
+
+        cells = [
+            _unescape(m)
+            for m in re.findall(rb"<w:tc><w:p ><w:r><w:t>(.*?)</w:t>", xml)
+        ]
+        assert len(cells) == 4
+        pos = -1
+        for c in cells:
+            nxt = text.find(c, pos + 1)
+            assert nxt > pos, f"seed {seed}: cell text missing/out of order: {c!r}"
+            pos = nxt
+
+
 def test_entity_and_charref_unescape():
     import io
     import zipfile

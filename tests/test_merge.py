@@ -207,3 +207,31 @@ def test_validate_table_passes_after_merge(spark, tmp_path):
         snapshots_path=os.path.join(out, "snapshots"),
     )
     assert report0["ok"], report0["failures"]
+
+
+def test_write_extracted_dynamic_overwrite_is_config_independent(spark, tmp_path):
+    """Writer-level partitionOverwriteMode pin: even when the SESSION conf is
+    static (any default-conf caller), overwriting one bucket must not wipe
+    the others (round-2 ADVICE — silent data loss in run_merge)."""
+    from corsearch_project_spark.sources.io import ParquetBucketedFormat
+
+    fmt = ParquetBucketedFormat()
+    path = str(tmp_path / "tbl")
+    full = spark.createDataFrame(
+        [("u0", 0, "a"), ("u1", 1, "b")], "url string, url_bucket int, text string"
+    )
+    fmt.write_extracted(full, path)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        only_b1 = spark.createDataFrame(
+            [("u1", 1, "b2")], "url string, url_bucket int, text string"
+        )
+        fmt.write_extracted(only_b1, path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    got = {
+        (r.url, r.url_bucket, r.text)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {("u0", 0, "a"), ("u1", 1, "b2")}

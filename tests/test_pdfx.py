@@ -487,3 +487,149 @@ def test_lzw_code_width_transitions():
 
     msg = bytes(range(256)) * 40  # grows the table past 2048 entries
     assert _lzw_decode(lzw_encode(msg)) == msg
+
+
+# ---------------------------------------------------------------------------
+# Standard security handler (pdfcrypt): empty-user-password decryption
+# ---------------------------------------------------------------------------
+
+
+def test_encrypted_pdf_rc4_and_aes_extract_byte_identical():
+    """RC4 /R 3 and AESV2 /R 4 documents with an empty user password must
+    extract EXACTLY the plaintext document's text (ISO 32000-1 §7.6.3;
+    round-2 verdict item 5 — these were detected-and-skipped before)."""
+    import random
+
+    from corsearch_project_spark.fixtures.gen_pages import make_pdf
+
+    for mode in ("rc4", "aes"):
+        for seed in (0, 7, 23):
+            plain = make_pdf(
+                random.Random(seed), force_encrypt="none", force_layout="classic"
+            )
+            enc = make_pdf(random.Random(seed), force_encrypt=mode)
+            assert b"/Encrypt" in enc
+            t0, s0 = extract_pdf(plain)
+            t1, s1 = extract_pdf(enc)
+            assert t0 and t1 == t0 and s1 == s0
+
+
+def test_password_protected_pdf_still_skips():
+    """A REAL (non-empty) user password cannot be authenticated — output
+    must stay deterministically empty, not ciphertext noise."""
+    import random
+    import re
+
+    from corsearch_project_spark.fixtures.gen_pages import make_pdf
+    from corsearch_project_spark.webextract import pdfcrypt as C
+
+    enc = make_pdf(random.Random(3), force_encrypt="rc4")
+    # corrupt /U so no password (in particular the empty one) authenticates
+    m = re.search(rb"/U <([0-9a-f]+)>", enc)
+    assert m
+    bogus = b"00" * (len(m.group(1)) // 2)
+    broken = enc[: m.start(1)] + bogus + enc[m.end(1) :]
+    assert extract_pdf(broken) == ("", [])
+    # and a genuinely password-derived U: authenticate against "secret"
+    o = C.compute_o_value(b"own", b"secret", 3, 16)
+    key = C.compute_encryption_key(b"secret", o, -3904, b"x" * 16, 3, 16)
+    u = C.compute_u_value(key, b"x" * 16, 3)
+    assert C.authenticate_user_password(b"", o, u, -3904, b"x" * 16, 3, 16) is None
+    assert (
+        C.authenticate_user_password(b"secret", o, u, -3904, b"x" * 16, 3, 16)
+        == key
+    )
+
+
+def test_unsupported_encryption_modes_skip():
+    """V5/AES-256 and unknown crypt filters are out of scope: deterministic
+    empty output, never noise."""
+    import random
+    import re
+
+    from corsearch_project_spark.fixtures.gen_pages import make_pdf
+
+    enc = make_pdf(random.Random(11), force_encrypt="aes")
+    v5 = enc.replace(b"/V 4 /R 4", b"/V 5 /R 6")
+    assert extract_pdf(v5) == ("", [])
+    aesv3 = enc.replace(b"/CFM /AESV2", b"/CFM /AESV3")
+    assert extract_pdf(aesv3) == ("", [])
+
+
+def test_pdfcrypt_public_test_vectors():
+    from corsearch_project_spark.webextract import pdfcrypt as C
+
+    # FIPS-197 appendix C.1
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = C._encrypt_block(pt, C._expand_key(key))
+    assert ct == bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+    assert C._decrypt_block(ct, C._expand_key(key)) == pt
+    # classic RC4 vector
+    assert C.rc4(b"Key", b"Plaintext").hex().upper() == "BBF316E8D940AF0AD3"
+    # CBC padding edges roundtrip
+    for n in (0, 1, 15, 16, 17):
+        msg = bytes(range(n))
+        assert C.aes128_cbc_decrypt(key, C.aes128_cbc_encrypt(key, b"\x01" * 16, msg)) == msg
+
+
+# ---------------------------------------------------------------------------
+# Simple-font /Differences encoding arrays (§9.6.6.3)
+# ---------------------------------------------------------------------------
+
+
+def test_differences_font_arm_matches_winansi_bytewise():
+    """The diffs fixture arm re-encodes five letters through a
+    /Differences array (AGL names + an algorithmic uniXXXX name); extracted
+    text and spans must be byte-identical to the winansi arm — across the
+    classic, objstm and encrypted layouts too."""
+    import random
+
+    from corsearch_project_spark.fixtures.gen_pages import make_pdf
+
+    for seed in (0, 5, 9):
+        want, ws = extract_pdf(make_pdf(random.Random(seed), force_font="winansi"))
+        assert want
+        got, gs = extract_pdf(make_pdf(random.Random(seed), force_font="diffs"))
+        assert (got, gs) == (want, ws)
+        enc = make_pdf(random.Random(seed), force_font="diffs", force_encrypt="rc4")
+        want_c, _ = extract_pdf(
+            make_pdf(random.Random(seed), force_font="winansi", force_layout="classic",
+                     force_encrypt="none")
+        )
+        assert extract_pdf(enc)[0] == want_c
+
+
+def test_differences_table_semantics():
+    """Direct decoder check: consecutive names advance the code, a new int
+    restarts it, unnamed codes fall through to the base encoding, unknown
+    names go to U+FFFD."""
+    content = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (\xc8\xc9 normal \xd0\xd1\xd2) Tj ET"
+    comp = zlib.compress(content)
+    pdf = (
+        b"%%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /T "
+        b"/Encoding << /BaseEncoding /WinAnsiEncoding "
+        b"/Differences [200 /emdash /eacute 208 /uni0041 /nosuchglyph /germandbls] >> >>\nendobj\n"
+        b"5 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+        + comp
+        + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
+    )
+    text, _ = extract_pdf(pdf)
+    # 200=emdash 201=eacute; 208=A (uni0041) 209=U+FFFD 210=ß
+    assert text == "—é normal A�ß"
+
+
+def test_glyph_name_algorithmic_fallbacks():
+    from corsearch_project_spark.webextract.pdfx import _glyph_to_unicode
+
+    assert _glyph_to_unicode("a") == "a"
+    assert _glyph_to_unicode("emdash") == "—"
+    assert _glyph_to_unicode("uni20AC") == "€"
+    assert _glyph_to_unicode("u1F600") == "😀"
+    assert _glyph_to_unicode("madeupname") == "�"

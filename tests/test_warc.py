@@ -250,3 +250,154 @@ def test_gzip_member_iteration_is_linear_chunked():
         co = zlib.compressobj(wbits=16 + zlib.MAX_WBITS)
         members += co.compress(payload) + co.flush()
     assert gunzip_members(bytes(members)) == b"".join(want)
+
+
+def _mkrecs(n, body_fn=None):
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    out = []
+    for i in range(n):
+        body = (
+            body_fn(i)
+            if body_fn
+            else (f"<html><body><p>doc {i} " + "word " * (10 + i % 50) + "</p></body></html>").encode()
+        )
+        out.append((f"http://r.example/{i}", base + dt.timedelta(seconds=i), body))
+    return out
+
+
+def test_http_body_gzip_bomb_falls_back_to_raw():
+    """A small compressed body that would expand past the cap must come
+    back as the RAW bytes (round-2 ADVICE: unbounded zlib.decompress let a
+    bombed crawl record expand ~1000x in executor memory)."""
+    import zlib
+
+    from corsearch_project_spark.sources.warc import _http_body
+
+    bomb_plain = b"\x00" * (64 << 20)  # 64 MiB of zeros -> ~64 KiB gzipped
+    co = zlib.compressobj(wbits=16 + zlib.MAX_WBITS)
+    bomb = co.compress(bomb_plain) + co.flush()
+    assert len(bomb) < (1 << 20)
+    block = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + bomb
+    out = _http_body(block, max_body_bytes=1 << 20)
+    assert out == bomb  # raw passthrough, NOT 64 MiB in memory
+    # a normal-size gzip body still decodes under the same cap
+    co = zlib.compressobj(wbits=16 + zlib.MAX_WBITS)
+    small = co.compress(b"hello world") + co.flush()
+    block = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + small
+    assert _http_body(block, max_body_bytes=1 << 20) == b"hello world"
+
+
+def test_iter_warc_records_is_incremental():
+    """The record iterator must stream: after pulling one record, the rest
+    of the file has not been materialized into any list."""
+    from corsearch_project_spark.sources.warc import iter_warc_records
+
+    data = build_warc(_mkrecs(200), gzip_members=True)
+    it = iter_warc_records(data)
+    first = next(it)
+    assert first[0] == "http://r.example/0"
+    assert hasattr(it, "__next__")  # generator, not list
+    assert len(list(it)) == 199
+
+
+def test_batched_pages_bounds_rows_and_bytes():
+    from corsearch_project_spark.sources.warc import _batched_pages, iter_warc_records
+
+    data = build_warc(_mkrecs(500))
+    batches = list(_batched_pages(iter_warc_records(data), rows_per_batch=64))
+    assert all(b.num_rows <= 64 for b in batches)
+    assert sum(b.num_rows for b in batches) == 500
+    # byte cap kicks in before the row cap for fat bodies
+    fat = build_warc(_mkrecs(20, body_fn=lambda i: b"x" * 100_000))
+    batches = list(
+        _batched_pages(iter_warc_records(fat), rows_per_batch=1024, bytes_per_batch=250_000)
+    )
+    assert len(batches) >= 5 and sum(b.num_rows for b in batches) == 20
+
+
+def test_warc_manifest_splits_cover_file(tmp_path):
+    from corsearch_project_spark.sources.warc import warc_manifest
+
+    p = tmp_path / "seg.warc.gz"
+    p.write_bytes(build_warc(_mkrecs(300), gzip_members=True))
+    size = os.path.getsize(p)
+    splits = warc_manifest(str(p), split_bytes=10_000)
+    assert splits[0][1] == 0
+    assert sum(s[2] for s in splits) == size
+    offs = [s[1] for s in splits]
+    assert offs == sorted(offs) and len(set(offs)) == len(offs)
+
+
+def test_read_warc_ranges_matches_whole_file_gzip(spark, tmp_path):
+    """Range-scan over many small splits must produce EXACTLY the whole-file
+    parse: every record once, none dropped at split boundaries, straddling
+    members finished by the split that owns their first byte."""
+    recs = _mkrecs(400)
+    data = build_warc(recs, gzip_members=True)
+    p = tmp_path / "seg.warc.gz"
+    p.write_bytes(data)
+
+    from corsearch_project_spark.sources.warc import read_warc_ranges
+
+    # split far smaller than the file -> dozens of splits, members straddle
+    df = read_warc_ranges(spark, str(p), split_bytes=4_096)
+    got = sorted((r["url"], bytes(r["html"])) for r in df.collect())
+    want = sorted((u, b) for u, _, b in recs)
+    assert got == want
+
+
+def test_read_warc_ranges_matches_whole_file_plain(spark, tmp_path):
+    recs = _mkrecs(300)
+    p = tmp_path / "seg.warc"
+    p.write_bytes(build_warc(recs, gzip_members=False))
+
+    from corsearch_project_spark.sources.warc import read_warc_ranges
+
+    df = read_warc_ranges(spark, str(p), split_bytes=8_192)
+    got = sorted((r["url"], bytes(r["html"])) for r in df.collect())
+    want = sorted((u, b) for u, _, b in recs)
+    assert got == want
+
+
+def test_read_warc_ranges_multifile_and_single_python_stage(spark, tmp_path):
+    from corsearch_project_spark.sources.warc import read_warc_ranges
+
+    d = tmp_path / "segs"
+    d.mkdir()
+    for k in range(3):
+        recs = _mkrecs(50, body_fn=lambda i, k=k: f"<p>f{k} d{i}</p>".encode())
+        (d / f"f{k}.warc.gz").write_bytes(build_warc(recs, gzip_members=True))
+    df = read_warc_ranges(spark, str(d), split_bytes=2_000)
+    assert df.count() == 150
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") + plan.count("MapInArrow") == 1
+
+
+def test_large_warc_streams_bounded_batches(tmp_path):
+    """Verdict item 4's done-criterion: a large synthetic WARC (≈150 MB
+    decompressed) streams through the split scanner with bounded per-batch
+    row counts — no whole-file record accumulation. Pure-Python path (the
+    Spark plumbing is covered by the range tests above), so the only memory
+    held is one member + one batch."""
+    from corsearch_project_spark.sources.warc import (
+        _SplitReader,
+        _batched_pages,
+        _gzip_split_records,
+    )
+
+    n, body = 500, (b"<p>" + b"content words here " * 16_000 + b"</p>")  # ~300 KB
+    recs = _mkrecs(n, body_fn=lambda i: body)
+    p = tmp_path / "big.warc.gz"
+    p.write_bytes(build_warc(recs, gzip_members=True))
+
+    total = 0
+    with open(p, "rb") as f:
+        r = _SplitReader(f, 0)
+        for rb in _batched_pages(
+            _gzip_split_records(r, os.path.getsize(p)),
+            rows_per_batch=32,
+            bytes_per_batch=8 << 20,
+        ):
+            assert rb.num_rows <= 32
+            total += rb.num_rows
+    assert total == n
