@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "q_join_broadcast",
     "q_join_smj",
     "q_join_asof",
+    "q_join_interval",
     "q_agg_distinct",
     "q_agg_rollup",
     "q_agg_cube",
@@ -130,6 +131,31 @@ def _extract_bench(spark, n_docs: int, workdir: str) -> dict:
         "docs_per_sec": round(n_out / dt, 1),
         "kernel_docs_per_sec": round(n_k / kdt, 1),
     }
+
+
+def _warc_bench(spark, n_docs: int, workdir: str) -> dict:
+    """WARC→pages scan throughput (round-2 verdict item 10: this surface
+    had no BENCH row). A member-gzipped synthetic segment read through the
+    splittable range scan (sources/warc.read_warc_ranges) at sub-file
+    split granularity — the 100-TB path."""
+    import datetime as dt
+
+    from corsearch_project_spark.fixtures.gen_pages import gen_pages
+    from corsearch_project_spark.sources.warc import build_warc, read_warc_ranges
+
+    rows = gen_pages(n_docs, seed=4321)
+    base = dt.datetime(2024, 1, 1)
+    recs = [
+        (r["url"], r["warc_ts"] or base, r["html"] or (r["text"] or "").encode())
+        for r in rows
+    ]
+    path = os.path.join(workdir, "seg.warc.gz")
+    with open(path, "wb") as f:
+        f.write(build_warc(recs, gzip_members=True))
+    t0 = time.perf_counter()
+    n = read_warc_ranges(spark, path, split_bytes=1 << 20).count()
+    sec = time.perf_counter() - t0
+    return {"docs": n, "sec": round(sec, 3), "docs_per_sec": round(n / sec, 1)}
 
 
 def _udf_boundary_bench(spark, sf_dir: str) -> dict:
@@ -246,6 +272,7 @@ def main() -> int:
     workdir = tempfile.mkdtemp(prefix="csp_bench_")
     try:
         extract = _extract_bench(spark, EXTRACT_DOCS, workdir)
+        warc = _warc_bench(spark, min(EXTRACT_DOCS, 8000), workdir)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -262,6 +289,7 @@ def main() -> int:
                 "queries": timings,
                 "sf": sf,
                 "extract": extract,
+                "warc": warc,
                 "udf_boundary": udf_boundary,
                 "regression_check": _regression_check(timings, sf),
             }

