@@ -679,6 +679,11 @@ def _glyph_to_unicode(name: str) -> str:
     return "�"
 
 
+# Simple-font base encodings with stdlib codecs; /StandardEncoding and
+# anything unknown fall back to latin-1 (deterministic superset decode).
+_BASE_CODECS = {"/WinAnsiEncoding": "cp1252", "/MacRomanEncoding": "mac_roman"}
+
+
 class FontDecoder:
     """Font decoder: ToUnicode CMap > WinAnsi > latin-1 for single-byte
     simple fonts, plus composite Type0/Identity-H fonts (2-byte CIDs, the
@@ -704,7 +709,7 @@ class FontDecoder:
         # so decode stays a flat per-byte lookup.
         if isinstance(enc, dict):
             base = doc.resolve(enc.get("/BaseEncoding"))
-            codec = "cp1252" if base == "/WinAnsiEncoding" else "latin-1"
+            codec = _BASE_CODECS.get(base, "latin-1")
             table = [
                 bytes([b]).decode(codec, errors="replace") for b in range(256)
             ]
@@ -738,7 +743,7 @@ class FontDecoder:
                         cmap[k] = chr(base + (k - lo_i))
             if cmap:
                 self.cmap = cmap
-        self.codec = "cp1252" if enc == "/WinAnsiEncoding" else "latin-1"
+        self.codec = _BASE_CODECS.get(enc, "latin-1")
 
     def decode(self, raw: bytes) -> str:
         if self.code_bytes == 2:

@@ -650,3 +650,17 @@ def test_aes_ttable_fast_path_matches_reference():
         ct = C._encrypt_block(b, C._expand_key(k))
         assert C._encrypt_block_fast(b, rkw) == ct
         assert C._decrypt_block_fast(ct, C._decrypt_key_words(rkw)) == b
+
+
+def test_macroman_base_encoding():
+    font = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /T "
+        b"/Encoding /MacRomanEncoding >>"
+    )
+    # target bytes 0x8E (MacRoman é) and 0xD0 (MacRoman en dash), written
+    # via their cp1252 characters since _simple_pdf encodes with cp1252
+    pdf = _simple_pdf(
+        "BT /F1 12 Tf 1 0 0 1 72 720 Tm (cafŽ Ð ok) Tj ET", font=font
+    )
+    text, _ = extract_pdf(pdf)
+    assert text == "café – ok"
