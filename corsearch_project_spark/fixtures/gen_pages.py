@@ -294,7 +294,8 @@ def make_pdf(
     ``Do`` — the pdftex/stamping shape — with extraction proven
     form-invariant.
 
-    ``force_font`` ∈ {winansi, tounicode, type0}, ``force_layout`` ∈
+    ``force_font`` ∈ {winansi, tounicode, type0, diffs, ucs2, gbk},
+    ``force_layout`` ∈
     {classic, objstm} and ``force_form`` pin the arms for tests WITHOUT
     changing rng consumption (rolls are always drawn; the layout roll derives from the
     font roll rather than the main stream, so pre-layout corpora keep
@@ -337,6 +338,18 @@ def make_pdf(
             encrypt = "none"  # a forced arm always wins over a roll
         else:
             layout = "classic"
+    # Predefined-CMap sub-arms (round-3 addition, derived-stream roll #4 so
+    # the word stream and rolls #1–#3 are untouched): 40% of the type0 band
+    # becomes /UniGB-UCS2-H (2-byte UTF-16BE codes, NO ToUnicode — decode
+    # rides the predefined-CMap codec path), and 8% of the winansi band
+    # becomes /GBK-EUC-H (GBK bytes; ASCII words ⊂ GBK, so text is
+    # arm-invariant and pre-cjk goldens hold).
+    cmap_roll = lay_rng.random()
+    if force_font is None:
+        if font_mode == "type0" and cmap_roll < 0.4:
+            font_mode = "ucs2"
+        elif font_mode == "winansi" and cmap_roll < 0.08:
+            font_mode = "gbk"
     objs: List[bytes] = []  # 1-indexed
 
     def add(obj: bytes) -> int:
@@ -377,6 +390,32 @@ def make_pdf(
             b"/Encoding /Identity-H /DescendantFonts [%d 0 R] "
             b"/ToUnicode %d 0 R >>" % (desc_num, cmap_num)
         )
+    elif font_mode == "ucs2":
+        # Type0 with a PREDEFINED CMap name and no ToUnicode: the reader
+        # must recognize /UniGB-UCS2-H as "codes are UTF-16BE" (public
+        # Adobe CMap-name → charset mapping; pdfx._PREDEF_CMAP_CODECS).
+        desc_num = add(
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthGB "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (GB1) "
+            b"/Supplement 5 >> >>"
+        )
+        font_num = add(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthGB "
+            b"/Encoding /UniGB-UCS2-H /DescendantFonts [%d 0 R] >>" % desc_num
+        )
+    elif font_mode == "gbk":
+        # Type0 with the legacy /GBK-EUC-H CMap: show strings are GBK
+        # bytes (mixed-width charset; the fixture's ASCII words are the
+        # 1-byte subset), decoded via the stdlib gbk codec.
+        desc_num = add(
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthGBK "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (GB1) "
+            b"/Supplement 5 >> >>"
+        )
+        font_num = add(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthGBK "
+            b"/Encoding /GBK-EUC-H /DescendantFonts [%d 0 R] >>" % desc_num
+        )
     elif font_mode == "diffs":
         # Simple font whose /Encoding dict remaps five letters to high
         # codes through a /Differences array (four AGL names + one
@@ -394,7 +433,7 @@ def make_pdf(
             b"/Encoding /WinAnsiEncoding >>"
         )
     font_num_holder.append(font_num)
-    hexmode = font_mode == "type0"
+    hexmode = font_mode in ("type0", "ucs2")
     diff_trans = (
         str.maketrans({"a": "\xc8", "e": "\xc9", "o": "\xca", "t": "\xcb", "s": "\xcc"})
         if font_mode == "diffs"

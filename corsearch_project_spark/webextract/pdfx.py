@@ -16,6 +16,9 @@ unavailable offline (SURVEY.md §0.1) and the byte-identity contract
   via ToUnicode CMap (bfchar/bfrange) or WinAnsi (cp1252) or latin-1 for
   simple fonts, and 2-byte-CID Type0/Identity-H composite fonts (ToUnicode
   CMap, Identity fallback) — the dominant encoding in real crawl PDFs.
+  Predefined CJK CMaps (GBK-EUC, RKSJ, B5, UHC, Uni*-UCS2/UTF16 families)
+  decode via the public legacy charset each is defined over; embedded CMap
+  stream encodings parse codespacerange/cidrange for mixed-width codes.
 - E14 glyph→line clustering by y-coordinate bands (rule.pdf_line_tol × size).
 - E15 line→block clustering by vertical gap (rule.pdf_block_gap × size).
 - E16 reading-order sort: column detection by x-interval overlap, columns
@@ -594,6 +597,45 @@ _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
 _BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
 _HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
 
+# Embedded CMap streams used as a Type0 /Encoding (PDF 32000-1 §9.7.5.3):
+# codespace ranges give the (possibly mixed 1-/2-byte) code widths, cid
+# ranges/chars give code → CID.
+_CODESPACE_RE = re.compile(rb"begincodespacerange(.*?)endcodespacerange", re.S)
+_CIDRANGE_RE = re.compile(rb"begincidrange(.*?)endcidrange", re.S)
+_CIDCHAR_RE = re.compile(rb"begincidchar(.*?)endcidchar", re.S)
+_CIDRANGE_ENT_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(\d+)")
+_CIDCHAR_ENT_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*(\d+)")
+
+# Predefined CJK CMaps (PDF 32000-1 §9.7.5.2, Table 118). Shipping Adobe's
+# CMap data files offline is impractical, but it is also unnecessary for
+# TEXT extraction: each predefined encoding CMap is defined over a public
+# legacy charset (or UCS-2/UTF-16 itself), so decoding the raw show-string
+# bytes with the matching stdlib codec yields exactly the Unicode text the
+# codes denote — including correct variable 1-/2-byte segmentation, which
+# the legacy codecs handle natively. Keys are the CMap name minus the
+# writing-mode suffix (-H/-V). "utf-16-be" marks the Uni*-UCS2/UTF16
+# families where the code IS the Unicode value.
+_PREDEF_CMAP_CODECS = {
+    # Simplified Chinese (Adobe-GB1)
+    "GB-EUC": "gb2312", "GBpc-EUC": "gb2312", "GBK-EUC": "gbk",
+    "GBKp-EUC": "gbk", "GBK2K": "gb18030",
+    "UniGB-UCS2": "utf-16-be", "UniGB-UTF16": "utf-16-be",
+    # Traditional Chinese (Adobe-CNS1)
+    "B5pc": "big5", "ETen-B5": "big5", "ETenms-B5": "big5",
+    "HKscs-B5": "big5hkscs",
+    "UniCNS-UCS2": "utf-16-be", "UniCNS-UTF16": "utf-16-be",
+    # Japanese (Adobe-Japan1)
+    "90ms-RKSJ": "shift_jis", "90msp-RKSJ": "shift_jis",
+    "90pv-RKSJ": "shift_jis", "Add-RKSJ": "shift_jis",
+    "Ext-RKSJ": "shift_jis", "EUC": "euc_jp",
+    "UniJIS-UCS2": "utf-16-be", "UniJIS-UCS2-HW": "utf-16-be",
+    "UniJIS-UTF16": "utf-16-be", "UniJIS2004-UTF16": "utf-16-be",
+    # Korean (Adobe-Korea1 / KR)
+    "KSC-EUC": "euc_kr", "KSCpc-EUC": "euc_kr",
+    "KSCms-UHC": "cp949", "KSCms-UHC-HW": "cp949",
+    "UniKS-UCS2": "utf-16-be", "UniKS-UTF16": "utf-16-be",
+}
+
 
 def _utf16be(hexs: bytes) -> str:
     b = bytes.fromhex(hexs.decode("ascii"))
@@ -695,6 +737,10 @@ class FontDecoder:
     def __init__(self, doc: PdfDoc, font_dict: dict):
         self.cmap: Optional[Dict[int, str]] = None
         self.byte_table: Optional[List[str]] = None
+        self.cjk_codec: Optional[str] = None
+        self.space_ranges: Optional[List[tuple]] = None
+        self.cid_ranges: List[tuple] = []
+        self.cid_chars: Dict[int, int] = {}
         enc = doc.resolve(font_dict.get("/Encoding")) if font_dict else None
         subtype = font_dict.get("/Subtype") if font_dict else None
         self.code_bytes = (
@@ -743,9 +789,91 @@ class FontDecoder:
                         cmap[k] = chr(base + (k - lo_i))
             if cmap:
                 self.cmap = cmap
-        self.codec = _BASE_CODECS.get(enc, "latin-1")
+        # Predefined CJK CMap named as /Encoding (§9.7.5.2): decode the raw
+        # code bytes with the charset the CMap is defined over. For the
+        # legacy multibyte charsets this ALWAYS wins — it is the only path
+        # that segments mixed 1-/2-byte codes correctly (a fixed 2-byte
+        # ToUnicode lookup would split shift_jis/gbk ASCII runs mid-code).
+        # For the Uni*-UCS2/UTF16 families the code units are already
+        # UTF-16BE, so a present ToUnicode CMap (authoritative per §9.10.2,
+        # and correctly 2-byte-segmented here) keeps precedence.
+        if isinstance(enc, str) and enc.startswith("/"):
+            name = enc[1:-2] if enc.endswith(("-H", "-V")) else enc[1:]
+            codec = _PREDEF_CMAP_CODECS.get(name)
+            if codec == "utf-16-be":
+                if self.cmap is None:
+                    self.cjk_codec = codec
+            elif codec:
+                self.cjk_codec = codec
+        # Embedded CMap stream as /Encoding (§9.7.5.3): parse codespace
+        # ranges for variable-width code segmentation and cidchar/cidrange
+        # for code → CID; text comes from ToUnicode when present, else the
+        # deterministic chr(CID) / chr(code) fallback.
+        elif isinstance(enc, StreamObj):
+            data = doc.stream_bytes(enc)
+            spaces: List[tuple] = []
+            for m in _CODESPACE_RE.finditer(data):
+                pairs = _HEXPAIR_RE.findall(m.group(1))
+                for lo, hi in zip(pairs[0::2], pairs[1::2]):
+                    w = (len(lo) + 1) // 2
+                    if 1 <= w <= 4:
+                        spaces.append((w, int(lo, 16), int(hi, 16)))
+            if spaces:
+                # shortest width first: 1-byte ASCII ranges must claim their
+                # byte before any wider range is tried
+                self.space_ranges = sorted(spaces)
+            for m in _CIDRANGE_RE.finditer(data):
+                for lo, hi, cid in _CIDRANGE_ENT_RE.findall(m.group(1)):
+                    self.cid_ranges.append(
+                        (int(lo, 16), int(hi, 16), int(cid))
+                    )
+            for m in _CIDCHAR_RE.finditer(data):
+                for code, cid in _CIDCHAR_ENT_RE.findall(m.group(1)):
+                    self.cid_chars[int(code, 16)] = int(cid)
+        self.codec = (
+            _BASE_CODECS.get(enc, "latin-1")
+            if isinstance(enc, str)
+            else "latin-1"
+        )
+
+    def _code_to_cid(self, code: int) -> int:
+        hit = self.cid_chars.get(code)
+        if hit is not None:
+            return hit
+        for lo, hi, cid in self.cid_ranges:
+            if lo <= code <= hi:
+                return cid + (code - lo)
+        return code
+
+    def _decode_embedded(self, raw: bytes) -> str:
+        """Variable-width decode driven by the embedded CMap's codespace
+        ranges: at each position the shortest range whose span contains the
+        next bytes claims the code (spec matches by byte prefix; shortest-
+        first is the deterministic simplification). Unmatched bytes are
+        skipped one at a time, never raised."""
+        out: List[str] = []
+        cmap = self.cmap
+        i, n = 0, len(raw)
+        while i < n:
+            for w, lo, hi in self.space_ranges:  # type: ignore[union-attr]
+                if i + w <= n:
+                    v = int.from_bytes(raw[i : i + w], "big")
+                    if lo <= v <= hi:
+                        if cmap is not None:
+                            out.append(cmap.get(v, "�"))
+                        else:
+                            out.append(chr(self._code_to_cid(v)))
+                        i += w
+                        break
+            else:
+                i += 1
+        return "".join(out)
 
     def decode(self, raw: bytes) -> str:
+        if self.cjk_codec is not None:
+            return raw.decode(self.cjk_codec, errors="replace")
+        if self.space_ranges is not None:
+            return self._decode_embedded(raw)
         if self.code_bytes == 2:
             # big-endian 2-byte CIDs; a dangling odd byte is dropped
             # deterministically (malformed show string, never raise)

@@ -234,9 +234,28 @@ def main() -> int:
     ap.add_argument("--guard-drop", type=float, default=0.15,
                     help="abort when the interleaved credit probe drops more "
                          "than this fraction below the run-start probe")
+    ap.add_argument("--order", choices=("given", "heavy-first"),
+                    default="given",
+                    help="heavy-first runs the larger-slot master first in "
+                         "each rep: on a burstable-vCPU host the short "
+                         "credit-hungry 4N leg gets the rested credits and "
+                         "the long low-draw N leg follows (the N leg at 2/32 "
+                         "cores sits near the baseline CPU allotment). The "
+                         "probe bracket still invalidates the pair if the "
+                         "host throttled mid-run.")
+    ap.add_argument("--rest-after-gen", type=int, default=0,
+                    help="seconds to idle between fixture generation (an "
+                         "8-process burst) and the first measured leg, so "
+                         "the generation burst does not eat the legs' "
+                         "credits")
     args = ap.parse_args()
     masters = tuple(args.masters.split(","))
     assert len(masters) == 2
+    run_order = (
+        tuple(sorted(masters, key=slots, reverse=True))
+        if args.order == "heavy-first"
+        else masters
+    )
 
     invalidated = None
     probes = []
@@ -249,6 +268,10 @@ def main() -> int:
         )
         if ceiling:
             print(json.dumps({"hardware_ceiling": ceiling}), file=sys.stderr)
+        if args.rest_after_gen:
+            print(json.dumps({"resting_s": args.rest_after_gen}),
+                  file=sys.stderr)
+            time.sleep(args.rest_after_gen)
         probes.append(credit_probe())
         print(json.dumps({"credit_probe": probes[-1]}), file=sys.stderr)
         runs = []
@@ -270,11 +293,33 @@ def main() -> int:
                     print(json.dumps({"invalidated": invalidated}),
                           file=sys.stderr)
                     break
-            for master in masters:
+            for leg, master in enumerate(run_order):
+                if leg > 0:
+                    # probe BETWEEN the two legs of a rep as well: a
+                    # single-rep (probe, leg, probe, leg, probe) bracket is
+                    # only honest evidence if throttle onset between the
+                    # legs is observable
+                    probes.append(credit_probe())
+                    print(json.dumps({"credit_probe": probes[-1]}),
+                          file=sys.stderr)
                 r = run_once(master, zip_path, input_path, workdir, rep,
                              args.kernel_partitions)
                 print(json.dumps(r), file=sys.stderr)
                 runs.append(r)
+        if invalidated is None:
+            # closing probe: the final leg has no following rep-boundary
+            # probe, so without this a throttle during the last leg would
+            # go unrecorded
+            probes.append(credit_probe())
+            print(json.dumps({"credit_probe": probes[-1]}), file=sys.stderr)
+            if probes[-1] < probes[0] * (1.0 - args.guard_drop):
+                invalidated = (
+                    f"host-throttled: closing credit probe {probes[-1]} "
+                    f"docs/s fell > {args.guard_drop:.0%} below run-start "
+                    f"{probes[0]} — a measured leg overlapped the throttle"
+                )
+                print(json.dumps({"invalidated": invalidated}),
+                      file=sys.stderr)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -289,13 +334,17 @@ def main() -> int:
         )
         for m in masters
     }
-    factor = slots(masters[1]) / slots(masters[0])
-    efficiency = round((med[masters[1]] / med[masters[0]]) / factor, 3)
-    kernel_efficiency = round((kmed[masters[1]] / kmed[masters[0]]) / factor, 3)
+    # keyed on slot counts, not argument position: --order may have run the
+    # legs big-first
+    small, big = sorted(masters, key=slots)
+    factor = slots(big) / slots(small)
+    efficiency = round((med[big] / med[small]) / factor, 3)
+    kernel_efficiency = round((kmed[big] / kmed[small]) / factor, 3)
     result = {
         "docs": args.docs,
         "reps": args.reps,
         "masters": list(masters),
+        "leg_order": list(run_order),
         "median_docs_per_sec": med,
         "median_kernel_docs_per_sec": kmed,
         "scaling_efficiency_pipeline": efficiency,

@@ -180,13 +180,13 @@ def test_type0_fixture_arm_matches_single_byte_arms_bytewise():
     """The fixture writer's three font arms (winansi / single-byte CMap /
     Identity-H CIDs) must extract to IDENTICAL text+spans for the same seed
     — the byte-identity contract is font-encoding-invariant."""
+    arms = ("winansi", "tounicode", "type0", "diffs", "ucs2", "gbk")
     for seed in (3, 11, 42):
-        rngs = [random.Random(seed) for _ in range(3)]
+        rngs = [random.Random(seed) for _ in range(len(arms))]
         outs = [
-            extract_pdf(make_pdf(r, force_font=m))
-            for r, m in zip(rngs, ("winansi", "tounicode", "type0"))
+            extract_pdf(make_pdf(r, force_font=m)) for r, m in zip(rngs, arms)
         ]
-        assert outs[0] == outs[1] == outs[2]
+        assert all(o == outs[0] for o in outs[1:])
         assert outs[0][0], "fixture page must extract non-empty text"
 
 
@@ -664,3 +664,178 @@ def test_macroman_base_encoding():
     )
     text, _ = extract_pdf(pdf)
     assert text == "café – ok"
+
+
+def _hex_of(b: bytes) -> str:
+    return "<" + b.hex().upper() + ">"
+
+
+def test_predefined_cmap_gbk_euc():
+    """/GBK-EUC-H predefined CMap (Adobe-GB1): show-string bytes are GBK —
+    the stdlib codec decodes them, mixed 1-byte ASCII + 2-byte hanzi,
+    without any ToUnicode CMap present (PDF 32000-1 Table 118)."""
+    font = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light "
+        b"/Encoding /GBK-EUC-H >>"
+    )
+    payload = "你好 world 中文".encode("gbk")
+    pdf = _simple_pdf(
+        f"BT /F1 12 Tf 1 0 0 1 72 720 Tm {_hex_of(payload)} Tj ET",
+        font=font,
+    )
+    text, spans = extract_pdf(pdf)
+    assert text == "你好 world 中文"
+    assert spans and spans[0][2] == "pdf:p1"
+
+
+def test_predefined_cmap_rksj_and_uhc():
+    """Shift-JIS (90ms-RKSJ-H) and UHC (KSCms-UHC-H) predefined CMaps
+    decode through their legacy codecs; vertical -V suffix resolves too."""
+    from corsearch_project_spark.webextract.pdfx import FontDecoder
+
+    class _NoDoc:
+        def resolve(self, x):
+            return x
+
+    fd = FontDecoder(
+        _NoDoc(),
+        {"/Subtype": "/Type0", "/Encoding": "/90ms-RKSJ-H"},
+    )
+    assert fd.decode("abc 日本語".encode("shift_jis")) == (
+        "abc 日本語"
+    )
+    fd = FontDecoder(
+        _NoDoc(),
+        {"/Subtype": "/Type0", "/Encoding": "/KSCms-UHC-V"},
+    )
+    assert fd.decode("한국어 ok".encode("cp949")) == (
+        "한국어 ok"
+    )
+
+
+def test_predefined_cmap_ucs2_surrogates():
+    """Uni*-UCS2/UTF16 families: the 2-byte codes ARE UTF-16BE. Unlike the
+    bare chr-per-pair Identity fallback, the codec joins surrogate pairs
+    (U+1D11E below) into one code point."""
+    font = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /KozMinPro "
+        b"/Encoding /UniJIS-UCS2-H >>"
+    )
+    payload = "日本 \U0001d11e ok".encode("utf-16-be")
+    pdf = _simple_pdf(
+        f"BT /F1 12 Tf 1 0 0 1 72 720 Tm {_hex_of(payload)} Tj ET",
+        font=font,
+    )
+    text, _ = extract_pdf(pdf)
+    assert text == "日本 \U0001d11e ok"
+
+
+def test_predefined_cmap_tounicode_precedence():
+    """A ToUnicode CMap keeps precedence over a Uni* (UTF-16) predefined
+    encoding (§9.10.2: ToUnicode is the authoritative text mapping), but
+    for legacy multibyte charsets the codec path wins — it is the only
+    correctly-segmenting decode for mixed 1-/2-byte codes."""
+    from corsearch_project_spark.webextract.pdfx import FontDecoder, PdfDoc
+
+    # Build a real doc so /ToUnicode stream resolution works end-to-end.
+    tounicode = (
+        b"begincmap\n1 beginbfchar\n<0041> <0042>\nendbfchar\nendcmap"
+    )
+    font = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /X "
+        b"/Encoding /UniGB-UCS2-H /ToUnicode 6 0 R >>"
+    )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>",
+        font,
+        b"<< /Length %d >>\nstream\n%s\nendstream"
+        % (
+            len(b"BT /F1 12 Tf 1 0 0 1 72 720 Tm <0041> Tj ET"),
+            b"BT /F1 12 Tf 1 0 0 1 72 720 Tm <0041> Tj ET",
+        ),
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(tounicode), tounicode),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, o in enumerate(objs, 1):
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    out += b"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n"
+    text, _ = extract_pdf(bytes(out))
+    assert text == "B"  # ToUnicode remap wins over the UCS2 identity
+
+
+def test_embedded_cmap_mixed_width_codespace():
+    """A CMap stream as /Encoding (§9.7.5.3) with a 1-byte ASCII codespace
+    and a 2-byte CJK codespace: segmentation follows codespacerange, so
+    <41 8140> decodes as code 0x41 then code 0x8140 — a fixed 2-byte reader
+    would mis-split into 0x4181, 0x40. ToUnicode maps both codes."""
+    cmapdata = (
+        b"begincmap\n"
+        b"2 begincodespacerange\n<00> <7F>\n<8140> <FCFC>\nendcodespacerange\n"
+        b"2 begincidrange\n<41> <5A> 100\n<8140> <8150> 500\nendcidrange\n"
+        b"endcmap"
+    )
+    tounicode = (
+        b"begincmap\n2 beginbfchar\n<0041> <0061>\n<8140> <4E9C>\n"
+        b"endbfchar\nendcmap"
+    )
+    content = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm <418140> Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /X "
+        b"/Encoding 6 0 R /ToUnicode 7 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        b"<< /Length %d /CMapName /Custom >>\nstream\n%s\nendstream"
+        % (len(cmapdata), cmapdata),
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(tounicode), tounicode),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, o in enumerate(objs, 1):
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    out += b"trailer\n<< /Size 8 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n"
+    text, _ = extract_pdf(bytes(out))
+    assert text == "a亜"
+
+
+def test_embedded_cmap_cid_fallback_without_tounicode():
+    """Without ToUnicode, an embedded CMap still segments correctly and
+    falls back to chr(CID) via cidrange — deterministic, never raises."""
+    from corsearch_project_spark.webextract.pdfx import FontDecoder
+
+    class _Doc:
+        def resolve(self, x):
+            return x
+
+        def stream_bytes(self, s):
+            return s.data
+
+    class _Stream:
+        def __init__(self, data):
+            self.data = data
+
+    from corsearch_project_spark.webextract import pdfx
+
+    cmapdata = (
+        b"1 begincodespacerange\n<00> <7F>\nendcodespacerange\n"
+        b"1 begincidrange\n<41> <5A> 65\nendcidrange\n"
+        b"1 begincidchar\n<21> 33\nendcidchar\n"
+    )
+    stream = pdfx.StreamObj({}, b"")
+    stream.raw = cmapdata
+
+    class _Doc2:
+        def resolve(self, x):
+            return x
+
+        def stream_bytes(self, s):
+            return cmapdata
+
+    fd = FontDecoder(
+        _Doc2(), {"/Subtype": "/Type0", "/Encoding": stream}
+    )
+    assert fd.decode(b"AB!") == "AB!"
