@@ -248,6 +248,15 @@ def main() -> int:
                          "8-process burst) and the first measured leg, so "
                          "the generation burst does not eat the legs' "
                          "credits")
+    ap.add_argument("--input-dir", default=None,
+                    help="persistent corpus directory (gen-once protocol, "
+                         "BENCH/BASELINE.md §4.2). If it already contains "
+                         "pages.parquet the generation burst is skipped "
+                         "entirely — the credit-cheapest way to rerun.")
+    ap.add_argument("--gen-only", action="store_true",
+                    help="generate the corpus into --input-dir and exit; "
+                         "pair with a later --input-dir run after the host "
+                         "has re-rested")
     args = ap.parse_args()
     masters = tuple(args.masters.split(","))
     assert len(masters) == 2
@@ -261,7 +270,19 @@ def main() -> int:
     probes = []
     workdir = tempfile.mkdtemp(prefix="csp_scaling_")
     try:
-        input_path = gen_fixture(args.docs, workdir)
+        if args.input_dir:
+            persistent = os.path.join(args.input_dir, "pages.parquet")
+            if os.path.isdir(persistent) and os.listdir(persistent):
+                input_path = persistent
+            else:
+                os.makedirs(args.input_dir, exist_ok=True)
+                input_path = gen_fixture(args.docs, args.input_dir)
+            if args.gen_only:
+                print(json.dumps({"generated": input_path,
+                                  "docs": args.docs}))
+                return 0
+        else:
+            input_path = gen_fixture(args.docs, workdir)
         zip_path = build_zip(workdir)
         ceiling = None if args.skip_ceiling else hardware_ceiling(
             slots(masters[0]), slots(masters[1])
