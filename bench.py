@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "q_sim_ivf_ann",
     "q_text_quality",
     "q_text_langid",
+    "q_text_repetition",
+    "q_url_canonical",
     "q_ngram_topk",
 ]
 

@@ -64,6 +64,24 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def dup_fraction(arr: Column) -> Column:
+    """Repetition ratio of an array: 1 - distinct/total, rounded to 6 dp.
+
+    The Gopher/MassiveText repetition filters (duplicate-line fraction,
+    duplicate-n-gram fraction) are all this shape over different unit
+    arrays; array_distinct keeps it a narrow JVM projection — no explode,
+    no shuffle, per-row work linear in doc length."""
+    n = F.size(arr)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(arr)).cast("double")
+            / F.greatest(n, F.lit(1)).cast("double"),
+            6,
+        )
+    )
+
+
 def lang_scores(text: Column):
     """dict lang -> hit-count Column."""
     return {lang: stopword_hits(text, m) for lang, m in LANG_MARKERS.items()}

@@ -25,6 +25,8 @@ _SWEEP_FIRST = [
     "q_sample_hash_split", "q_pack_sequences", "q_ngram_topk",
     "q_shipping_priority", "q_local_supplier_volume", "q_returned_items",
     "q_top_parts_by_size", "q_volume_shipping", "q_market_share",
+    # round-3 additions — new, so they need their first driver-green row
+    "q_text_repetition", "q_url_canonical",
 ]
 
 

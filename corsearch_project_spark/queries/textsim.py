@@ -537,3 +537,154 @@ def _sql_dedup_components() -> str:
 def q_dedup_components(spark, sf_dir):
     pairs = D.minhash_lsh_pairs(t(spark, sf_dir, "documents"), "doc_id", "text")
     return D.connected_components(pairs)
+
+
+# ----------------------------------------------- repetition / url canonical
+
+def _sql_dup_frac(arr: str) -> str:
+    return (
+        f"CASE WHEN len({arr}) = 0 THEN 0.0 ELSE "
+        f"round(1.0 - CAST(len(list_distinct({arr})) AS DOUBLE) "
+        f"/ CAST(greatest(len({arr}), 1) AS DOUBLE), 6) END"
+    )
+
+
+@query(
+    "q_text_repetition",
+    f"""
+    WITH wt AS (SELECT doc_id, {SQL_WORDS} AS w FROM documents),
+    m AS (SELECT doc_id, w, {_sql_shingles(2)} AS bi FROM wt),
+    base AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_tok,
+               {_sql_dup_frac('w')} AS dup_word_frac,
+               {_sql_dup_frac('bi')} AS dup_bigram_frac
+        FROM m
+    ),
+    tb AS (
+        SELECT doc_id, MAX(c) AS top_bigram_n
+        FROM (
+            SELECT doc_id, gram, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(bi) AS gram FROM m)
+            GROUP BY doc_id, gram
+        )
+        GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tok, b.dup_word_frac, b.dup_bigram_frac,
+           CAST(COALESCE(tb.top_bigram_n, 0) AS BIGINT) AS top_bigram_n
+    FROM base b LEFT JOIN tb ON b.doc_id = tb.doc_id
+    """,
+    doc="Gopher/MassiveText repetition filters: duplicate-word and "
+    "duplicate-bigram fractions as narrow array_distinct projections (no "
+    "shuffle), plus the most-repeated-bigram count via explode -> partial "
+    "agg on (doc_id, gram) -> per-doc max -> left join. The explode path "
+    "shuffles linear-in-corpus gram rows with map-side combine absorbing "
+    "repeats — the 100-TB shape for per-doc mode statistics (an O(n^2) "
+    "per-row higher-order-lambda mode would stay narrow but not scale in "
+    "doc length).",
+)
+def q_text_repetition(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    w = D.words(F.col("text"))
+    bi = D.word_shingles(F.col("text"), 2)
+    base = d.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tok"),
+        X.dup_fraction(w).alias("dup_word_frac"),
+        X.dup_fraction(bi).alias("dup_bigram_frac"),
+    )
+    top = (
+        d.select("doc_id", F.explode(bi).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_n"))
+    )
+    return base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        "dup_word_frac",
+        "dup_bigram_frac",
+        F.coalesce("top_bigram_n", F.lit(0)).cast("long").alias("top_bigram_n"),
+    )
+
+
+# Deterministic messy-URL synthesis shared by both engines: mixed-case
+# scheme/host, explicit default port, tracking param, unsorted params, and a
+# fragment. doc_id % k collapses distinct docs onto shared canonical urls so
+# the dedup groupBy actually groups.
+_SQL_MESSY_URL = (
+    "'HTTPS://WWW.' || upper(source) || '.EXample.com:443/p/' || "
+    "CAST(doc_id % 10 AS VARCHAR) || '?zz=1&utm_campaign=c' || "
+    "CAST(doc_id AS VARCHAR) || '&a=' || CAST(doc_id % 5 AS VARCHAR) || '#frag'"
+)
+
+
+@query(
+    "q_url_canonical",
+    f"""
+    WITH u0 AS (SELECT doc_id, {_SQL_MESSY_URL} AS url FROM documents),
+    s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u0),
+    s2 AS (
+        SELECT doc_id,
+               lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]+)', 1)) AS sh,
+               regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]+', '') AS rest
+        FROM s1
+    ),
+    s3 AS (
+        SELECT doc_id,
+               CASE WHEN sh LIKE 'https://%' THEN regexp_replace(sh, ':443$', '')
+                    ELSE regexp_replace(sh, ':80$', '') END AS sh,
+               CASE WHEN strpos(rest, '?') > 0
+                    THEN substr(rest, 1, strpos(rest, '?') - 1) ELSE rest END AS path,
+               CASE WHEN strpos(rest, '?') > 0
+                    THEN substr(rest, strpos(rest, '?') + 1) ELSE '' END AS qs
+        FROM s2
+    ),
+    s4 AS (
+        SELECT doc_id, sh, path,
+               list_sort(list_filter(string_split(qs, '&'),
+                   p -> NOT (substr(p, 1, 4) = 'utm_' OR substr(p, 1, 4) = 'ref='
+                             OR p = ''))) AS params
+        FROM s3
+    ),
+    c AS (
+        SELECT doc_id,
+               sh || path || CASE WHEN len(params) > 0
+                   THEN '?' || array_to_string(params, '&') ELSE '' END AS canonical_url
+        FROM s4
+    )
+    SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS canonical_doc_id
+    FROM c GROUP BY 1
+    """,
+    doc="URL canonicalization + dedup (the pre-content-hash dedup step of "
+    "every crawl pipeline): fragment strip, scheme/host lowercase, default "
+    "port drop, utm_*/ref= tracking-param strip, and param sort — all pure "
+    "JVM regexp/higher-order-array expressions (functions/urlnorm.py), so "
+    "the canonical form is a narrow codegen projection and the dedup is "
+    "one hash aggregation on it. No Python, no extra shuffle at 10^12 rows.",
+)
+def q_url_canonical(spark, sf_dir):
+    from corsearch_project_spark.functions.urlnorm import canonicalize_url
+
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper(F.col("source")),
+        F.lit(".EXample.com:443/p/"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("?zz=1&utm_campaign=c"),
+        F.col("doc_id").cast("string"),
+        F.lit("&a="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("#frag"),
+    )
+    return (
+        d.select(canonicalize_url(url).alias("canonical_url"), "doc_id")
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
