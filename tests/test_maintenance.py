@@ -1,0 +1,171 @@
+"""Snapshot expiration + staging vacuum (sources/maintenance.py,
+jobs/expire_table.py): the retention invariant is that expiry NEVER touches
+data files and never expires the latest writer of any bucket, so
+validate_table reconciles identically before and after."""
+
+import json
+import os
+import sys
+
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"),
+)
+
+from corsearch_project_spark.fixtures.gen_pages import default_rules, gen_pages
+from corsearch_project_spark.plans.merge_pipeline import MergeConfig, run_merge
+from corsearch_project_spark.sources.maintenance import (
+    expire_snapshots,
+    latest_writers,
+    vacuum_staging,
+)
+from corsearch_project_spark.sources.snapshots import read_snapshots
+
+from test_merge import BUCKETS, _extract_all, _table_state, _write_pages
+
+
+def _merge(spark, out, tmp_path, rows, run_id):
+    src = str(tmp_path / f"{run_id}.parquet")
+    _write_pages(rows, src)
+    return run_merge(
+        spark,
+        MergeConfig(increment_path=src, output_path=out, run_id=run_id,
+                    buckets=BUCKETS),
+        default_rules(),
+    )
+
+
+def _swap_body(r, donor):
+    r2 = dict(r)
+    r2["html"] = donor["html"]
+    r2["text"] = donor["text"]
+    return r2
+
+
+def _three_commit_table(spark, tmp_path):
+    """extract R-base (all buckets) + merge M1 (some buckets) + merge M2
+    (a different bucket) — a history where R-base is outside any small
+    keep window but remains latest writer of untouched buckets."""
+    base = gen_pages(60, seed=95, dup_frac=0.0)
+    out = _extract_all(spark, tmp_path, base, "exp")
+    m1 = [_swap_body(base[0], base[20]), _swap_body(base[1], base[21])]
+    rep1 = _merge(spark, out, tmp_path, m1, "M1")
+    m2 = [_swap_body(base[5], base[30])]
+    rep2 = _merge(spark, out, tmp_path, m2, "M2")
+    assert rep1["buckets_rewritten"] and rep2["buckets_rewritten"]
+    return out
+
+
+def test_expire_preserves_validation_and_data(spark, tmp_path):
+    from validate_table import validate_table
+
+    out = _three_commit_table(spark, tmp_path)
+    state_before = _table_state(spark, out)
+
+    report = expire_snapshots(spark, out, keep_last=1)
+    # R-base is latest writer of every bucket M1/M2 didn't rewrite -> kept
+    # even though only M2 is inside the window; M1's buckets may or may not
+    # all be superseded by M2 (different urls -> different buckets), so only
+    # assert the invariants, not the exact expiry set.
+    assert "R-exp" in report["kept_runs"]
+    assert "M2" in report["kept_runs"]
+    assert report["snapshots_after"] <= report["snapshots_before"]
+
+    # data files untouched, latest-per-bucket reconciliation still green
+    assert _table_state(spark, out) == state_before
+    v = validate_table(
+        spark,
+        os.path.join(out, "extracted"),
+        os.path.join(out, "lineage"),
+        "M2",
+        BUCKETS,
+        snapshots_path=os.path.join(out, "snapshots"),
+    )
+    assert v["ok"], v
+
+
+def test_expire_drops_fully_superseded_run(spark, tmp_path):
+    """A run whose every bucket was later rewritten and that is outside the
+    window must actually be expired (rows gone from both ledgers)."""
+    base = gen_pages(40, seed=96, dup_frac=0.0)
+    out = _extract_all(spark, tmp_path, base, "sup")
+    # M-all rewrites EVERY bucket (body swap for every url), then M-last
+    # rewrites every bucket again -> M-all is fully superseded
+    donors = base[20:] + base[:20]
+    rep_a = _merge(spark, out, tmp_path,
+                   [_swap_body(r, d) for r, d in zip(base, donors)], "M-all")
+    assert set(rep_a["buckets_rewritten"]) == set(
+        r.url_bucket for r in spark.read.parquet(
+            os.path.join(out, "extracted")).select("url_bucket").distinct().collect()
+    )
+    donors2 = base[10:] + base[:10]
+    _merge(spark, out, tmp_path,
+           [_swap_body(r, d) for r, d in zip(base, donors2)], "M-last")
+
+    report = expire_snapshots(spark, out, keep_last=1)
+    assert "M-all" in report["expired_runs"]
+    snaps = read_snapshots(spark, os.path.join(out, "snapshots"))
+    assert "M-all" not in {r["run_id"] for r in snaps.collect()}
+    lin = spark.read.parquet(os.path.join(out, "lineage"))
+    assert lin.where(lin.run_id == "M-all").count() == 0
+    # kept seqs unchanged (no renumbering): next commit continues the chain
+    kept_seqs = sorted(r["seq"] for r in snaps.collect())
+    assert kept_seqs == sorted(set(kept_seqs))
+    assert max(kept_seqs) == 2
+
+
+def test_expire_noop_when_window_covers_all(spark, tmp_path):
+    out = _three_commit_table(spark, tmp_path)
+
+    def file_state(d):
+        fs = {}
+        for dirpath, _, files in os.walk(d):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                fs[p] = os.path.getmtime(p)
+        return fs
+
+    before = file_state(out)
+    report = expire_snapshots(spark, out, keep_last=10)
+    assert report["expired_runs"] == []
+    assert report["lineage_rows_expired"] == 0
+    assert file_state(out) == before  # ledgers not even rewritten
+
+
+def test_latest_writers_replay():
+    rows = [
+        {"seq": 0, "run_id": "A", "buckets": [0, 1, 2]},
+        {"seq": 1, "run_id": "B", "buckets": [1]},
+        {"seq": 2, "run_id": "C", "buckets": [2]},
+    ]
+    assert latest_writers(rows) == {0: "A", 1: "B", 2: "C"}
+
+
+def test_vacuum_removes_staging_only(spark, tmp_path):
+    base = gen_pages(30, seed=97, dup_frac=0.0)
+    out = _extract_all(spark, tmp_path, base, "vac")
+    ext = os.path.join(out, "extracted")
+    junk = os.path.join(ext, "url_bucket=0", "_temporary", "0", "task_1")
+    os.makedirs(junk)
+    with open(os.path.join(junk, "part-stale.parquet"), "wb") as f:
+        f.write(b"x" * 1234)
+
+    state_before = _table_state(spark, out)
+    rep = vacuum_staging(ext)
+    assert rep["bytes_freed"] >= 1234
+    assert len(rep["staging_dirs_removed"]) == 1
+    assert not os.path.exists(os.path.join(ext, "url_bucket=0", "_temporary"))
+    assert _table_state(spark, out) == state_before
+
+
+def test_expire_cli(spark, tmp_path, capsys):
+    import expire_table as J
+
+    out = _three_commit_table(spark, tmp_path)
+    rc = J.main(["--output", out, "--keep-last", "1"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "vacuum" in rep and rep["kept_runs"]
+
+    rc = J.main(["--output", str(tmp_path / "nope"), "--keep-last", "1"])
+    assert rc == 1
