@@ -32,7 +32,8 @@ sys.path.insert(0, REPO)
 
 DEFAULT_MASTERS = "local[2],local[8]"
 
-CPU_PIN = {"local[2]": "0-1", "local[8]": "0-7", "local[16]": "0-15", "local[32]": "0-31"}
+CPU_PIN = {"local[1]": "0", "local[2]": "0-1", "local[4]": "0-3",
+           "local[8]": "0-7", "local[16]": "0-15", "local[32]": "0-31"}
 
 
 def slots(master: str) -> int:
@@ -128,7 +129,9 @@ def run_once(master: str, zip_path: str, input_path: str, workdir: str, rep: int
         "--master", master,
     ]
     t0 = time.perf_counter()
-    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+    # 2400 s admits a 2M-doc leg on ONE core (~1100 s pipeline) — the
+    # sustainable (1,4) master pair runs its N leg far longer than (2,8)
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=2400)
     wall_total = time.perf_counter() - t0
     if proc.returncode != 0:
         raise RuntimeError(f"{master} rep{rep} failed:\n{proc.stderr[-2000:]}")

@@ -56,6 +56,11 @@ def main() -> int:
                          "previous probe counts as 'as rested as it gets'")
     ap.add_argument("--deadline-min", type=float, default=240.0)
     ap.add_argument("--out", default="scaling_2m_r3b.json")
+    ap.add_argument("--masters", default="local[2],local[8]")
+    ap.add_argument("--kernel-partitions", type=int, default=128)
+    ap.add_argument("--ceiling", action="store_true",
+                    help="include the hardware-ceiling calibration (only "
+                         "sensible when both legs are credit-sustainable)")
     args = ap.parse_args()
 
     from jobs.bench_scaling import credit_probe
@@ -93,12 +98,15 @@ def main() -> int:
         prev = p
         time.sleep(args.interval)
 
-    rc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "jobs", "bench_scaling.py"),
-         "--docs", str(args.docs), "--input-dir", args.input_dir,
-         "--reps", "1", "--order", "heavy-first", "--skip-ceiling",
-         "--kernel-partitions", "128", "--out", args.out],
-        cwd=REPO).returncode
+    cmd = [sys.executable, os.path.join(REPO, "jobs", "bench_scaling.py"),
+           "--docs", str(args.docs), "--input-dir", args.input_dir,
+           "--reps", "1", "--order", "heavy-first",
+           "--masters", args.masters,
+           "--kernel-partitions", str(args.kernel_partitions),
+           "--out", args.out]
+    if not args.ceiling:
+        cmd.append("--skip-ceiling")
+    rc = subprocess.run(cmd, cwd=REPO).returncode
     log({"event": "bench_done", "rc": rc, "out": args.out})
     return rc
 
