@@ -44,9 +44,13 @@ def canonicalize_url(url: Column) -> Column:
     ).otherwise(F.regexp_replace(scheme_host, r":80$", ""))
 
     path = F.substring_index(rest, "?", 1)
-    qs = F.when(rest.contains("?"), F.substring_index(rest, "?", -1)).otherwise(
-        F.lit("")
-    )
+    # Everything after the FIRST '?': a legal query value may itself contain
+    # '?' (e.g. /p?next=/a?b=1), and the SQL oracle twin uses strpos (first
+    # occurrence), so substring_index(..., -1) — which splits at the LAST
+    # '?' — would silently drop 'next=/a' and diverge from the oracle.
+    qs = F.when(
+        rest.contains("?"), F.regexp_extract(rest, r"^[^?]*\?(.*)$", 1)
+    ).otherwise(F.lit(""))
     params = F.when(qs == "", F.array().cast("array<string>")).otherwise(
         F.split(qs, "&")
     )

@@ -12,21 +12,29 @@ from corsearch_project_spark.queries import analytics  # noqa: F401
 from corsearch_project_spark.queries import training  # noqa: F401
 
 
-# The round-2 driver sweep verified only the first ~50 registered queries,
-# leaving these 20 with judge-side-only verification (VERDICT.md round 2,
-# "Next round" item 3). Surface them FIRST so a capped sweep covers them;
-# the queries they displace all have green CORRECTNESS_r02 rows already, so
-# the union across rounds stays fully driver-verified.
+# The driver sweep caps at ~50 queries per round while the registry holds
+# 70+, so coverage rotates: each round, the queries WITHOUT a green row in
+# the latest CORRECTNESS_r{N}.json are surfaced FIRST, guaranteeing every
+# query a driver-green row within any two consecutive rounds by
+# construction (round-3 verdict, "Next round" item 2). The displaced
+# queries all hold a green row from the immediately preceding round.
+# Round 4: exactly the 22 queries absent from CORRECTNESS_r03.json
+# (computed by set difference), plus this round's new registrations.
 _SWEEP_FIRST = [
-    "q_dedup_components", "q_sim_ivf_ann",
-    "q_udf_scalar_pandas", "q_udaf_grouped_pandas", "q_udtf_explode",
-    "q_udf_grouped_map", "q_map_fns", "q_multimodal_meta",
-    "q_text_quality", "q_text_langid", "q_text_fingerprint",
-    "q_sample_hash_split", "q_pack_sequences", "q_ngram_topk",
-    "q_shipping_priority", "q_local_supplier_volume", "q_returned_items",
-    "q_top_parts_by_size", "q_volume_shipping", "q_market_share",
-    # round-3 additions — new, so they need their first driver-green row
-    "q_text_repetition", "q_url_canonical",
+    # scalar-function and set-op rows last green in r2
+    "q_math_fns", "q_array_fns", "q_json_fns", "q_cond_fns",
+    "q_set_exceptall",
+    # window/session batch twins last green in r2
+    "q_window_tumbling", "q_window_sliding", "q_session_window",
+    "q_agg_cube", "q_window_percentrank", "q_dedupe_latest_agg",
+    "q_join_interval",
+    # the queries/textsim.py dedup/similarity surface, last green in r2
+    "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash_lsh",
+    "q_dedup_simhash", "q_dedup_embed", "q_dedup_embed_lsh",
+    "q_sim_topk", "q_sim_lsh_ann", "q_sim_lsh_multiprobe",
+    "q_text_tokens",
+    # round-4 additions — new, so they need their first driver-green row
+    "q_multimodal_png",
 ]
 
 

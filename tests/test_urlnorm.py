@@ -36,6 +36,13 @@ CASES = [
     ("http://ex.com:443/p", "http://ex.com:443/p"),
     # query param values keep their case
     ("https://ex.com/p?Key=VaLuE", "https://ex.com/p?Key=VaLuE"),
+    # '?' inside a query VALUE: qs is everything after the FIRST '?', so
+    # 'next=/a?b=1' survives intact (splitting at the last '?' would have
+    # dropped it and kept only 'b=1')
+    ("https://ex.com/p?next=/a?b=1&zz=0", "https://ex.com/p?next=/a?b=1&zz=0"),
+    # same, with a tracking param to prove filtering still applies after
+    # the first-'?' split
+    ("https://ex.com/p?utm_x=1&next=/a?b=1", "https://ex.com/p?next=/a?b=1"),
 ]
 
 
