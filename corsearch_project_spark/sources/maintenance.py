@@ -26,34 +26,90 @@ the expiry set is computed driver-side; the rewrites stay Spark writes.
 Single-writer-per-table-root assumption, as everywhere in this emulation:
 the swap is write-new → move-old-aside → move-new-in, not a catalog CAS.
 
+All driver-side directory operations go through the injectable filesystem
+seam (``sources/fs.py``, the same pattern as the ``open()`` seam in the
+WARC range scan): pass an object-store adapter as ``fs=`` and expiry runs
+on S3/GCS, where "rename" is a prefix copy+delete. That rename is NOT
+atomic there — the single-writer assumption is what makes the swap safe,
+and a multi-writer deployment should flip an Iceberg catalog pointer
+instead (the ``TableFormat`` seam in ``sources/io.py``).
+
 Vacuum: Spark's dynamic partition overwrite stages output under
 ``_temporary`` and removes it on job commit; a killed job leaves the
 directory behind. Readers ignore underscore-prefixed paths, so the leftovers
 are invisible but billable — at crawl scale, terabytes. ``vacuum_staging``
-removes them.
+removes them, and also repairs/reaps interrupted-swap leftovers
+(``*.__expired__`` / ``*.__compact__``).
 """
 
 from __future__ import annotations
 
-import os
-import shutil
 from typing import Dict, List, Optional
 
 from pyspark.sql import SparkSession, functions as F
 
+from corsearch_project_spark.sources.fs import LOCAL_FS
 from corsearch_project_spark.sources.schemas import LINEAGE_SCHEMA
 from corsearch_project_spark.sources.snapshots import SNAPSHOT_SCHEMA, read_snapshots
 
+# Swap staging suffixes. Both are SIBLINGS of the live path (same parent
+# directory), so local renames never cross a mount point (no EXDEV) and
+# object-store renames stay within one bucket prefix.
+ASIDE_SUFFIX = ".__expired__"
+COMPACT_SUFFIX = ".__compact__"
 
-def _swap_in(new_dir: str, live_dir: str) -> None:
-    """write-new → aside → move-in; the aside copy is removed last so an
-    interruption leaves either the old or the new table, never neither."""
-    aside = live_dir.rstrip("/") + ".__expired__"
-    if os.path.exists(aside):
-        shutil.rmtree(aside)
-    os.rename(live_dir, aside)
-    os.rename(new_dir, live_dir)
-    shutil.rmtree(aside)
+
+def recover_swap(live_dir: str, fs=LOCAL_FS) -> List[str]:
+    """Repair an interrupted ``_swap_in`` around ``live_dir``.
+
+    The swap's crash states and their repairs (applied in this order):
+
+    * live missing + aside present — crashed between the two renames (the
+      window in which the table briefly "does not exist"): roll BACK by
+      renaming the aside copy to live. The compacted dir is then reaped
+      and the expiry simply re-runs; rolling back is chosen over rolling
+      forward because it is correct even if the compact dir is from an
+      older, unrelated interruption.
+    * live present + aside present — crashed after move-in, before the
+      aside cleanup: reap the aside copy.
+    * compact present + live present — crashed before the swap started
+      (or a stale rewrite): reap the compact dir; it is regenerated.
+    """
+    aside = live_dir.rstrip("/") + ASIDE_SUFFIX
+    compact = live_dir.rstrip("/") + COMPACT_SUFFIX
+    actions: List[str] = []
+    if fs.exists(aside):
+        if not fs.exists(live_dir):
+            fs.rename(aside, live_dir)
+            actions.append("restored_live_from_aside")
+        else:
+            fs.rmtree(aside)
+            actions.append("reaped_aside")
+    if fs.exists(compact) and fs.exists(live_dir):
+        fs.rmtree(compact)
+        actions.append("reaped_compact")
+    return actions
+
+
+def _swap_in(new_dir: str, live_dir: str, fs=LOCAL_FS) -> None:
+    """write-new → move-old-aside → move-new-in → drop aside.
+
+    Crash windows and recovery (NOT atomic — see ``recover_swap``): between
+    the two renames the live path does not exist, so an interruption there
+    makes the table look snapshot-less until ``recover_swap`` (run
+    automatically at the start of ``expire_snapshots`` and by
+    ``vacuum_staging``) restores it from the ``.__expired__`` aside copy.
+    Data is never lost: every byte is in either the aside or the compact
+    directory at all times. Single-writer per table root is assumed; on an
+    object store each rename is a non-atomic prefix copy+delete, which the
+    same single-writer assumption covers.
+    """
+    aside = live_dir.rstrip("/") + ASIDE_SUFFIX
+    if fs.exists(aside):
+        fs.rmtree(aside)
+    fs.rename(live_dir, aside)
+    fs.rename(new_dir, live_dir)
+    fs.rmtree(aside)
 
 
 def latest_writers(snap_rows: List[dict]) -> Dict[int, str]:
@@ -68,17 +124,20 @@ def latest_writers(snap_rows: List[dict]) -> Dict[int, str]:
 
 
 def expire_snapshots(
-    spark: SparkSession, output_path: str, keep_last: int = 3
+    spark: SparkSession, output_path: str, keep_last: int = 3, fs=LOCAL_FS
 ) -> Optional[dict]:
     """Expire runs outside the keep-last window that are not latest writer
     of any bucket; compact the snapshots + lineage tables accordingly.
-    Returns a report dict, or None when there is no snapshots table."""
+    Returns a report dict, or None when there is no snapshots table.
+    ``fs`` is the driver-side filesystem seam (``sources/fs.py``) used for
+    the metadata swap; interrupted prior swaps are repaired first."""
     root = output_path.rstrip("/")
     snap_path = root + "/snapshots"
     lin_path = root + "/lineage"
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    recovered = recover_swap(snap_path, fs) + recover_swap(lin_path, fs)
     snaps = read_snapshots(spark, snap_path)
     if snaps is None:
         return None
@@ -96,6 +155,7 @@ def expire_snapshots(
         "kept_runs": sorted(keep_runs),
         "expired_runs": expired_runs,
         "kept_for_latest_writer": sorted(writer_runs - window_runs),
+        "recovered_swaps": recovered,
     }
     if not expired_runs:
         report["snapshots_after"] = len(rows)
@@ -108,14 +168,16 @@ def expire_snapshots(
         .parquet(snap_path)
         .where(F.col("run_id").isin(keep_lit))
     )
-    new_snaps.coalesce(1).write.parquet(snap_path + ".__compact__")
-    _swap_in(snap_path + ".__compact__", snap_path)
+    new_snaps.coalesce(1).write.mode("overwrite").parquet(
+        snap_path + COMPACT_SUFFIX
+    )
+    _swap_in(snap_path + COMPACT_SUFFIX, snap_path, fs)
 
     lin = spark.read.schema(LINEAGE_SCHEMA).parquet(lin_path)
     n_before = lin.count()
     kept_lin = lin.where(F.col("run_id").isin(keep_lit))
-    kept_lin.coalesce(1).write.parquet(lin_path + ".__compact__")
-    _swap_in(lin_path + ".__compact__", lin_path)
+    kept_lin.coalesce(1).write.mode("overwrite").parquet(lin_path + COMPACT_SUFFIX)
+    _swap_in(lin_path + COMPACT_SUFFIX, lin_path, fs)
 
     # run_ids and snapshot rows are not 1:1 (a resume-append commits a new
     # row under the original run_id), so count kept ROWS, not kept runs
@@ -126,21 +188,53 @@ def expire_snapshots(
     return report
 
 
-def vacuum_staging(output_path: str) -> dict:
-    """Remove crash-leftover Spark staging dirs (``_temporary``) under the
-    table root. Underscore paths are invisible to readers, so this never
-    changes query results — it reclaims storage after killed writes."""
-    removed, freed = [], 0
-    for dirpath, dirnames, _ in os.walk(output_path):
-        if "_temporary" in dirnames:
-            t = os.path.join(dirpath, "_temporary")
-            for dp, _, files in os.walk(t):
-                for fn in files:
-                    try:
-                        freed += os.path.getsize(os.path.join(dp, fn))
-                    except OSError:
-                        pass
-            shutil.rmtree(t, ignore_errors=True)
-            removed.append(os.path.relpath(t, output_path))
-            dirnames.remove("_temporary")
-    return {"staging_dirs_removed": removed, "bytes_freed": freed}
+def _tree_bytes(path: str, fs) -> int:
+    total = 0
+    stack = [path]
+    while stack:
+        d = stack.pop()
+        for name in fs.listdir(d):
+            p = d.rstrip("/") + "/" + name
+            if fs.isdir(p):
+                stack.append(p)
+            else:
+                try:
+                    total += fs.getsize(p)
+                except OSError:
+                    pass
+    return total
+
+
+def vacuum_staging(output_path: str, fs=LOCAL_FS) -> dict:
+    """Remove crash leftovers under the table root: Spark staging dirs
+    (``_temporary``) and interrupted-swap dirs (``*.__expired__`` /
+    ``*.__compact__``, via ``recover_swap`` — which RESTORES a mid-swap
+    table rather than deleting it). Underscore/dotted staging paths are
+    invisible to readers, so this never changes query results — it
+    reclaims storage after killed jobs. Runs on the ``fs`` seam, so it
+    works against object-store prefixes as well as local dirs."""
+    removed, freed, recovered = [], 0, []
+    stack = [output_path.rstrip("/")]
+    while stack:
+        d = stack.pop()
+        names = set(fs.listdir(d))
+        for name in sorted(names):
+            p = d + "/" + name
+            if name == "_temporary":
+                freed += _tree_bytes(p, fs)
+                fs.rmtree(p)
+                removed.append(p[len(output_path.rstrip("/")) + 1 :])
+            elif name.endswith(ASIDE_SUFFIX) or name.endswith(COMPACT_SUFFIX):
+                live = d + "/" + name.rsplit(".__", 1)[0]
+                before = fs.exists(p)
+                acts = recover_swap(live, fs)
+                recovered.extend(f"{name}:{a}" for a in acts)
+                if before and not fs.exists(p):
+                    removed.append(p[len(output_path.rstrip("/")) + 1 :])
+            elif fs.isdir(p):
+                stack.append(p)
+    return {
+        "staging_dirs_removed": removed,
+        "bytes_freed": freed,
+        "recovered_swaps": recovered,
+    }

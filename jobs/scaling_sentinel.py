@@ -85,10 +85,15 @@ def main() -> int:
         p = credit_probe()
         log({"event": "probe", "docs_per_sec": p})
         elapsed_min = (time.time() - t0) / 60
+        # Plateau = non-decreasing AND risen <3% since the last probe. The
+        # lower bound matters: a bare `p < prev*1.03` is satisfied by ANY
+        # drop, so one noisy dip above --plateau-at would launch while the
+        # pool is still recovering — the failure mode the sentinel exists
+        # to avoid.
         ready = (
             p >= args.run_at
             or (prev is not None and p >= args.plateau_at
-                and p < prev * 1.03)
+                and prev <= p < prev * 1.03)
         )
         if ready or elapsed_min >= args.deadline_min:
             log({"event": "launch", "probe": p,

@@ -158,6 +158,125 @@ def test_vacuum_removes_staging_only(spark, tmp_path):
     assert _table_state(spark, out) == state_before
 
 
+class _RecordingFS:
+    """Object-store-shaped FS: same five calls as fs.LocalFS but with every
+    mutation recorded, and rename implemented as copy+delete — the
+    non-atomic prefix semantics S3/GCS adapters actually have. Running the
+    full expiry through it proves maintenance never bypasses the seam with
+    a raw os call (the round-3 'local-FS-only' finding)."""
+
+    def __init__(self):
+        import shutil
+
+        self._shutil = shutil
+        self.ops = []
+
+    def exists(self, p):
+        return os.path.exists(p)
+
+    def rename(self, src, dst):
+        self.ops.append(("rename", src, dst))
+        self._shutil.copytree(src, dst)
+        self._shutil.rmtree(src)
+
+    def rmtree(self, p):
+        self.ops.append(("rmtree", p))
+        self._shutil.rmtree(p, ignore_errors=True)
+
+    def listdir(self, p):
+        return os.listdir(p)
+
+    def isdir(self, p):
+        return os.path.isdir(p)
+
+    def getsize(self, p):
+        return os.path.getsize(p)
+
+
+def test_expire_through_injected_object_store_fs(spark, tmp_path):
+    """Expiry must work end-to-end through a copy+delete-rename FS object
+    — i.e. driver-side maintenance has no hidden os.rename dependence."""
+    from validate_table import validate_table
+
+    base = gen_pages(40, seed=98, dup_frac=0.0)
+    out = _extract_all(spark, tmp_path, base, "ofs")
+    donors = base[20:] + base[:20]
+    _merge(spark, out, tmp_path,
+           [_swap_body(r, d) for r, d in zip(base, donors)], "O1")
+    _merge(spark, out, tmp_path,
+           [_swap_body(r, d) for r, d in zip(base, donors[5:] + donors[:5])],
+           "O2")
+
+    fs = _RecordingFS()
+    report = expire_snapshots(spark, out, keep_last=1, fs=fs)
+    assert report["expired_runs"]  # something actually got expired
+    # every swap mutation went through the seam: 2 renames + >=1 rmtree per
+    # swapped ledger (snapshots + lineage)
+    renames = [o for o in fs.ops if o[0] == "rename"]
+    assert len(renames) == 4
+    v = validate_table(
+        spark,
+        os.path.join(out, "extracted"),
+        os.path.join(out, "lineage"),
+        "O2",
+        BUCKETS,
+        snapshots_path=os.path.join(out, "snapshots"),
+    )
+    assert v["ok"], v
+
+
+def test_interrupted_swap_is_recovered(spark, tmp_path):
+    """Simulate a crash inside _swap_in's rename window (live missing,
+    aside + compact present): the next expire_snapshots must restore the
+    ledger and still produce a correct expiry."""
+    import shutil
+
+    from corsearch_project_spark.sources.maintenance import recover_swap
+
+    out = _three_commit_table(spark, tmp_path)
+    snap = os.path.join(out, "snapshots")
+    state_before = _table_state(spark, out)
+    snaps_before = {r["run_id"] for r in read_snapshots(spark, snap).collect()}
+
+    # crash state: compact written, live renamed aside, move-in never ran
+    shutil.copytree(snap, snap + ".__compact__")
+    os.rename(snap, snap + ".__expired__")
+    assert read_snapshots(spark, snap) is None  # table looks snapshot-less
+
+    report = expire_snapshots(spark, out, keep_last=10)
+    assert "restored_live_from_aside" in report["recovered_swaps"]
+    assert "reaped_compact" in report["recovered_swaps"]
+    assert {r["run_id"] for r in read_snapshots(spark, snap).collect()} == snaps_before
+    assert _table_state(spark, out) == state_before
+    assert not os.path.exists(snap + ".__expired__")
+    assert not os.path.exists(snap + ".__compact__")
+
+    # idempotent: a clean table recovers nothing
+    assert recover_swap(snap) == []
+
+
+def test_vacuum_reaps_swap_leftovers(spark, tmp_path):
+    """vacuum_staging repairs interrupted swaps (restoring a mid-swap
+    ledger) and reaps completed-swap leftovers."""
+    import shutil
+
+    out = _three_commit_table(spark, tmp_path)
+    snap = os.path.join(out, "snapshots")
+    lin = os.path.join(out, "lineage")
+    state_before = _table_state(spark, out)
+
+    # mid-swap crash on snapshots; completed-swap leftover on lineage
+    os.rename(snap, snap + ".__expired__")
+    shutil.copytree(lin, lin + ".__expired__")
+
+    rep = vacuum_staging(out)
+    assert any("restored_live_from_aside" in r for r in rep["recovered_swaps"])
+    assert any("reaped_aside" in r for r in rep["recovered_swaps"])
+    assert os.path.exists(snap) and not os.path.exists(snap + ".__expired__")
+    assert not os.path.exists(lin + ".__expired__")
+    assert _table_state(spark, out) == state_before
+
+
 def test_expire_cli(spark, tmp_path, capsys):
     import expire_table as J
 
