@@ -214,41 +214,68 @@ def _encrypt_objects(
 ) -> Tuple[List[bytes], bytes]:
     """Apply standard-security-handler encryption (empty user password) to a
     classic-layout object list: every stream payload is replaced by its
-    RC4 (/V 2 /R 3) or AES-128-CBC (/V 4 /R 4 /CFM /AESV2) ciphertext under
-    the spec's per-object key, an /Encrypt dict is appended, and the
-    trailer additions (/Encrypt ref + /ID) are returned. Key material and
-    IVs come from ``id_rng`` — a stream derived from the encryption roll,
-    never from the main word rng (frozen-golden discipline)."""
+    RC4 (/V 2 /R 3), AES-128-CBC (/V 4 /R 4 /CFM /AESV2), or AES-256-CBC
+    (/V 5 /R 6 /CFM /AESV3, mode ``aes256``) ciphertext, an /Encrypt dict
+    is appended, and the trailer additions (/Encrypt ref + /ID) are
+    returned. Key material and IVs come from ``id_rng`` — a stream derived
+    from the encryption roll, never from the main word rng (frozen-golden
+    discipline)."""
     import re as _re
 
     from corsearch_project_spark.webextract import pdfcrypt as C
 
-    r, v = (3, 2) if mode == "rc4" else (4, 4)
-    nb = 16  # /Length 128
     id0 = bytes(id_rng.randrange(256) for _ in range(16))
     p = -3904  # print+extract denied — the typical restricted-doc mask
-    o_val = C.compute_o_value(b"fixture-owner-secret", b"", r, nb)
-    file_key = C.compute_encryption_key(b"", o_val, p, id0, r, nb)
-    u_val = C.compute_u_value(file_key, id0, r)
+    if mode == "aes256":
+        r, v = 6, 5
+        file_key = bytes(id_rng.randrange(256) for _ in range(32))
+        salts = bytes(id_rng.randrange(256) for _ in range(32))
+        r6 = C.compute_r6_values(b"", file_key, p, salts)
+    else:
+        r, v = (3, 2) if mode == "rc4" else (4, 4)
+        nb = 16  # /Length 128
+        o_val = C.compute_o_value(b"fixture-owner-secret", b"", r, nb)
+        file_key = C.compute_encryption_key(b"", o_val, p, id0, r, nb)
+        u_val = C.compute_u_value(file_key, id0, r)
 
     new_objs: List[bytes] = []
     for num, body in enumerate(objs, start=1):
         m = body.find(b"stream\n")
         if m >= 0 and body.endswith(b"\nendstream"):
             payload = body[m + 7 : -10]
-            okey = C.object_key(file_key, num, 0, mode == "aes")
-            if mode == "aes":
+            if mode == "aes256":
+                # /V 5: the FILE key encrypts directly, no per-object key
                 iv = bytes(id_rng.randrange(256) for _ in range(16))
-                ct = C.aes128_cbc_encrypt(okey, iv, payload)
+                ct = C.aes128_cbc_encrypt(file_key, iv, payload)
             else:
-                ct = C.rc4(okey, payload)
+                okey = C.object_key(file_key, num, 0, mode == "aes")
+                if mode == "aes":
+                    iv = bytes(id_rng.randrange(256) for _ in range(16))
+                    ct = C.aes128_cbc_encrypt(okey, iv, payload)
+                else:
+                    ct = C.rc4(okey, payload)
             head = _re.sub(
                 rb"/Length \d+", b"/Length %d" % len(ct), body[:m], count=1
             )
             body = head + b"stream\n" + ct + b"\nendstream"
         new_objs.append(body)
 
-    if mode == "aes":
+    if mode == "aes256":
+        enc_dict = (
+            b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P %d "
+            b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+            b"/StmF /StdCF /StrF /StdCF "
+            b"/O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <%s> >>"
+            % (
+                p,
+                r6["O"].hex().encode(),
+                r6["U"].hex().encode(),
+                r6["OE"].hex().encode(),
+                r6["UE"].hex().encode(),
+                r6["Perms"].hex().encode(),
+            )
+        )
+    elif mode == "aes":
         enc_dict = (
             b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P %d "
             b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
@@ -319,9 +346,11 @@ def make_pdf(
     # an identity matrix (the pdftex/stamping shape real crawl PDFs carry):
     # same words, same coordinates — extraction must be form-invariant.
     use_form = lay_rng.random() < 0.25 if force_form is None else force_form
-    # ~12% of PDFs are standard-security-handler encrypted with an EMPTY
+    # ~15% of PDFs are standard-security-handler encrypted with an EMPTY
     # user password (permissions-restricted but freely openable — the common
-    # crawl shape): 7% RC4 /R 3, 5% AESV2 /R 4. Drawn from the derived
+    # crawl shape): 7% RC4 /R 3, 5% AESV2 /R 4, 3% AES-256 /R 6 (round-4
+    # addition, carved from the former 'none' band so the rc4/aes
+    # assignments of every seed are unchanged). Drawn from the derived
     # stream (roll #3) so the word stream and the two existing arm rolls
     # are untouched; extraction must be encryption-invariant, which the
     # frozen-golden suite then proves byte-for-byte. Encrypted docs use the
@@ -331,7 +360,15 @@ def make_pdf(
     encrypt = (
         force_encrypt
         if force_encrypt is not None
-        else ("rc4" if enc_roll < 0.07 else "aes" if enc_roll < 0.12 else "none")
+        else (
+            "rc4"
+            if enc_roll < 0.07
+            else "aes"
+            if enc_roll < 0.12
+            else "aes256"
+            if enc_roll < 0.15
+            else "none"
+        )
     )
     if encrypt not in ("none", None):
         if force_layout == "objstm":

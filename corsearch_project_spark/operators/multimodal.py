@@ -2,13 +2,21 @@
 columns with typed metadata (SURVEY training-data mandate).
 
 The Spark-side plumbing — schemas, Arrow batch shapes, mapInPandas
-signatures, partitioning — is real and tested. The *decoders* are stubs:
-the container ships no image/audio libraries (no PIL/ffmpeg/librosa), so
-every decode/resize stage takes a ``decoder`` seam ("auto" | "pil" |
-"stub"): auto tries the real library and falls back to a clearly-marked
-deterministic fake; "stub" pins the fake for codec-independent oracles. At
-cluster scale you install the codec libraries on executors and flip the
-seam — every plan stays identical.
+signatures, partitioning — is real and tested. Decoders run through a
+``decoder`` seam ("auto" | "pil" | "png" | "stub"):
+
+  * ``png`` — a REAL codec: the pure-stdlib PNG decode/resize/encode in
+    ``webextract/pngx.py`` (zlib inflate + un-filter; round-4 addition, so
+    the real-codec path executes in this codec-less sandbox);
+  * ``pil`` — the library seam for every other format (JPEG/WebP); raises
+    when PIL is absent;
+  * ``stub`` — the clearly-marked deterministic fake, for
+    codec-independent oracles;
+  * ``auto`` — PIL when importable, else the stdlib PNG codec for PNG
+    payloads, else the stub.
+
+At cluster scale you install the codec libraries on executors and flip
+the seam — every plan stays identical.
 
 Design notes for 100 TB of media:
   * payloads stay in Parquet binary columns co-partitioned with their
@@ -98,41 +106,55 @@ def decode_image_meta(
 ) -> DataFrame:
     """Image header decode as an iterator-of-batches stage (U2 shape).
 
-    ``decoder``: "auto" (PIL when importable, else stub), "pil" (require the
-    real codec), or "stub" (force the deterministic fake — what the oracle
-    replays, codec-independent). The seam is the argument, not the code:
-    deploying with real codecs changes only this flag."""
-    if decoder not in ("auto", "pil", "stub"):
+    ``decoder``: "auto" (PIL when importable, else the stdlib PNG codec
+    for PNG payloads, else stub), "pil" (require the real library), "png"
+    (require the stdlib codec — non-PNG payloads report
+    ``decode_ok=False``), or "stub" (force the deterministic fake — what
+    the codec-independent oracle replays). The seam is the argument, not
+    the code: deploying with real codecs changes only this flag. The PNG
+    metadata probe parses IHDR only — no inflate, so a 4 MB payload costs
+    a 33-byte header read."""
+    if decoder not in ("auto", "pil", "png", "stub"):
         raise ValueError(f"unknown decoder {decoder!r}")
     pil = _try_pil() if decoder in ("auto", "pil") else None
     if decoder == "pil" and pil is None:
         raise NotImplementedError("decoder='pil' requires PIL on executors")
+    mode = decoder
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from corsearch_project_spark.webextract import pngx
+
         for pdf in batches:
             out = {"media_id": [], "width": [], "height": [], "channels": [],
                    "decode_ok": [], "decoder": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                decoder = "pil" if pil else "stub"
+                data = bytes(payload or b"")
                 try:
                     if pil:
                         import io
 
-                        with pil.open(io.BytesIO(payload)) as im:
+                        with pil.open(io.BytesIO(data)) as im:
                             w, h = im.size
                             c = len(im.getbands())
+                        used, ok = "pil", True
+                    elif mode == "png" or (mode == "auto" and pngx.is_png(data)):
+                        used = "png"
+                        w, h, c = pngx.png_meta(data)
+                        ok = True
                     else:
-                        w, h, c = _decode_image_stub(bytes(payload or b""))
-                    ok = True
+                        used = "stub"
+                        w, h, c = _decode_image_stub(data)
+                        ok = True
                 except Exception:
                     w = h = c = None
                     ok = False
+                    used = "pil" if pil else mode
                 out["media_id"].append(mid)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["channels"].append(c)
                 out["decode_ok"].append(ok)
-                out["decoder"].append(decoder)
+                out["decoder"].append(used)
             yield pd.DataFrame(out)
 
     return media.where(F.col("kind") == "image").select("media_id", "payload").mapInPandas(
@@ -204,20 +226,24 @@ RESIZED_SCHEMA = T.StructType(
 def resize_images(
     media: DataFrame, width: int, height: int, decoder: str = "auto"
 ) -> DataFrame:
-    """Decode → resize → re-encode, the fat-row transform stage. Real path
-    uses PIL per Arrow batch; the stub arm (same fallback shape as
-    decode_image_meta) emits a deterministic fixed-size surface — 'IMG!'
-    header with the new dimensions plus payload-hash-derived bytes sized
-    width*height (bounded 4 KiB) — so the end-to-end plumbing (binary in,
-    binary out, batch sizing for fat rows) runs and is testable without
-    codecs. Deploying swaps decoder='auto'→real PIL; the plan is identical."""
-    if decoder not in ("auto", "pil", "stub"):
+    """Decode → resize → re-encode, the fat-row transform stage. The PNG
+    arm is a REAL transform (stdlib decode → nearest-neighbor resample →
+    re-encode, webextract/pngx.py); PIL covers other formats when
+    installed; the stub arm emits a deterministic fixed-size surface —
+    'IMG!' header with the new dimensions plus payload-hash-derived bytes
+    sized width*height (bounded 4 KiB) — so the end-to-end plumbing
+    (binary in, binary out, batch sizing for fat rows) runs and is
+    testable without any codec. The plan is identical across arms."""
+    if decoder not in ("auto", "pil", "png", "stub"):
         raise ValueError(f"unknown decoder {decoder!r}")
     pil = _try_pil() if decoder in ("auto", "pil") else None
     if decoder == "pil" and pil is None:
         raise NotImplementedError("decoder='pil' requires PIL on executors")
+    mode = decoder
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from corsearch_project_spark.webextract import pngx
+
         for pdf in batches:
             out = {"media_id": [], "payload": [], "width": [], "height": [],
                    "decoder": []}
@@ -232,6 +258,13 @@ def resize_images(
                         im.save(buf, format="PNG")
                         body = buf.getvalue()
                     dec = "pil"
+                elif mode == "png" or (mode == "auto" and pngx.is_png(data)):
+                    w0, h0, c0, px = pngx.decode_png(data)
+                    body = pngx.encode_png(
+                        pngx.resize_nearest(px, w0, h0, c0, width, height),
+                        width, height, c0,
+                    )
+                    dec = "png"
                 else:
                     n = min(width * height, 4096)
                     seed = hashlib.sha256(data).digest()
@@ -254,6 +287,38 @@ def resize_images(
         .select("media_id", "payload")
         .mapInPandas(run, RESIZED_SCHEMA)
     )
+
+
+def png_fixture_dims(i: int, seed: int = 71) -> tuple:
+    """(width, height, channels) for fixture image ``i`` — the pure-Python
+    replay the VALUES oracle uses (no Spark, no codec)."""
+    import random
+
+    rng = random.Random((seed << 20) ^ i)
+    return rng.randint(8, 48), rng.randint(8, 48), rng.choice([1, 3, 4])
+
+
+def gen_png_fixture(spark, n: int = 40, seed: int = 71) -> DataFrame:
+    """Deterministic REAL-PNG media table: every payload is a valid PNG
+    (encoded by webextract/pngx.py) with seeded dimensions/channels and a
+    position-derived pixel pattern, so the real-codec decode arm has an
+    executable, byte-stable corpus in this codec-less sandbox."""
+    from corsearch_project_spark.webextract.pngx import encode_png
+
+    rows = []
+    for i in range(n):
+        w, h, c = png_fixture_dims(i, seed)
+        px = bytes(
+            (x * 7 + y * 13 + ch * 31 + i) & 0xFF
+            for y in range(h)
+            for x in range(w)
+            for ch in range(c)
+        )
+        rows.append(
+            (i, "image", encode_png(px, w, h, c), "image/png",
+             f"https://media.example.com/png/{i}")
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def gen_media_fixture(spark, n: int = 60, seed: int = 99) -> DataFrame:

@@ -204,30 +204,42 @@ _TD2 = [_rotl(w, 16) for w in _TD0]
 _TD3 = [_rotl(w, 8) for w in _TD0]
 
 
+def _sub_word(t: int) -> int:
+    return (
+        (_SBOX[(t >> 24) & 0xFF] << 24)
+        | (_SBOX[(t >> 16) & 0xFF] << 16)
+        | (_SBOX[(t >> 8) & 0xFF] << 8)
+        | _SBOX[t & 0xFF]
+    )
+
+
 def _expand_key_words(key: bytes) -> List[int]:
-    """128-bit key -> 44 big-endian 32-bit round-key words."""
-    w = list(struct.unpack(">4I", key))
-    for i in range(4, 44):
+    """AES-128 or AES-256 key -> big-endian 32-bit round-key words
+    (44 words / 10 rounds for Nk=4; 60 words / 14 rounds for Nk=8 — the
+    FIPS-197 §5.2 schedule, including the extra SubWord at i%Nk==4 that
+    only the 256-bit schedule has)."""
+    nk = len(key) // 4
+    if nk not in (4, 8):
+        raise ValueError(f"AES key must be 16 or 32 bytes, got {len(key)}")
+    nr = nk + 6
+    w = list(struct.unpack(f">{nk}I", key))
+    for i in range(nk, 4 * (nr + 1)):
         t = w[i - 1]
-        if i % 4 == 0:
-            t = _rotl(t, 8)
-            t = (
-                (_SBOX[(t >> 24) & 0xFF] << 24)
-                | (_SBOX[(t >> 16) & 0xFF] << 16)
-                | (_SBOX[(t >> 8) & 0xFF] << 8)
-                | _SBOX[t & 0xFF]
-            )
-            t ^= _RCON[i // 4 - 1] << 24
-        w.append(w[i - 4] ^ t)
+        if i % nk == 0:
+            t = _sub_word(_rotl(t, 8)) ^ (_RCON[i // nk - 1] << 24)
+        elif nk == 8 and i % nk == 4:
+            t = _sub_word(t)
+        w.append(w[i - nk] ^ t)
     return w
 
 
 def _decrypt_key_words(rk: List[int]) -> List[int]:
     """Equivalent-inverse-cipher key schedule: reversed round order with
     InvMixColumns applied to the middle round keys (Td∘SBOX == pure
-    InvMixColumns, the standard trick)."""
-    dk = list(rk[40:44])
-    for r in range(9, 0, -1):
+    InvMixColumns, the standard trick). Works for any round count."""
+    nr = len(rk) // 4 - 1
+    dk = list(rk[4 * nr : 4 * nr + 4])
+    for r in range(nr - 1, 0, -1):
         for w in rk[4 * r : 4 * r + 4]:
             dk.append(
                 _TD0[_SBOX[(w >> 24) & 0xFF]]
@@ -240,10 +252,11 @@ def _decrypt_key_words(rk: List[int]) -> List[int]:
 
 
 def _encrypt_block_fast(block: bytes, rk: List[int]) -> bytes:
+    nr = len(rk) // 4 - 1
     s0, s1, s2, s3 = struct.unpack(">4I", block)
     s0 ^= rk[0]; s1 ^= rk[1]; s2 ^= rk[2]; s3 ^= rk[3]
     k = 4
-    for _ in range(9):
+    for _ in range(nr - 1):
         t0 = _TE0[s0 >> 24] ^ _TE1[(s1 >> 16) & 0xFF] ^ _TE2[(s2 >> 8) & 0xFF] ^ _TE3[s3 & 0xFF] ^ rk[k]
         t1 = _TE0[s1 >> 24] ^ _TE1[(s2 >> 16) & 0xFF] ^ _TE2[(s3 >> 8) & 0xFF] ^ _TE3[s0 & 0xFF] ^ rk[k + 1]
         t2 = _TE0[s2 >> 24] ^ _TE1[(s3 >> 16) & 0xFF] ^ _TE2[(s0 >> 8) & 0xFF] ^ _TE3[s1 & 0xFF] ^ rk[k + 2]
@@ -251,18 +264,19 @@ def _encrypt_block_fast(block: bytes, rk: List[int]) -> bytes:
         s0, s1, s2, s3 = t0, t1, t2, t3
         k += 4
     S = _SBOX
-    o0 = ((S[s0 >> 24] << 24) | (S[(s1 >> 16) & 0xFF] << 16) | (S[(s2 >> 8) & 0xFF] << 8) | S[s3 & 0xFF]) ^ rk[40]
-    o1 = ((S[s1 >> 24] << 24) | (S[(s2 >> 16) & 0xFF] << 16) | (S[(s3 >> 8) & 0xFF] << 8) | S[s0 & 0xFF]) ^ rk[41]
-    o2 = ((S[s2 >> 24] << 24) | (S[(s3 >> 16) & 0xFF] << 16) | (S[(s0 >> 8) & 0xFF] << 8) | S[s1 & 0xFF]) ^ rk[42]
-    o3 = ((S[s3 >> 24] << 24) | (S[(s0 >> 16) & 0xFF] << 16) | (S[(s1 >> 8) & 0xFF] << 8) | S[s2 & 0xFF]) ^ rk[43]
+    o0 = ((S[s0 >> 24] << 24) | (S[(s1 >> 16) & 0xFF] << 16) | (S[(s2 >> 8) & 0xFF] << 8) | S[s3 & 0xFF]) ^ rk[k]
+    o1 = ((S[s1 >> 24] << 24) | (S[(s2 >> 16) & 0xFF] << 16) | (S[(s3 >> 8) & 0xFF] << 8) | S[s0 & 0xFF]) ^ rk[k + 1]
+    o2 = ((S[s2 >> 24] << 24) | (S[(s3 >> 16) & 0xFF] << 16) | (S[(s0 >> 8) & 0xFF] << 8) | S[s1 & 0xFF]) ^ rk[k + 2]
+    o3 = ((S[s3 >> 24] << 24) | (S[(s0 >> 16) & 0xFF] << 16) | (S[(s1 >> 8) & 0xFF] << 8) | S[s2 & 0xFF]) ^ rk[k + 3]
     return struct.pack(">4I", o0, o1, o2, o3)
 
 
 def _decrypt_block_fast(block: bytes, dk: List[int]) -> bytes:
+    nr = len(dk) // 4 - 1
     s0, s1, s2, s3 = struct.unpack(">4I", block)
     s0 ^= dk[0]; s1 ^= dk[1]; s2 ^= dk[2]; s3 ^= dk[3]
     k = 4
-    for _ in range(9):
+    for _ in range(nr - 1):
         t0 = _TD0[s0 >> 24] ^ _TD1[(s3 >> 16) & 0xFF] ^ _TD2[(s2 >> 8) & 0xFF] ^ _TD3[s1 & 0xFF] ^ dk[k]
         t1 = _TD0[s1 >> 24] ^ _TD1[(s0 >> 16) & 0xFF] ^ _TD2[(s3 >> 8) & 0xFF] ^ _TD3[s2 & 0xFF] ^ dk[k + 1]
         t2 = _TD0[s2 >> 24] ^ _TD1[(s1 >> 16) & 0xFF] ^ _TD2[(s0 >> 8) & 0xFF] ^ _TD3[s3 & 0xFF] ^ dk[k + 2]
@@ -270,16 +284,43 @@ def _decrypt_block_fast(block: bytes, dk: List[int]) -> bytes:
         s0, s1, s2, s3 = t0, t1, t2, t3
         k += 4
     S = _INV_SBOX
-    o0 = ((S[s0 >> 24] << 24) | (S[(s3 >> 16) & 0xFF] << 16) | (S[(s2 >> 8) & 0xFF] << 8) | S[s1 & 0xFF]) ^ dk[40]
-    o1 = ((S[s1 >> 24] << 24) | (S[(s0 >> 16) & 0xFF] << 16) | (S[(s3 >> 8) & 0xFF] << 8) | S[s2 & 0xFF]) ^ dk[41]
-    o2 = ((S[s2 >> 24] << 24) | (S[(s1 >> 16) & 0xFF] << 16) | (S[(s0 >> 8) & 0xFF] << 8) | S[s3 & 0xFF]) ^ dk[42]
-    o3 = ((S[s3 >> 24] << 24) | (S[(s2 >> 16) & 0xFF] << 16) | (S[(s1 >> 8) & 0xFF] << 8) | S[s0 & 0xFF]) ^ dk[43]
+    o0 = ((S[s0 >> 24] << 24) | (S[(s3 >> 16) & 0xFF] << 16) | (S[(s2 >> 8) & 0xFF] << 8) | S[s1 & 0xFF]) ^ dk[k]
+    o1 = ((S[s1 >> 24] << 24) | (S[(s0 >> 16) & 0xFF] << 16) | (S[(s3 >> 8) & 0xFF] << 8) | S[s2 & 0xFF]) ^ dk[k + 1]
+    o2 = ((S[s2 >> 24] << 24) | (S[(s1 >> 16) & 0xFF] << 16) | (S[(s0 >> 8) & 0xFF] << 8) | S[s3 & 0xFF]) ^ dk[k + 2]
+    o3 = ((S[s3 >> 24] << 24) | (S[(s2 >> 16) & 0xFF] << 16) | (S[(s1 >> 8) & 0xFF] << 8) | S[s0 & 0xFF]) ^ dk[k + 3]
     return struct.pack(">4I", o0, o1, o2, o3)
 
 
+def _cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw AES-CBC (128- or 256-bit key), no padding, no IV prefix —
+    the building block the R6 hash loop and /UE//OE wrapping need (their
+    inputs are always block-aligned)."""
+    rk = _expand_key_words(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = _encrypt_block_fast(blk, rk)
+        out += prev
+    return bytes(out)
+
+
+def _cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    dk = _decrypt_key_words(_expand_key_words(key))
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = data[i : i + 16]
+        out += bytes(a ^ b for a, b in zip(_decrypt_block_fast(blk, dk), prev))
+        prev = blk
+    return bytes(out)
+
+
 def aes128_cbc_encrypt(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
-    """IV-prefixed AES-128-CBC with PKCS#7 padding (the /AESV2 stream
-    layout: first 16 bytes of the stream are the IV)."""
+    """IV-prefixed AES-CBC with PKCS#7 padding (the /AESV2 and /AESV3
+    stream layout: first 16 bytes of the stream are the IV). Despite the
+    historical name, the key may be 16 (AESV2) or 32 (AESV3) bytes — the
+    key schedule picks the round count."""
     rk = _expand_key_words(key)
     pad = 16 - (len(plaintext) % 16)
     plaintext += bytes([pad]) * pad
@@ -400,9 +441,99 @@ def object_key(file_key: bytes, num: int, gen: int, aes: bool) -> bytes:
 
 
 def decrypt_stream(file_key: bytes, num: int, gen: int, raw: bytes, aes: bool) -> bytes:
-    """Decrypt one stream's raw bytes (before filters are undone)."""
+    """Decrypt one stream's raw bytes (before filters are undone).
+
+    A 32-byte ``file_key`` means /V 5 (AES-256): the FILE key is used
+    directly — ISO 32000-2 dropped the per-object MD5 derivation, which no
+    longer exists at that revision. 16-byte-or-less keys go through the
+    classic Algorithm-1 per-object key."""
+    if aes and len(file_key) == 32:
+        out = aes128_cbc_decrypt(file_key, raw)
+        return out if out is not None else b""
     k = object_key(file_key, num, gen, aes)
     if aes:
         out = aes128_cbc_decrypt(k, raw)
         return out if out is not None else b""
     return rc4(k, raw)
+
+
+# ---------------------------------------------------------------------------
+# AES-256 revisions (/V 5): /R 6 per ISO 32000-2 §7.6.4 (PDF 2.0), plus the
+# deprecated-but-crawled /R 5 (Acrobat 9 /AESV3 extension, same structure
+# with a single-SHA-256 hash). All-public algorithms; the "udata" argument
+# is the 48-byte /U value, used only when checking the OWNER password.
+# ---------------------------------------------------------------------------
+
+
+def hash_r6(password: bytes, salt: bytes, udata: bytes = b"", r: int = 6) -> bytes:
+    """Algorithm 2.B (ISO 32000-2): the iterated SHA-256/384/512 +
+    AES-128-CBC password hash. For /R 5 the hash is a single SHA-256."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    if r < 6:
+        return k
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        # len(k1) is 64×n, always block-aligned -> no padding
+        e = _cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def authenticate_r6_user(
+    password: bytes, u: bytes, ue: bytes, r: int = 6
+) -> Optional[bytes]:
+    """Algorithm 11 + 2.A steps f-g: validate ``password`` as the USER
+    password against the 48-byte /U and recover the 32-byte file key from
+    /UE. Returns None when the password doesn't validate (document stays
+    skipped, same policy as the RC4/AESV2 path)."""
+    if len(u) < 48 or len(ue) < 32:
+        return None
+    vsalt, ksalt = u[32:40], u[40:48]
+    if hash_r6(password, vsalt, b"", r) != u[:32]:
+        return None
+    ikey = hash_r6(password, ksalt, b"", r)
+    return _cbc_decrypt_nopad(ikey, b"\x00" * 16, ue[:32])
+
+
+def verify_perms_r6(file_key: bytes, perms: bytes, p: int) -> bool:
+    """Algorithm 13 sanity check: /Perms decrypts (AES-256-ECB == CBC with
+    a zero IV over one block) to the P value + the 'adb' tag."""
+    if len(perms) < 16:
+        return False
+    dec = _cbc_decrypt_nopad(file_key, b"\x00" * 16, perms[:16])
+    return dec[9:12] == b"adb" and dec[:4] == _p_bytes(p)
+
+
+def compute_r6_values(
+    user_pw: bytes,
+    file_key: bytes,
+    p: int,
+    salts: bytes,
+    r: int = 6,
+    encrypt_metadata: bool = True,
+) -> dict:
+    """Fixture-writer direction: the /U, /UE, /O, /OE, /Perms entries for
+    an R5/R6 document. ``salts`` supplies 32 deterministic bytes (4×8-byte
+    salts — the spec says 'random'; the fixture corpus derives them from
+    its seeded rng so goldens are stable). The owner entries are derived
+    from a fixed fixture owner secret, like compute_o_value's caller."""
+    assert len(salts) >= 32 and len(file_key) == 32
+    uvs, uks, ovs, oks = salts[:8], salts[8:16], salts[16:24], salts[24:32]
+    u = hash_r6(user_pw, uvs, b"", r) + uvs + uks
+    ue = _cbc_encrypt_nopad(hash_r6(user_pw, uks, b"", r), b"\x00" * 16, file_key)
+    owner_pw = b"fixture-owner-secret"
+    o = hash_r6(owner_pw, ovs, u, r) + ovs + oks
+    oe = _cbc_encrypt_nopad(hash_r6(owner_pw, oks, u, r), b"\x00" * 16, file_key)
+    perms_plain = (
+        _p_bytes(p)
+        + b"\xff\xff\xff\xff"
+        + (b"T" if encrypt_metadata else b"F")
+        + b"adb"
+        + b"fixt"  # bytes 12-15: arbitrary per spec; fixed for determinism
+    )
+    perms = _cbc_encrypt_nopad(file_key, b"\x00" * 16, perms_plain)
+    return {"U": u, "UE": ue, "O": o, "OE": oe, "Perms": perms}

@@ -403,12 +403,14 @@ class PdfDoc:
                 self._load_objstm(o)
 
     def _setup_decryption(self) -> None:
-        """Standard security handler (public spec, ISO 32000-1 §7.6.3):
-        authenticate the EMPTY user password — the overwhelmingly common
-        crawl case (permissions-restricted but freely openable) — and hold
-        the file key for stream_bytes. Anything else (non-Standard filter,
-        V5/AES-256, a real password) leaves ``encrypted_unsupported`` set
-        and the extractor emits deterministic empty output as before."""
+        """Standard security handler (public specs, ISO 32000-1 §7.6.3 and
+        ISO 32000-2 §7.6.4): authenticate the EMPTY user password — the
+        overwhelmingly common crawl case (permissions-restricted but freely
+        openable) — and hold the file key for stream_bytes. Supported:
+        RC4 (/V 1-2), AES-128 /AESV2 (/V 4), and AES-256 /AESV3 (/V 5,
+        /R 5-6). Anything else (non-Standard filter, a real password)
+        leaves ``encrypted_unsupported`` set and the extractor emits
+        deterministic empty output as before."""
         self.crypt_key: Optional[bytes] = None
         self.crypt_aes = False
         self.encrypted_unsupported = False
@@ -446,9 +448,30 @@ class PdfDoc:
                 aes = True
                 key_bytes = 16
             elif cfm != "/V2":
-                return  # AESV3 etc. → unsupported
+                return  # unknown crypt filter → unsupported
+        elif v == 5 and r in (5, 6):
+            # AES-256: /U is 48 bytes (hash + validation salt + key salt),
+            # the file key is wrapped in /UE; no per-object key derivation.
+            stmf = self.resolve(enc.get("/StmF", "/Identity"))
+            if stmf == "/Identity":
+                self.encrypted_unsupported = False
+                return
+            ue = self.resolve(enc.get("/UE"))
+            if not isinstance(ue, bytes):
+                return
+            from corsearch_project_spark.webextract.pdfcrypt import (
+                authenticate_r6_user,
+            )
+
+            key = authenticate_r6_user(b"", u, ue, r)
+            if key is None:
+                return  # real user password: stays skipped
+            self.crypt_key = key
+            self.crypt_aes = True
+            self.encrypted_unsupported = False
+            return
         elif v not in (1, 2):
-            return  # V5 (AES-256) not implemented
+            return  # unknown /V → unsupported
         ids = self.resolve(self.trailer.get("/ID"))
         id0 = b""
         if isinstance(ids, list) and ids:
@@ -1176,8 +1199,8 @@ def extract_pdf(data: bytes, rule: Rule = DEFAULT_RULE):
     if getattr(doc, "encrypted_unsupported", False):
         # Standard-handler documents with an empty user password (the
         # common crawl case) are decrypted transparently in stream_bytes
-        # (pdfcrypt, RC4 + AESV2). Everything else — real passwords,
-        # AES-256, non-Standard handlers — is ciphertext we cannot decode:
+        # (pdfcrypt: RC4, AES-128 /AESV2, AES-256 /AESV3 R5-6). Everything
+        # else — real passwords, non-Standard handlers — is ciphertext:
         # emitting it would be deterministic NOISE, poison in a training
         # corpus. Detect and emit empty instead (skip-don't-raise).
         return "", []

@@ -93,6 +93,53 @@ def test_resize_stub_arm_end_to_end(spark, media):
     assert all((m["width"], m["height"]) == (224, 224) for m in meta)
 
 
+def test_png_real_codec_arm_in_sandbox(spark):
+    """The REAL-codec arm now executes without PIL (round-3 verdict item
+    6): genuine PNG payloads decode to their true header dimensions and
+    resize produces genuinely decodable PNGs at the target size — all via
+    the stdlib codec (webextract/pngx.py)."""
+    from corsearch_project_spark.webextract import pngx
+
+    media = M.gen_png_fixture(spark, n=20, seed=71)
+    # every payload is a real PNG file
+    for r in media.select("payload").collect():
+        assert pngx.is_png(bytes(r["payload"]))
+
+    meta = {m["media_id"]: m for m in M.decode_image_meta(media, decoder="png").collect()}
+    assert len(meta) == 20
+    for i in range(20):
+        w, h, c = M.png_fixture_dims(i, 71)
+        m = meta[i]
+        assert (m["width"], m["height"], m["channels"]) == (w, h, c)
+        assert m["decode_ok"] and m["decoder"] == "png"
+
+    # resize: output is a REAL PNG at the target size whose pixels match
+    # an independent decode→resample of the source
+    out = {r["media_id"]: r for r in M.resize_images(media, 24, 24, decoder="png").collect()}
+    for i in (0, 7, 19):
+        body = bytes(out[i]["payload"])
+        w2, h2, c2, px2 = pngx.decode_png(body)
+        w0, h0, c0 = M.png_fixture_dims(i, 71)
+        assert (w2, h2, c2) == (24, 24, c0)
+        src = media.where(F.col("media_id") == i).select("payload").first()["payload"]
+        _, _, _, px0 = pngx.decode_png(bytes(src))
+        assert px2 == pngx.resize_nearest(px0, w0, h0, c0, 24, 24)
+        assert out[i]["decoder"] == "png"
+
+    # 'auto' without PIL routes PNG payloads through the stdlib codec
+    auto = M.decode_image_meta(media, decoder="auto").collect()
+    if M._try_pil() is None:
+        assert all(m["decoder"] == "png" and m["decode_ok"] for m in auto)
+
+    # non-PNG payload under decoder='png' -> decode_ok=False, never noise
+    junk = spark.createDataFrame(
+        [(900, "image", b"IMG!junk-not-a-png", "image/x-stub", "u")],
+        M.MEDIA_SCHEMA,
+    )
+    bad = M.decode_image_meta(junk, decoder="png").collect()
+    assert len(bad) == 1 and not bad[0]["decode_ok"]
+
+
 def test_resize_pil_decoder_requires_pil(spark, media):
     try:
         import PIL  # noqa: F401

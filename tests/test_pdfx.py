@@ -542,18 +542,88 @@ def test_password_protected_pdf_still_skips():
 
 
 def test_unsupported_encryption_modes_skip():
-    """V5/AES-256 and unknown crypt filters are out of scope: deterministic
-    empty output, never noise."""
+    """Malformed V5 (no /UE to unwrap the file key from) and unknown crypt
+    filters are out of scope: deterministic empty output, never noise."""
     import random
-    import re
 
     from corsearch_project_spark.fixtures.gen_pages import make_pdf
 
     enc = make_pdf(random.Random(11), force_encrypt="aes")
-    v5 = enc.replace(b"/V 4 /R 4", b"/V 5 /R 6")
+    v5 = enc.replace(b"/V 4 /R 4", b"/V 5 /R 6")  # AESV2 dict has no /UE
     assert extract_pdf(v5) == ("", [])
     aesv3 = enc.replace(b"/CFM /AESV2", b"/CFM /AESV3")
     assert extract_pdf(aesv3) == ("", [])
+
+
+def test_encrypted_pdf_aes256_r6_extracts_byte_identical():
+    """AES-256 /V 5 /R 6 documents with an empty user password must extract
+    EXACTLY the plaintext document's text (ISO 32000-2 §7.6.4; round-3
+    verdict item 5 — R6 previously skipped deterministically)."""
+    import random
+
+    from corsearch_project_spark.fixtures.gen_pages import make_pdf
+
+    for seed in (0, 7, 23):
+        plain = make_pdf(
+            random.Random(seed), force_encrypt="none", force_layout="classic"
+        )
+        enc = make_pdf(random.Random(seed), force_encrypt="aes256")
+        assert b"/V 5 /R 6" in enc and b"/UE <" in enc
+        t0, s0 = extract_pdf(plain)
+        t1, s1 = extract_pdf(enc)
+        assert t0 and t1 == t0 and s1 == s0
+
+
+def test_aes256_r6_password_protected_still_skips():
+    """An R6 document whose user password is non-empty must stay skipped
+    (authenticate_r6_user returns None, output deterministically empty)."""
+    import hashlib
+    import random
+    import re
+
+    from corsearch_project_spark.fixtures.gen_pages import make_pdf
+    from corsearch_project_spark.webextract import pdfcrypt as C
+
+    # real-password /U//UE computed directly
+    fk = hashlib.sha256(b"k").digest()
+    salts = hashlib.sha256(b"s").digest()
+    vals = C.compute_r6_values(b"real-password", fk, -3904, salts)
+    assert C.authenticate_r6_user(b"", vals["U"], vals["UE"]) is None
+    assert C.authenticate_r6_user(b"real-password", vals["U"], vals["UE"]) == fk
+    assert C.verify_perms_r6(fk, vals["Perms"], -3904)
+
+    # and end-to-end: corrupt the document's /U hash -> skip
+    enc = make_pdf(random.Random(5), force_encrypt="aes256")
+    m = re.search(rb"/U <([0-9a-f]+)>", enc)
+    assert m and len(m.group(1)) == 96  # 48 bytes
+    bogus = b"00" * 32 + m.group(1)[64:]  # zero the 32-byte hash, keep salts
+    broken = enc[: m.start(1)] + bogus + enc[m.end(1) :]
+    assert extract_pdf(broken) == ("", [])
+
+
+def test_aes256_public_test_vector_and_r5():
+    from corsearch_project_spark.webextract import pdfcrypt as C
+
+    # FIPS-197 appendix C.3 (AES-256)
+    key = bytes(range(32))
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    rk = C._expand_key_words(key)
+    ct = C._encrypt_block_fast(pt, rk)
+    assert ct == bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")
+    assert C._decrypt_block_fast(ct, C._decrypt_key_words(rk)) == pt
+    # CBC roundtrip with the 256-bit key through the stream-layout helpers
+    for n in (0, 1, 15, 16, 17):
+        msg = bytes(range(n))
+        assert (
+            C.aes128_cbc_decrypt(key, C.aes128_cbc_encrypt(key, b"\x01" * 16, msg))
+            == msg
+        )
+    # the deprecated /R 5 single-SHA-256 variant round-trips too
+    import hashlib
+
+    fk = hashlib.sha256(b"r5").digest()
+    vals = C.compute_r6_values(b"", fk, -4, hashlib.sha256(b"t").digest(), r=5)
+    assert C.authenticate_r6_user(b"", vals["U"], vals["UE"], r=5) == fk
 
 
 def test_pdfcrypt_public_test_vectors():
