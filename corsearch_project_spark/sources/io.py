@@ -77,6 +77,104 @@ class ParquetBucketedFormat:
             return None
 
 
+# ---------------------------------------------------------------------------
+# Schema evolution (S16): Iceberg add/rename/widen semantics over the
+# Parquet emulation. Iceberg tracks columns by field ID in table metadata,
+# so old data files remain readable after ADD COLUMN (missing -> NULL),
+# RENAME (ID unchanged, name remapped), and type widening. Parquet alone
+# matches by NAME, so a fixed-schema scan breaks on any layout change
+# (round-3 verdict, "Next round" item 7). The emulation keeps a
+# column-mapping descriptor — read-schema + rename lineage — persisted as
+# an underscore-prefixed JSON at the table root (invisible to readers,
+# like _SUCCESS), and resolves every read column as
+# coalesce(first-present-of [current_name, *prior_names]) cast to the read
+# type. Real Iceberg drops in at the TableFormat seam with none of this.
+# ---------------------------------------------------------------------------
+
+SCHEMA_DESCRIPTOR = "_schema.json"
+
+
+def write_schema_descriptor(
+    path: str, read_schema, renames: Optional[dict] = None
+) -> None:
+    """Persist the table's current read-schema + rename lineage.
+    ``renames`` maps current column name -> list of PRIOR names still
+    present in old data files (newest first)."""
+    import json
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, SCHEMA_DESCRIPTOR), "w") as f:
+        json.dump(
+            {"read_schema_json": read_schema.jsonValue(), "renames": renames or {}},
+            f,
+        )
+
+
+def read_schema_descriptor(path: str):
+    """(read_schema, renames) from the table's descriptor, or None."""
+    import json
+
+    from pyspark.sql import types as T
+
+    p = os.path.join(path, SCHEMA_DESCRIPTOR)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        d = json.load(f)
+    return T.StructType.fromJson(d["read_schema_json"]), d["renames"]
+
+
+def read_evolved(
+    spark: SparkSession,
+    path: str,
+    read_schema=None,
+    renames: Optional[dict] = None,
+    union_schema=None,
+) -> DataFrame:
+    """Read a table whose data files span schema versions.
+
+    * column ADD: files written before the add lack the column -> typed
+      NULL (Iceberg's exact semantics);
+    * column RENAME: old files carry a prior name -> resolved via the
+      rename lineage, newest name wins when both exist (coalesce order);
+    * type WIDENING (int->long, float->double): every candidate is cast to
+      the read type before coalescing.
+
+    ``union_schema`` (all names that appear in ANY file, old and new, at
+    their WIDEST types) skips the mergeSchema footer sweep — at 10^6+
+    files per table, footer merging is a driver-side metadata scan you
+    don't want; the snapshot ledger can supply the union cheaply. It is
+    also REQUIRED for type widening: Spark's parquet reader upcasts
+    int->long / float->double under an explicit read schema, but footer
+    merging refuses INT-vs-BIGINT merges (the reason Iceberg keeps schema
+    in table metadata, not footers). Without it, mergeSchema=true
+    discovers the union (fine for add/rename at test scale; documented
+    cost at crawl scale). When ``read_schema``/``renames`` are omitted,
+    the persisted descriptor at the table root supplies them."""
+    if read_schema is None:
+        desc = read_schema_descriptor(path)
+        if desc is None:
+            raise FileNotFoundError(
+                f"no read_schema given and no {SCHEMA_DESCRIPTOR} under {path!r}"
+            )
+        read_schema, renames = desc[0], (renames or desc[1])
+    renames = renames or {}
+    if union_schema is not None:
+        df = spark.read.schema(union_schema).parquet(path)
+    else:
+        df = spark.read.option("mergeSchema", True).parquet(path)
+    have = set(df.columns)
+    out = []
+    for field in read_schema.fields:
+        cands = [c for c in [field.name, *renames.get(field.name, [])] if c in have]
+        if not cands:
+            expr = F.lit(None).cast(field.dataType)  # column add
+        else:
+            expr = F.coalesce(*[F.col(c).cast(field.dataType) for c in cands])
+        out.append(expr.alias(field.name))
+    return df.select(*out)
+
+
 def done_buckets(
     spark: SparkSession, fmt: ParquetBucketedFormat, lineage_path: str, run_id: str
 ) -> List[int]:
