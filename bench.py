@@ -182,6 +182,51 @@ def _warc_bench(spark, n_docs: int, workdir: str) -> dict:
     return {"docs": n, "sec": round(sec, 3), "docs_per_sec": round(n / sec, 1)}
 
 
+def _manifest_bench(spark, extracted_path: str, workdir: str) -> dict:
+    """S15 data-skipping row (round-3 verdict item 9): time a point lookup
+    through the file manifest vs the same predicate as a full-table scan,
+    and report how many data files each opens. The ratio is the measured
+    data-skipping claim, not an asserted one."""
+    from pyspark.sql import functions as F
+
+    from corsearch_project_spark.sources.manifest import (
+        build_file_manifest,
+        lookup_urls,
+        prune_files,
+        write_manifest,
+    )
+
+    man_path = os.path.join(workdir, "manifest")
+    t0 = time.perf_counter()
+    write_manifest(build_file_manifest(spark, extracted_path), man_path)
+    build_s = time.perf_counter() - t0
+
+    data = spark.read.parquet(extracted_path)
+    urls = [r["url"] for r in data.select("url").orderBy("url").limit(3).collect()]
+
+    t0 = time.perf_counter()
+    n_hit = lookup_urls(spark, extracted_path, man_path, urls).count()
+    lookup_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_full = data.where(F.col("url").isin(urls)).count()
+    fullscan_s = time.perf_counter() - t0
+
+    man = spark.read.parquet(man_path)
+    total_files = man.count()
+    opened = len(prune_files(man, urls))
+    assert n_hit == n_full
+    return {
+        "build_sec": round(build_s, 3),
+        "lookup_sec": round(lookup_s, 3),
+        "fullscan_sec": round(fullscan_s, 3),
+        "files_opened": opened,
+        "files_total": total_files,
+        "rows": n_hit,
+        "speedup": round(fullscan_s / max(lookup_s, 1e-9), 2),
+    }
+
+
 def _udf_boundary_bench(spark, sf_dir: str) -> dict:
     """U6 (SURVEY §2.10): measure the same expression three ways — JVM
     builtin, Arrow-batched pandas UDF, row-at-a-time Python UDF — to
@@ -296,6 +341,9 @@ def main() -> int:
     try:
         extract = _extract_bench(spark, EXTRACT_DOCS, workdir)
         warc = _warc_bench(spark, min(EXTRACT_DOCS, 8000), workdir)
+        manifest = _manifest_bench(
+            spark, os.path.join(workdir, "out", "extracted"), workdir
+        )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -313,6 +361,7 @@ def main() -> int:
                 "sf": sf,
                 "extract": extract,
                 "warc": warc,
+                "manifest_lookup": manifest,
                 "udf_boundary": udf_boundary,
                 "regression_check": _regression_check(timings, sf),
             }

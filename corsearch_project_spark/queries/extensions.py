@@ -242,3 +242,67 @@ def q_multimodal_png(spark, sf_dir):
 
     media = gen_png_fixture(spark, n=40, seed=71)
     return decode_image_meta(media, decoder="png")
+
+
+def _schema_evo_expected_values() -> str:
+    rows = [
+        f"('https://old.example.com/{i}', CAST(NULL AS VARCHAR), {len(f'<p>old {i}</p>')})"
+        for i in range(5)
+    ] + [
+        f"('https://new.example.com/{i}', 'en', {len(f'<p>new {i}</p>')})"
+        for i in range(3)
+    ]
+    return (
+        "SELECT url, lang, CAST(html_len AS INTEGER) AS html_len FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(url, lang, html_len)"
+    )
+
+
+@query(
+    "q_schema_evolution",
+    _schema_evo_expected_values(),
+    doc="S16 schema evolution (round-4): a table whose data files span two "
+    "layouts — v1 has a 'body' column and no 'lang'; v2 is the current "
+    "pages schema — read through io.read_evolved with the rename lineage "
+    "{html: [body]}. Old rows resolve html via coalesce-over-lineage and "
+    "surface lang as a typed NULL (Iceberg ADD/RENAME semantics); the "
+    "projection stays pure JVM so parquet pushdown survives. Input is a "
+    "deterministic two-layout table written to a temp dir (no external "
+    "data); oracle is the VALUES-literal replay.",
+)
+def q_schema_evolution(spark, sf_dir):
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from corsearch_project_spark.sources.io import read_evolved
+    from corsearch_project_spark.sources.schemas import PAGES_SCHEMA
+
+    v1 = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("body", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    root = os.path.join(tempfile.gettempdir(), "csp_q_schema_evo")
+    shutil.rmtree(root, ignore_errors=True)
+    ts = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(f"https://old.example.com/{i}", ts, f"<p>old {i}</p>".encode(), "t")
+         for i in range(5)],
+        v1,
+    ).coalesce(1).write.mode("append").parquet(root)
+    spark.createDataFrame(
+        [(f"https://new.example.com/{i}", ts, f"<p>new {i}</p>".encode(), "t", "en")
+         for i in range(3)],
+        PAGES_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(root)
+    return read_evolved(spark, root, PAGES_SCHEMA, {"html": ["body"]}).select(
+        "url", "lang", F.length(F.col("html")).alias("html_len")
+    )
