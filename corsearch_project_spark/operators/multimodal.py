@@ -289,6 +289,116 @@ def resize_images(
     )
 
 
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_width", T.IntegerType(), True),  # bytes/sample
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("decoder", T.StringType(), False),
+    ]
+)
+
+
+def _decode_audio_stub(payload: bytes):
+    d = hashlib.md5(payload).digest()
+    return 8000 * (1 + d[0] % 6), 1 + d[1] % 2, 2, 256 + d[2]
+
+
+def decode_audio_meta(media: DataFrame, decoder: str = "auto") -> DataFrame:
+    """Audio header decode (same iterator-of-batches shape as the image
+    stage). The ``wav`` arm is a REAL codec: stdlib ``wave`` parses the
+    RIFF/PCM container (rate, channels, sample width, frame count) — like
+    the PNG arm, it needs nothing the sandbox lacks. Compressed formats
+    (mp3/ogg/flac) stay behind the library seam; under ``auto`` a non-RIFF
+    payload falls to the stub, and under ``decoder='wav'`` it reports
+    ``decode_ok=False`` — never fabricated metadata."""
+    if decoder not in ("auto", "wav", "stub"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    mode = decoder
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            out = {"media_id": [], "sample_rate": [], "channels": [],
+                   "sample_width": [], "n_frames": [], "decode_ok": [],
+                   "decoder": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload or b"")
+                try:
+                    if mode == "wav" or (mode == "auto" and data[:4] == b"RIFF"):
+                        used = "wav"
+                        with wave.open(io.BytesIO(data)) as w:
+                            rate, ch = w.getframerate(), w.getnchannels()
+                            sw, nf = w.getsampwidth(), w.getnframes()
+                        ok = True
+                    else:
+                        used = "stub"
+                        rate, ch, sw, nf = _decode_audio_stub(data)
+                        ok = True
+                except Exception:
+                    rate = ch = sw = nf = None
+                    ok, used = False, mode
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["channels"].append(ch)
+                out["sample_width"].append(sw)
+                out["n_frames"].append(nf)
+                out["decode_ok"].append(ok)
+                out["decoder"].append(used)
+            yield pd.DataFrame(out)
+
+    return media.where(F.col("kind") == "audio").select("media_id", "payload").mapInPandas(
+        run, AUDIO_META_SCHEMA
+    )
+
+
+def wav_fixture_params(i: int, seed: int = 83) -> tuple:
+    """(sample_rate, channels, n_frames) for fixture clip ``i`` — the
+    pure-Python replay the VALUES oracle uses."""
+    import random
+
+    rng = random.Random((seed << 21) ^ i)
+    return (
+        rng.choice([8000, 16000, 22050, 44100]),
+        rng.choice([1, 2]),
+        rng.randint(64, 2048),
+    )
+
+
+def gen_wav_fixture(spark, n: int = 30, seed: int = 83) -> DataFrame:
+    """Deterministic REAL-WAV media table: every payload is a valid
+    RIFF/PCM-16 file (stdlib ``wave`` writer) with seeded params and a
+    position-derived sample pattern."""
+    import io
+    import struct as _struct
+    import wave
+
+    rows = []
+    for i in range(n):
+        rate, ch, nf = wav_fixture_params(i, seed)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(ch)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            samples = [
+                ((k * 257 + c * 1031 + i * 7) % 32768) - 16384
+                for k in range(nf)
+                for c in range(ch)
+            ]
+            w.writeframes(_struct.pack(f"<{len(samples)}h", *samples))
+        rows.append(
+            (i, "audio", buf.getvalue(), "audio/wav",
+             f"https://media.example.com/wav/{i}")
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def png_fixture_dims(i: int, seed: int = 71) -> tuple:
     """(width, height, channels) for fixture image ``i`` — the pure-Python
     replay the VALUES oracle uses (no Spark, no codec)."""

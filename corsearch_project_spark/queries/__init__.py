@@ -34,7 +34,7 @@ _SWEEP_FIRST = [
     "q_sim_topk", "q_sim_lsh_ann", "q_sim_lsh_multiprobe",
     "q_text_tokens",
     # round-4 additions — new, so they need their first driver-green row
-    "q_multimodal_png", "q_schema_evolution",
+    "q_multimodal_png", "q_schema_evolution", "q_multimodal_wav",
 ]
 
 

@@ -244,6 +244,49 @@ def q_multimodal_png(spark, sf_dir):
     return decode_image_meta(media, decoder="png")
 
 
+def _multimodal_wav_expected_values(n: int = 30, seed: int = 83) -> str:
+    from corsearch_project_spark.operators.multimodal import wav_fixture_params
+
+    rows = []
+    for i in range(n):
+        rate, ch, nf = wav_fixture_params(i, seed)
+        rows.append(f"({i}, {rate}, {ch}, 2, {nf}, TRUE, 'wav')")
+    head = (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(sample_rate AS INTEGER) AS sample_rate, "
+        "CAST(channels AS INTEGER) AS channels, "
+        "CAST(sample_width AS INTEGER) AS sample_width, "
+        "CAST(n_frames AS BIGINT) AS n_frames, decode_ok, decoder FROM "
+    )
+    return (
+        head
+        + "(VALUES "
+        + ", ".join(rows)
+        + ") AS t(media_id, sample_rate, channels, sample_width, n_frames,"
+        " decode_ok, decoder)"
+    )
+
+
+@query(
+    "q_multimodal_wav",
+    _multimodal_wav_expected_values(),
+    doc="Multimodal audio REAL-codec arm (round-4): every payload is a "
+    "genuine RIFF/PCM-16 WAV; the mapInPandas stage parses it with stdlib "
+    "`wave` (decoder='wav', operators/multimodal.py) — like the PNG arm, "
+    "the real-codec path executes in this codec-less sandbox. Oracle "
+    "replays the seeded fixture params as a VALUES literal; the Spark side "
+    "earns them by parsing actual WAV containers.",
+)
+def q_multimodal_wav(spark, sf_dir):
+    from corsearch_project_spark.operators.multimodal import (
+        decode_audio_meta,
+        gen_wav_fixture,
+    )
+
+    media = gen_wav_fixture(spark, n=30, seed=83)
+    return decode_audio_meta(media, decoder="wav")
+
+
 def _schema_evo_expected_values() -> str:
     rows = [
         f"('https://old.example.com/{i}', CAST(NULL AS VARCHAR), {len(f'<p>old {i}</p>')})"

@@ -467,7 +467,11 @@ def decrypt_stream(file_key: bytes, num: int, gen: int, raw: bytes, aes: bool) -
 
 def hash_r6(password: bytes, salt: bytes, udata: bytes = b"", r: int = 6) -> bytes:
     """Algorithm 2.B (ISO 32000-2): the iterated SHA-256/384/512 +
-    AES-128-CBC password hash. For /R 5 the hash is a single SHA-256."""
+    AES-128-CBC password hash. For /R 5 the hash is a single SHA-256.
+    Passwords are UTF-8 truncated to 127 bytes per §7.6.4.3.3 (SASLprep
+    is omitted: the crawl path only ever authenticates the EMPTY
+    password, for which the normalization is the identity)."""
+    password = password[:127]
     k = hashlib.sha256(password + salt + udata).digest()
     if r < 6:
         return k
