@@ -287,6 +287,69 @@ def q_multimodal_wav(spark, sf_dir):
     return decode_audio_meta(media, decoder="wav")
 
 
+def _manifest_lookup_expected_values() -> str:
+    probes = (5, 23, 44)
+    rows = [f"('https://t{i:03d}.example.com/p', {100 + i})" for i in probes]
+    return (
+        "SELECT url, CAST(n_chars AS BIGINT) AS n_chars FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(url, n_chars)"
+    )
+
+
+@query(
+    "q_manifest_lookup",
+    _manifest_lookup_expected_values(),
+    doc="S15 data-skipping manifest as a driver-gated query (round-4): a "
+    "deterministic 60-row bucketed table is written through the S3 sink "
+    "(url-sorted files), a per-file min/max-url manifest is built with one "
+    "partial aggregation, and a 3-url point lookup scans ONLY covering "
+    "files (sources/manifest.py). The result must equal the VALUES replay "
+    "— i.e. data skipping returns exactly the full-scan answer.",
+)
+def q_manifest_lookup(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from corsearch_project_spark.sources.io import ParquetBucketedFormat
+    from corsearch_project_spark.sources.manifest import (
+        build_file_manifest,
+        lookup_urls,
+        write_manifest,
+    )
+    from corsearch_project_spark.sources.schemas import EXTRACTED_SCHEMA
+
+    root = os.path.join(tempfile.gettempdir(), "csp_q_manifest")
+    shutil.rmtree(root, ignore_errors=True)
+    ext = os.path.join(root, "extracted")
+    rows = [
+        (
+            f"https://t{i:03d}.example.com/p",  # url
+            "html",                             # doc_kind
+            "x" * (100 + i),                    # extracted_text
+            [],                                 # spans
+            "",                                 # text_sha256
+            1,                                  # n_blocks
+            100 + i,                            # n_chars
+            100 + i,                            # bytes_in
+            1,                                  # extract_us
+            i % 8,                              # url_bucket
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, EXTRACTED_SCHEMA).repartition(
+        8, F.col("url_bucket")
+    )
+    ParquetBucketedFormat(max_records_per_file=4).write_extracted(df, ext)
+    man = os.path.join(root, "manifest")
+    write_manifest(build_file_manifest(spark, ext), man)
+    probes = [f"https://t{i:03d}.example.com/p" for i in (5, 23, 44)]
+    return lookup_urls(spark, ext, man, probes).select("url", "n_chars")
+
+
 def _schema_evo_expected_values() -> str:
     rows = [
         f"('https://old.example.com/{i}', CAST(NULL AS VARCHAR), {len(f'<p>old {i}</p>')})"
