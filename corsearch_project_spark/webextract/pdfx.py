@@ -456,6 +456,11 @@ class PdfDoc:
             if stmf == "/Identity":
                 self.encrypted_unsupported = False
                 return
+            cf = self.resolve(enc.get("/CF")) or {}
+            cfd = self.resolve(cf.get(stmf)) if isinstance(cf, dict) else None
+            cfm = self.resolve(cfd.get("/CFM")) if isinstance(cfd, dict) else None
+            if cfm != "/AESV3":
+                return  # V5 with a non-AESV3 crypt filter: malformed, skip
             ue = self.resolve(enc.get("/UE"))
             if not isinstance(ue, bytes):
                 return

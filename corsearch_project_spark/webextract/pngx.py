@@ -88,9 +88,15 @@ def decode_png(data: bytes, max_pixels: int = 64 << 20) -> Tuple[int, int, int, 
         pos += 12 + length
     if not idat:
         raise ValueError("no IDAT")
-    raw = zlib.decompress(bytes(idat), bufsize=min((w * c + 1) * h, 1 << 20))
     stride = w * c
-    if len(raw) != (stride + 1) * h:
+    expect = (stride + 1) * h
+    # cap inflation at the declared pixel size: a payload whose compressed
+    # stream expands past IHDR's promise is malformed (or a bomb) either way
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), expect)
+    if dec.unconsumed_tail or dec.decompress(b"", 1):
+        raise ValueError("IDAT inflates past declared dimensions")
+    if len(raw) != expect:
         raise ValueError("pixel data length mismatch")
     out = bytearray(stride * h)
     prev = bytes(stride)
