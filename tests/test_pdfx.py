@@ -601,6 +601,28 @@ def test_aes256_r6_password_protected_still_skips():
     assert extract_pdf(broken) == ("", [])
 
 
+def test_evp_fast_path_parity_with_pure_python():
+    """The optional OpenSSL EVP path (stdlib ctypes; import-time
+    FIPS-vector self-test) must agree byte-for-byte with the pure-Python
+    word loops on random keys/ivs/lengths, both directions, both key
+    sizes. On hosts without libcrypto the test reduces to pure-pure."""
+    import random
+
+    from corsearch_project_spark.webextract import pdfcrypt as C
+
+    r = random.Random(31337)
+    for _ in range(24):
+        key = bytes(r.randrange(256) for _ in range(r.choice([16, 32])))
+        iv = bytes(r.randrange(256) for _ in range(16))
+        data = bytes(r.randrange(256) for _ in range(16 * r.randrange(1, 8)))
+        pure_e = C._cbc_encrypt_words(C._expand_key_words(key), iv, data)
+        assert C._cbc_encrypt_nopad(key, iv, data) == pure_e  # whatever path
+        assert C._cbc_decrypt_nopad(key, iv, pure_e) == data
+        if C._EVP is not None:
+            assert C._evp_cbc_lib(C._EVP, key, iv, data, True) == pure_e
+            assert C._evp_cbc_lib(C._EVP, key, iv, pure_e, False) == data
+
+
 def test_aes256_public_test_vector_and_r5():
     from corsearch_project_spark.webextract import pdfcrypt as C
 
