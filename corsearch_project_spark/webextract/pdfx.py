@@ -85,10 +85,20 @@ def _skip_ws(buf: bytes, i: int) -> int:
     return i
 
 
-_NUM_RE = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
 _NAME_RE = re.compile(rb"/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)")
-_REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R(?![a-zA-Z])")
+# Ref-then-number in ONE C-level alternation (ordered like the original
+# two attempts): numbers dominate content streams, and the separate
+# _REF_RE attempt per numeric token was pure overhead.
+_REF_OR_NUM_RE = re.compile(
+    rb"(\d+)\s+(\d+)\s+R(?![a-zA-Z])|[+-]?(?:\d+\.\d*|\.\d+|\d+)"
+)
 _KEYWORD_RE = re.compile(rb"[a-zA-Z'\"*]{1,32}")
+# Interned ("op", str) tuples / "/Name" strings — content streams repeat a
+# tiny operator and name vocabulary millions of times at crawl scale.
+# Capped so fuzzed garbage cannot grow the maps unboundedly.
+_OP_CACHE: Dict[bytes, tuple] = {}
+_NAME_CACHE: Dict[bytes, str] = {}
+_PARSE_CACHE_CAP = 4096
 
 
 def parse_object(buf: bytes, i: int) -> Tuple[object, int]:
@@ -114,12 +124,18 @@ def parse_object(buf: bytes, i: int) -> Tuple[object, int]:
             arr.append(v)
     if c == 0x2F:  # '/'
         m = _NAME_RE.match(buf, i)
-        return "/" + m.group(1).decode("latin-1"), m.end()
-    m = _REF_RE.match(buf, i)
+        raw = m.group(1)
+        v = _NAME_CACHE.get(raw)
+        if v is None:
+            v = "/" + raw.decode("latin-1")
+            if len(_NAME_CACHE) < _PARSE_CACHE_CAP:
+                _NAME_CACHE[raw] = v
+        return v, m.end()
+    m = _REF_OR_NUM_RE.match(buf, i)
     if m:
-        return Ref((int(m.group(1)), int(m.group(2)))), m.end()
-    m = _NUM_RE.match(buf, i)
-    if m:
+        g1 = m.group(1)
+        if g1 is not None:
+            return Ref((int(g1), int(m.group(2)))), m.end()
         s = m.group(0)
         v = float(s) if b"." in s else int(s)
         return v, m.end()
@@ -131,7 +147,13 @@ def parse_object(buf: bytes, i: int) -> Tuple[object, int]:
         return None, i + 4
     m = _KEYWORD_RE.match(buf, i)
     if m:
-        return ("op", m.group(0).decode("latin-1")), m.end()
+        raw = m.group(0)
+        t = _OP_CACHE.get(raw)
+        if t is None:
+            t = ("op", raw.decode("latin-1"))
+            if len(_OP_CACHE) < _PARSE_CACHE_CAP:
+                _OP_CACHE[raw] = t
+        return t, m.end()
     return None, i + 1  # skip unparseable byte deterministically
 
 

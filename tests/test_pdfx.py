@@ -665,6 +665,25 @@ def test_pdfcrypt_public_test_vectors():
         assert C.aes128_cbc_decrypt(key, C.aes128_cbc_encrypt(key, b"\x01" * 16, msg)) == msg
 
 
+def test_rc4_evp_fast_path_matches_pure_python():
+    """When the OpenSSL legacy provider is available, rc4() dispatches to
+    EVP; keystream must equal the pure-Python reference for the PDF key
+    sizes (5-16 bytes) including the empty-payload edge."""
+    import random
+
+    from corsearch_project_spark.webextract import pdfcrypt as C
+
+    if not C._EVP_RC4:
+        import pytest
+
+        pytest.skip("OpenSSL legacy provider unavailable — pure path only")
+    rng = random.Random(17)
+    for _ in range(64):
+        key = bytes(rng.randrange(256) for _ in range(rng.randint(5, 16)))
+        data = bytes(rng.randrange(256) for _ in range(rng.randint(0, 257)))
+        assert C._evp_rc4_lib(C._EVP, key, data) == C._rc4_py(key, data)
+
+
 # ---------------------------------------------------------------------------
 # Simple-font /Differences encoding arrays (§9.6.6.3)
 # ---------------------------------------------------------------------------
