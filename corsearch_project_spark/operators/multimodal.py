@@ -107,14 +107,16 @@ def decode_image_meta(
     """Image header decode as an iterator-of-batches stage (U2 shape).
 
     ``decoder``: "auto" (PIL when importable, else the stdlib PNG codec
-    for PNG payloads, else stub), "pil" (require the real library), "png"
-    (require the stdlib codec — non-PNG payloads report
-    ``decode_ok=False``), or "stub" (force the deterministic fake — what
-    the codec-independent oracle replays). The seam is the argument, not
-    the code: deploying with real codecs changes only this flag. The PNG
-    metadata probe parses IHDR only — no inflate, so a 4 MB payload costs
-    a 33-byte header read."""
-    if decoder not in ("auto", "pil", "png", "stub"):
+    for PNG payloads / the stdlib JPEG marker probe for JPEG payloads,
+    else stub), "pil" (require the real library), "png" (require the
+    stdlib codec — non-PNG payloads report ``decode_ok=False``), "jpeg"
+    (require the stdlib SOF marker probe, metadata only), or "stub"
+    (force the deterministic fake — what the codec-independent oracle
+    replays). The seam is the argument, not the code: deploying with real
+    codecs changes only this flag. The PNG metadata probe parses IHDR
+    only — no inflate — and the JPEG probe walks marker headers only, so
+    a 4 MB payload costs a few-byte header read either way."""
+    if decoder not in ("auto", "pil", "png", "jpeg", "stub"):
         raise ValueError(f"unknown decoder {decoder!r}")
     pil = _try_pil() if decoder in ("auto", "pil") else None
     if decoder == "pil" and pil is None:
@@ -122,7 +124,7 @@ def decode_image_meta(
     mode = decoder
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from corsearch_project_spark.webextract import pngx
+        from corsearch_project_spark.webextract import jpegx, pngx
 
         for pdf in batches:
             out = {"media_id": [], "width": [], "height": [], "channels": [],
@@ -140,6 +142,12 @@ def decode_image_meta(
                     elif mode == "png" or (mode == "auto" and pngx.is_png(data)):
                         used = "png"
                         w, h, c = pngx.png_meta(data)
+                        ok = True
+                    elif mode == "jpeg" or (
+                        mode == "auto" and jpegx.is_jpeg(data)
+                    ):
+                        used = "jpeg"
+                        w, h, c = jpegx.jpeg_meta(data)
                         ok = True
                     else:
                         used = "stub"
@@ -427,6 +435,32 @@ def gen_png_fixture(spark, n: int = 40, seed: int = 71) -> DataFrame:
         rows.append(
             (i, "image", encode_png(px, w, h, c), "image/png",
              f"https://media.example.com/png/{i}")
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def jpeg_fixture_dims(i: int, seed: int = 53) -> tuple:
+    """Seeded (width, height, channels) for the JPEG header fixtures."""
+    import random
+
+    rng = random.Random(seed * 100003 + i)
+    return rng.randint(16, 4096), rng.randint(16, 4096), rng.choice((1, 3))
+
+
+def gen_jpeg_fixture(spark, n: int = 30, seed: int = 53) -> DataFrame:
+    """Deterministic JPEG *header* media table: every payload is a
+    well-formed JPEG marker stream (SOI/APP0/SOF0/EOI, built by
+    webextract/jpegx.py) with seeded dimensions. Header-only — the stdlib
+    probe under test never reads entropy-coded data, so none is emitted;
+    full pixel decode stays behind the PIL seam."""
+    from corsearch_project_spark.webextract.jpegx import make_jpeg_header_fixture
+
+    rows = []
+    for i in range(n):
+        w, h, c = jpeg_fixture_dims(i, seed)
+        rows.append(
+            (i, "image", make_jpeg_header_fixture(w, h, c), "image/jpeg",
+             f"https://media.example.com/jpg/{i}")
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 

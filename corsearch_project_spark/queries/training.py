@@ -79,6 +79,57 @@ def q_pack_sequences(spark, sf_dir):
 
 
 @query(
+    "q_boilerplate_lines",
+    """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+               CAST(ceil(len(string_split(text, ' ')) / 3.0) AS BIGINT) AS n_seg
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, ws, unnest(range(n_seg)) AS pos FROM w
+    ),
+    seg AS (
+        SELECT doc_id, pos,
+               array_to_string(ws[(pos * 3 + 1):(pos * 3 + 3)], ' ') AS line
+        FROM pos
+    ),
+    cnt AS (
+        SELECT line, count(DISTINCT doc_id) AS line_docs FROM seg GROUP BY line
+    )
+    SELECT s.doc_id,
+           count(*) AS n_segs,
+           CAST(sum(CASE WHEN c.line_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           string_agg(CASE WHEN c.line_docs < 2 THEN s.line END, chr(10)
+                      ORDER BY s.pos) AS cleaned_text
+    FROM seg s JOIN cnt c USING (line)
+    GROUP BY s.doc_id
+    """,
+    doc="Inter-document boilerplate removal (CCNet/C4-style): drop every "
+    "'line' that appears in >=2 distinct documents, keep document-local "
+    "repetition, reassemble the survivors in order. The documents table "
+    "carries no newlines, so lines are deterministic 3-word windows "
+    "(operators/boilerplate.segment_words); over extracted web text the "
+    "same operator runs on real newline blocks "
+    "(operators/boilerplate.remove_boilerplate_lines). Two content-keyed "
+    "partial-agg shuffles + one per-doc reassembly — linear at 10^12 docs, "
+    "common-line skew handled by AQE skew-join.",
+)
+def q_boilerplate_lines(spark, sf_dir):
+    from corsearch_project_spark.operators import boilerplate as B
+
+    d = t(spark, sf_dir, "documents")
+    lines = d.select(
+        "doc_id",
+        F.posexplode(B.segment_words(F.col("text"), 3)).alias("pos", "line"),
+    )
+    out = B.dedup_lines(lines, id_col="doc_id", sep="\n", min_docs=2)
+    return out.withColumnRenamed("n_lines", "n_segs")
+
+
+
+@query(
     "q_ngram_topk",
     f"""
     WITH w AS (SELECT doc_id, {SQL_WORDS} AS ws FROM documents),

@@ -241,6 +241,9 @@ def build_dom(toks: List[Tok]) -> Node:
     def close_upto(tag: str, respect_scope: bool = True) -> bool:
         """Pop up to & incl. nearest ``tag``. Implied closes stop at scope
         barriers; explicit end tags close through them (HTML5-lite)."""
+        if len(stack) > 1 and stack[-1].tag == tag:  # well-formed fast path
+            stack.pop()
+            return True
         for depth in range(len(stack) - 1, 0, -1):
             t = stack[depth].tag
             if t == tag:

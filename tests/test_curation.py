@@ -159,3 +159,54 @@ def test_export_corpus_shards(spark, tmp_path):
     dropped = spark.read.parquet(os.path.join(cur_out, "curated")).where("NOT keep")
     joined = df.join(dropped.select("url"), "url", "inner").count()
     assert joined == 0
+
+
+def test_boilerplate_line_removal_newline_path(spark):
+    """remove_boilerplate_lines over real newline-joined text: lines shared
+    by >=2 docs drop, document-local repetition survives, order is
+    preserved, and a fully-boilerplate doc yields NULL cleaned_text (the
+    string_agg-over-zero-rows convention the oracle twin uses)."""
+    from corsearch_project_spark.operators.boilerplate import (
+        remove_boilerplate_lines,
+    )
+
+    rows = [
+        (1, "unique alpha\ncookie banner\nunique beta"),
+        (2, "cookie banner\nsecond body\nsecond body\nfooter nav"),
+        (3, "footer nav\nthird body\ncookie banner"),
+        (4, "cookie banner\nfooter nav"),  # nothing survives
+        (5, "only line here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(df, min_docs=2).collect()
+    }
+    assert len(got) == 5
+    assert (got[1]["n_lines"], got[1]["n_dropped"]) == (3, 1)
+    assert got[1]["cleaned_text"] == "unique alpha\nunique beta"
+    # doc-local repetition ("second body" twice, one doc) is KEPT
+    assert got[2]["cleaned_text"] == "second body\nsecond body"
+    assert got[2]["n_dropped"] == 2
+    assert got[3]["cleaned_text"] == "third body"
+    assert got[4]["cleaned_text"] is None and got[4]["n_dropped"] == 2
+    assert got[5]["cleaned_text"] == "only line here" and got[5]["n_dropped"] == 0
+
+
+def test_boilerplate_segment_words_windows(spark):
+    """segment_words: fixed 3-word windows, short tail kept, single-word
+    and empty-string edges produce exactly one segment."""
+    from corsearch_project_spark.operators.boilerplate import segment_words
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x"), (3, "")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["segs"]
+        for r in df.select(
+            "doc_id", segment_words(F.col("text"), 3).alias("segs")
+        ).collect()
+    }
+    assert got[1] == ["a b c", "d e f", "g"]
+    assert got[2] == ["x"]
+    assert got[3] == [""]

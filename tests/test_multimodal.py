@@ -175,6 +175,50 @@ def test_wav_real_codec_arm_in_sandbox(spark):
     assert len(bad) == 1 and not bad[0]["decode_ok"]
 
 
+def test_jpeg_header_probe_arm_in_sandbox(spark):
+    """The JPEG metadata probe executes without PIL: well-formed marker
+    streams parse to their true SOF dimensions (round-4, same seam as the
+    PNG/WAV arms; pixel decode stays PIL-gated)."""
+    from corsearch_project_spark.webextract import jpegx
+
+    # pure-function edges first
+    w, h, c = jpegx.jpeg_meta(jpegx.make_jpeg_header_fixture(640, 480, 3))
+    assert (w, h, c) == (640, 480, 3)
+    fx = jpegx.make_jpeg_header_fixture(17, 9, 1)
+    # fill bytes before a marker are legal padding
+    padded = fx[:2] + b"\xff" + fx[2:]
+    assert jpegx.jpeg_meta(padded) == (17, 9, 1)
+    import pytest
+
+    for bad in (b"", b"\xff\xd8", b"\xff\xd8\xff\xd9", fx[:10],
+                b"PNG not jpeg", fx[:2] + b"\x00" + fx[2:]):
+        with pytest.raises(ValueError):
+            jpegx.jpeg_meta(bad)
+
+    media = M.gen_jpeg_fixture(spark, n=18, seed=53)
+    meta = {m["media_id"]: m
+            for m in M.decode_image_meta(media, decoder="jpeg").collect()}
+    assert len(meta) == 18
+    for i in range(18):
+        w, h, c = M.jpeg_fixture_dims(i, 53)
+        m = meta[i]
+        assert (m["width"], m["height"], m["channels"]) == (w, h, c)
+        assert m["decode_ok"] and m["decoder"] == "jpeg"
+
+    # 'auto' routes JPEG payloads through the probe (no PIL in-sandbox)
+    if not M._try_pil():
+        auto = M.decode_image_meta(media, decoder="auto").collect()
+        assert all(m["decoder"] == "jpeg" and m["decode_ok"] for m in auto)
+
+    # junk under decoder='jpeg' -> decode_ok=False, never fabricated dims
+    junk = spark.createDataFrame(
+        [(902, "image", b"\xff\xd8junk-not-markers", "image/jpeg", "u")],
+        M.MEDIA_SCHEMA,
+    )
+    bad = M.decode_image_meta(junk, decoder="jpeg").collect()
+    assert len(bad) == 1 and not bad[0]["decode_ok"]
+
+
 def test_resize_pil_decoder_requires_pil(spark, media):
     try:
         import PIL  # noqa: F401
