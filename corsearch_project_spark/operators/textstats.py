@@ -141,3 +141,35 @@ def pack_bins(tokens: Column, budget: int, order, partition) -> Column:
     )
     cum_before = F.coalesce(F.sum(tokens).over(w), F.lit(0).cast("long"))
     return F.floor(cum_before / F.lit(budget)).cast("long")
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (round 4): the redaction pass every published LLM data
+# pipeline runs before training (emails/phones/IPs at minimum). Patterns
+# are written in the RE2 ∩ java.util.regex common dialect so the Spark
+# plan and the DuckDB oracle twin execute the SAME regexes; replacement is
+# ordered email -> ip -> phone so the later, looser phone class can never
+# eat a dotted IP or an address local-part. Pure regexp_replace chain —
+# whole-stage codegen, no Python.
+# --------------------------------------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails, IPv4 addresses and phone-shaped digit runs (in that
+    order) with typed placeholder tokens."""
+    out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    return F.regexp_replace(out, PII_PHONE, "<PHONE>")
+
+
+def pii_counts(text: Column) -> tuple:
+    """(n_emails, n_ips, n_phones) found in ``text`` (pre-redaction)."""
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), 0)),
+        F.size(F.regexp_extract_all(text, F.lit(PII_IPV4), 0)),
+        F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), 0)),
+    )

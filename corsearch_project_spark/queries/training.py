@@ -167,3 +167,135 @@ def q_ngram_topk(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("gram"))
         .limit(20)
     )
+
+
+_SQL_PII_TEXT = """
+        'contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+        || CASE WHEN doc_id % 3 <> 0
+                THEN ' call +1 (555) 010-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+        || CASE WHEN doc_id % 2 = 0
+                THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                ELSE '' END
+        || ' ' || text
+"""
+
+
+@query(
+    "q_pii_scrub",
+    f"""
+    WITH p AS (SELECT doc_id, {_SQL_PII_TEXT} AS pii_text FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(pii_text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(pii_text,
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS INT)
+               AS n_ips,
+           CAST(len(regexp_extract_all(pii_text,
+               '\\+?[0-9][0-9()\\- ]{{6,}}[0-9]')) AS INT) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(pii_text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+               '\\+?[0-9][0-9()\\- ]{{6,}}[0-9]', '<PHONE>', 'g') AS scrubbed
+    FROM p
+    """,
+    doc="PII redaction (emails -> IPv4 -> phone-shaped runs, typed "
+    "placeholders) — the pre-training scrub pass every published LLM "
+    "pipeline runs. The synthetic corpus is PII-free word soup, so the "
+    "query deterministically injects doc_id-derived PII (an email always; "
+    "phone/IP on doc_id mod arms) and then redacts it — both engines build "
+    "and scrub the SAME text with the SAME RE2∩Java-dialect regexes "
+    "(operators/textstats.scrub_pii). Narrow codegen projection, no "
+    "shuffle at any scale.",
+)
+def q_pii_scrub(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com"),
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(
+                F.lit(" call +1 (555) 010-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(" "),
+        F.col("text"),
+    )
+    ne, ni, np_ = X.pii_counts(pii_text)
+    return d.select(
+        "doc_id",
+        ne.alias("n_emails"),
+        ni.alias("n_ips"),
+        np_.alias("n_phones"),
+        X.scrub_pii(pii_text).alias("scrubbed"),
+    )
+
+
+@query(
+    "q_decontaminate",
+    f"""
+    WITH ev AS (
+        SELECT DISTINCT unnest({{shingles}}) AS shingle
+        FROM documents WHERE doc_id % 50 = 0
+    ),
+    cand AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+    cs AS (
+        SELECT DISTINCT doc_id, unnest({{shingles}}) AS shingle FROM cand
+    ),
+    hits AS (
+        SELECT cs.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM cs JOIN ev USING (shingle) GROUP BY cs.doc_id
+    )
+    SELECT c.doc_id,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.n_hits, 0) > 0 AS contaminated
+    FROM cand c LEFT JOIN hits h USING (doc_id)
+    """.format(shingles="list_transform(generate_series(1, len("
+               f"{SQL_WORDS}) - 2), i -> {SQL_WORDS}[i] || ' ' || "
+               f"{SQL_WORDS}[i + 1] || ' ' || {SQL_WORDS}[i + 2])"),
+    doc="Benchmark decontamination (GPT-3 appendix-C style): flag any "
+    "training document sharing a word n-gram with the held-out eval set "
+    "(here: doc_id % 50 == 0 as the deterministic eval slice; n=3 to "
+    "match this corpus's ~30-word vocabulary — production uses 8-13). "
+    "Eval shingles are tiny relative to the corpus, so they BROADCAST "
+    "to every executor: per-doc distinct-shingle explode, broadcast "
+    "semi-style join, partial-agg count — no all-pairs, linear at "
+    "10^12 docs (operators/dedup.word_shingles).",
+)
+def q_decontaminate(spark, sf_dir):
+    from corsearch_project_spark.operators.dedup import word_shingles
+
+    d = t(spark, sf_dir, "documents")
+    sh = word_shingles(F.col("text"), 3)
+    ev = (
+        d.where(F.col("doc_id") % 50 == 0)
+        .select(F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+    cand = d.where(F.col("doc_id") % 50 != 0)
+    cs = cand.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
+    )
+    hits = (
+        cs.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    return cand.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("h"), F.lit(0).cast("long")).alias("n_hits"),
+        (F.coalesce(F.col("h"), F.lit(0).cast("long")) > 0).alias("contaminated"),
+    )

@@ -230,3 +230,14 @@ def test_lsh_signature_arrow_equals_catalyst_arm(spark):
             for r in S.with_qnorm(S.with_lsh_bucket(emb, n_planes)).collect()
         }
         assert arrow == expr, f"signature arms diverge at n_planes={n_planes}"
+
+
+def test_decontaminate_plan_broadcasts_eval_shingles(spark):
+    """q_decontaminate must broadcast the (tiny) eval shingle set against
+    the candidate explode — a shuffled join on shingle content would move
+    the full corpus's n-grams at 10^12 docs."""
+    from corsearch_project_spark.queries import REGISTRY
+
+    df = REGISTRY["q_decontaminate"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
