@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "q_text_repetition",
     "q_url_canonical",
     "q_ngram_topk",
+    "q_boilerplate_lines",  # round 4: CCNet-style line dedup
+    "q_pii_scrub",  # round 4: codegen regex redaction
+    "q_decontaminate",  # round 4: broadcast eval-shingle join
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
