@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "q_boilerplate_lines",  # round 4: CCNet-style line dedup
     "q_pii_scrub",  # round 4: codegen regex redaction
     "q_decontaminate",  # round 4: broadcast eval-shingle join
+    "q_link_hostgraph",  # round 4: host link-graph degrees
+    "q_dedup_canonical",  # round 4: per-cluster keep/drop argmax
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

@@ -36,7 +36,7 @@ _SWEEP_FIRST = [
     # round-4 additions — new, so they need their first driver-green row
     "q_multimodal_png", "q_schema_evolution", "q_multimodal_wav",
     "q_manifest_lookup", "q_boilerplate_lines", "q_pii_scrub",
-    "q_decontaminate",
+    "q_decontaminate", "q_link_hostgraph", "q_dedup_canonical",
 ]
 
 

@@ -299,3 +299,199 @@ def q_decontaminate(spark, sf_dir):
         F.coalesce(F.col("h"), F.lit(0).cast("long")).alias("n_hits"),
         (F.coalesce(F.col("h"), F.lit(0).cast("long")) > 0).alias("contaminated"),
     )
+
+
+# -------------------------------------------- link graph / canonical docs
+
+_SQL_HOST = "lower(regexp_extract({u}, '^https?://([^/?#]+)', 1))"
+
+_SQL_ANCHOR = (
+    "'<a href=\"https://h' || CAST((doc_id * 7 + {k}) % 37 AS VARCHAR)"
+    " || '.example.com/x/' || CAST(doc_id + {k} AS VARCHAR) || '\">t{k}</a>'"
+)
+
+_SQL_PAGE = f"""
+        SELECT doc_id,
+               'https://h' || CAST(doc_id % 37 AS VARCHAR)
+                   || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+               '<html><body><a href="/about">About</a>'
+                   || {_SQL_ANCHOR.format(k=1)}
+                   || {_SQL_ANCHOR.format(k=2)}
+                   || CASE WHEN doc_id % 5 <> 0
+                           THEN {_SQL_ANCHOR.format(k=3)} ELSE '' END
+                   || '</body></html>' AS html
+        FROM documents
+"""
+
+
+@query(
+    "q_link_hostgraph",
+    f"""
+    WITH p AS ({_SQL_PAGE}),
+    lk AS (
+        SELECT {_SQL_HOST.format(u='url')} AS src_host,
+               unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+        FROM p
+    ),
+    e0 AS (
+        SELECT src_host,
+               CASE WHEN {_SQL_HOST.format(u='href')} = '' THEN src_host
+                    ELSE {_SQL_HOST.format(u='href')} END AS dst_host
+        FROM lk
+    ),
+    edges AS (
+        SELECT src_host, dst_host, COUNT(*) AS n_links FROM e0 GROUP BY 1, 2
+    ),
+    o AS (
+        SELECT src_host AS host, COUNT(*) AS out_hosts,
+               SUM(n_links) AS n_out_links
+        FROM edges GROUP BY 1
+    ),
+    i AS (
+        SELECT dst_host AS host, COUNT(*) AS in_hosts,
+               SUM(n_links) AS n_in_links
+        FROM edges GROUP BY 1
+    )
+    SELECT COALESCE(o.host, i.host) AS host,
+           CAST(COALESCE(out_hosts, 0) AS BIGINT) AS out_hosts,
+           CAST(COALESCE(in_hosts, 0) AS BIGINT) AS in_hosts,
+           CAST(COALESCE(n_out_links, 0) AS BIGINT) AS n_out_links,
+           CAST(COALESCE(n_in_links, 0) AS BIGINT) AS n_in_links
+    FROM o FULL OUTER JOIN i ON o.host = i.host
+    """,
+    doc="Host-level link graph from raw page HTML (C4/RefinedWeb host "
+    "quality priors): combined-regex anchor extraction (pure codegen, no "
+    "DOM pass), relative hrefs resolve to the page's own host, explode -> "
+    "partial-agg on (src_host, dst_host) so map-side combine absorbs "
+    "repeated nav-bar targets, then two direction aggs full-outer-joined "
+    "into per-host degree/volume rows. The edge relation is persisted "
+    "before the degree pass — at 100 TB it is a written table, and without "
+    "materialization the full-outer join's two branches each re-derive it "
+    "(two extra scans). Pages synthesized deterministically from doc_id in "
+    "BOTH engines (same formula in the oracle) (operators/linkgraph.py).",
+)
+def q_link_hostgraph(spark, sf_dir):
+    from corsearch_project_spark.operators import linkgraph as L
+
+    did = F.col("doc_id")
+
+    def anchor(k: int):
+        return F.concat(
+            F.lit('<a href="https://h'),
+            ((did * 7 + k) % 37).cast("string"),
+            F.lit(".example.com/x/"),
+            (did + k).cast("string"),
+            F.lit(f'">t{k}</a>'),
+        )
+
+    d = t(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"),
+            (did % 37).cast("string"),
+            F.lit(".example.com/p/"),
+            did.cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit('<html><body><a href="/about">About</a>'),
+            anchor(1),
+            anchor(2),
+            F.when(did % 5 != 0, anchor(3)).otherwise(F.lit("")),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    edges = L.host_edges(pages).persist()
+    return L.host_degrees(edges)
+
+
+_SQL_QUALITY_EXPR = """
+        round(0.5 * least(CAST(n_tok AS DOUBLE) / 50.0, 1.0)
+            + 0.3 * least(CAST(n_stop AS DOUBLE)
+                          / CAST(greatest(n_tok, 1) AS DOUBLE) * 5.0, 1.0)
+            + 0.2 * (1.0 - least(CAST(n_punct AS DOUBLE)
+                                 / CAST(greatest(n_chr, 1) AS DOUBLE) * 10.0,
+                                 1.0)),
+            6)
+"""
+
+
+def _sql_dedup_canonical() -> str:
+    """Recursive-CTE components (same construction as q_dedup_components)
+    + quality scoring (same arithmetic as q_text_quality) + per-component
+    argmax window — the oracle for the keep/drop decision."""
+    from corsearch_project_spark.queries.textsim import _sql_minhash_lsh
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_sql_minhash_lsh()}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(v, u) AS (
+        SELECT a AS v, b AS u FROM edges
+        UNION
+        SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a
+    ),
+    comp AS (
+        SELECT v AS doc_id, CAST(LEAST(v, MIN(u)) AS BIGINT) AS component
+        FROM reach GROUP BY v
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len({SQL_WORDS}) AS BIGINT) AS n_tok,
+               CAST(length(text) AS BIGINT) AS n_chr,
+               CAST(length(text) - length(regexp_replace(text,
+                    '[.,;:!?''"()-]', '', 'g')) AS BIGINT) AS n_punct,
+               CAST(len(list_filter(string_split(trim(lower(text)), ' '),
+                    x -> x IN ('the', 'and', 'with', 'for'))) AS BIGINT)
+                   AS n_stop
+        FROM documents
+    ),
+    q AS (SELECT doc_id, {_SQL_QUALITY_EXPR} AS quality FROM m),
+    j AS (
+        SELECT q.doc_id,
+               CAST(COALESCE(c.component, q.doc_id) AS BIGINT) AS component,
+               q.quality
+        FROM q LEFT JOIN comp c ON q.doc_id = c.doc_id
+    )
+    SELECT doc_id, component, quality,
+           (ROW_NUMBER() OVER (PARTITION BY component
+                               ORDER BY quality DESC, doc_id ASC) = 1) AS keep
+    FROM j
+    """
+
+
+@query(
+    "q_dedup_canonical",
+    _sql_dedup_canonical(),
+    doc="Canonical-representative selection — the dedup pipeline's actual "
+    "keep/drop materialization: MinHash-LSH candidate pairs -> pointer-jump "
+    "connected components -> left join back onto ALL docs (singletons are "
+    "their own component) -> per-component argmax by quality score "
+    "(row_number window, doc_id tiebreak). One extra shuffle on component "
+    "beyond the components job itself; the window partitions by component "
+    "so state is bounded by cluster size, not corpus size. Checked against "
+    "a recursive-CTE + window oracle.",
+)
+def q_dedup_canonical(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from corsearch_project_spark.operators import dedup as D
+
+    d = t(spark, sf_dir, "documents")
+    comp = D.connected_components(D.minhash_lsh_pairs(d, "doc_id", "text"))
+    scored = d.select("doc_id", X.quality_score(F.col("text")).alias("quality"))
+    j = scored.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).cast("long").alias("component"),
+        "quality",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return j.select(
+        "doc_id", "component", "quality",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

@@ -1,0 +1,108 @@
+"""Host link-graph operator (operators/linkgraph.py).
+
+The registry-wide parity gate (test_queries.py) cross-checks
+q_link_hostgraph against DuckDB on the synthesized anchor corpus; this
+file pins the individual pieces on hand-written inputs the synthesis
+doesn't produce (multiple anchors per line, single-quoted attrs ignored,
+relative-href self-resolution, pure sinks/sources in the degree join)
+plus the plan shape.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from corsearch_project_spark.operators import linkgraph as L
+
+HREF_CASES = [
+    # two double-quoted anchors, attribute order irrelevant
+    (
+        '<a id="x" href="https://a.com/1">A</a><a href="/rel">B</a>',
+        ["https://a.com/1", "/rel"],
+    ),
+    # no anchors
+    ("<p>plain</p>", []),
+    # href inside other markup text is still an attribute match (regex
+    # extraction is deliberately DOM-free: the graph needs byte-ranges,
+    # not tree repair)
+    ('<link href="https://cdn.b.com/app.css">', ["https://cdn.b.com/app.css"]),
+    # empty href value survives as ''
+    ('<a href="">self</a>', [""]),
+]
+
+
+@pytest.mark.parametrize("html,want", HREF_CASES)
+def test_extract_hrefs(spark, html, want):
+    df = spark.createDataFrame([(html,)], "html string")
+    got = df.select(L.extract_hrefs(F.col("html")).alias("h")).head()["h"]
+    assert got == want, f"{html!r}: got {got!r}"
+
+
+@pytest.mark.parametrize(
+    "url,want",
+    [
+        ("https://WWW.Ex.COM/a/b?q=1", "www.ex.com"),
+        ("http://h1.example.com", "h1.example.com"),
+        ("/relative/path", ""),
+        ("mailto:x@y.com", ""),
+        ("https://h.com:8443/p", "h.com:8443"),
+    ],
+)
+def test_url_host(spark, url, want):
+    df = spark.createDataFrame([(url,)], "url string")
+    assert df.select(L.url_host(F.col("url")).alias("h")).head()["h"] == want
+
+
+def test_host_edges_and_degrees(spark):
+    rows = [
+        # a.com -> b.com twice (nav repeat), -> itself via relative href
+        ("https://a.com/1", '<a href="https://b.com/x">1</a><a href="/rel">s</a>'),
+        ("https://a.com/2", '<a href="https://b.com/y">2</a>'),
+        # b.com -> a.com once; c.com is a pure source, b.com a near-sink
+        ("https://b.com/1", '<a href="https://a.com/z">3</a>'),
+        ("https://c.com/1", '<a href="https://a.com/w">4</a>'),
+        # d.com has no anchors at all: absent from the edge relation
+        ("https://d.com/1", "<p>no links</p>"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html string")
+    edges = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in L.host_edges(pages).collect()
+    }
+    assert edges == {
+        ("a.com", "b.com"): 2,
+        ("a.com", "a.com"): 1,
+        ("b.com", "a.com"): 1,
+        ("c.com", "a.com"): 1,
+    }
+    deg = {r["host"]: r for r in L.host_degrees(L.host_edges(pages)).collect()}
+    assert set(deg) == {"a.com", "b.com", "c.com"}
+    a = deg["a.com"]
+    # out: {b.com, a.com}; in: {a.com, b.com, c.com}
+    assert (a["out_hosts"], a["in_hosts"], a["n_out_links"], a["n_in_links"]) == (
+        2, 3, 3, 3,
+    )
+    c = deg["c.com"]  # pure source
+    assert (c["out_hosts"], c["in_hosts"], c["n_out_links"], c["n_in_links"]) == (
+        1, 0, 1, 0,
+    )
+
+
+def test_extraction_is_pure_projection(spark):
+    """Anchor extraction + host mapping must stay narrow codegen: no
+    shuffle, no Python stage before the edge groupBy."""
+    df = spark.range(10).select(
+        F.concat(F.lit("https://h"), F.col("id").cast("string"), F.lit(".com/p")).alias("url"),
+        F.concat(
+            F.lit('<a href="https://t'),
+            F.col("id").cast("string"),
+            F.lit('.com/x">l</a>'),
+        ).alias("html"),
+    )
+    proj = df.select(
+        L.url_host(F.col("url")).alias("src"),
+        L.extract_hrefs(F.col("html")).alias("hrefs"),
+    )
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"):
+        assert marker not in plan, plan
