@@ -92,3 +92,88 @@ def host_degrees(edges: DataFrame) -> DataFrame:
             F.coalesce("n_in_links", F.lit(0)).cast("long").alias("n_in_links"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 4,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+) -> DataFrame:
+    """(host, rank) — deterministic integer PageRank over the edge relation.
+
+    Power iteration with ALL arithmetic in scaled integers (initial rank =
+    ``scale`` per host, per-edge contribution = ``(rank * n_links) div
+    out_total``, damping/teleport as integer percent math): BIGINT sums
+    are associative, so Spark's partial/final aggregation order and a
+    sequential SQL engine produce bit-identical ranks — float PageRank
+    cannot be cross-engine exact. Floors lose mass deterministically
+    (bounded by 1 unit per edge per round), which is irrelevant for the
+    curation use (rank ORDER, host quality priors a la C4/RefinedWeb).
+
+    Dangling hosts (appear only as destinations) redistribute their rank
+    equally: ``dangling_total div n_hosts`` is added to every host's
+    incoming mass before damping.
+
+    Scale shape (10^8 hosts): each round is one equi-join of the rank
+    relation (|hosts| rows) against the pre-aggregated edge relation on
+    src_host + one partial-agg groupBy on dst_host + one broadcast of the
+    1-row dangling aggregate; rank state is localCheckpoint'd per round to
+    truncate lineage (same seam as dedup.connected_components). Overflow
+    bound: ranks stay ~``scale`` on average; ``damping_pct * total_mass``
+    must fit in int64 even under full mass concentration, so at 10^8 hosts
+    pass ``scale=10**7`` (1e15 * 85 << 2^63).
+
+    Fixed iteration count (not convergence-tested): the oracle twin is the
+    same recurrence unrolled, so both engines run exactly ``iterations``
+    rounds.
+    """
+    edges = edges.localCheckpoint(eager=True)
+    hosts = (
+        edges.select(F.col("src_host").alias("host"))
+        .union(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out_tot = edges.groupBy("src_host").agg(F.sum("n_links").alias("out_total"))
+    # 1-row relations, broadcast into every round — no driver collect, the
+    # constants stay inside the plan.
+    n_hosts = hosts.agg(F.count(F.lit(1)).alias("n_hosts"))
+    teleport = ((100 - damping_pct) * scale) // 100
+
+    ranks = hosts.select("host", F.lit(scale).cast("long").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, edges.src_host == ranks.host)
+            .join(out_tot, "src_host")
+            .select(
+                F.col("dst_host").alias("host"),
+                F.expr("(rank * n_links) div out_total").alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        dangling = (
+            ranks.join(
+                out_tot, ranks.host == out_tot.src_host, "left_anti"
+            )
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dang_total"))
+            .crossJoin(F.broadcast(n_hosts))
+            .select(F.expr("dang_total div n_hosts").alias("share"))
+        )
+        ranks = (
+            hosts.join(contrib, "host", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "host",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(in_sum, 0) + share))"
+                        " div 100"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

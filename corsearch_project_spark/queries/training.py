@@ -310,7 +310,17 @@ _SQL_ANCHOR = (
     " || '.example.com/x/' || CAST(doc_id + {k} AS VARCHAR) || '\">t{k}</a>'"
 )
 
-_SQL_PAGE = f"""
+# External sink anchor (hosts that never host a page themselves -> pure
+# sinks -> the dangling branch of PageRank is exercised).
+_SQL_SINK = (
+    "'<a href=\"https://sink' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '.external.net/s\">e</a>'"
+)
+
+
+def _sql_page(external: bool = False) -> str:
+    ext = f" || {_SQL_SINK}" if external else ""
+    return f"""
         SELECT doc_id,
                'https://h' || CAST(doc_id % 37 AS VARCHAR)
                    || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
@@ -318,16 +328,18 @@ _SQL_PAGE = f"""
                    || {_SQL_ANCHOR.format(k=1)}
                    || {_SQL_ANCHOR.format(k=2)}
                    || CASE WHEN doc_id % 5 <> 0
-                           THEN {_SQL_ANCHOR.format(k=3)} ELSE '' END
+                           THEN {_SQL_ANCHOR.format(k=3)} ELSE '' END{ext}
                    || '</body></html>' AS html
         FROM documents
 """
 
 
-@query(
-    "q_link_hostgraph",
-    f"""
-    WITH p AS ({_SQL_PAGE}),
+_SQL_PAGE = _sql_page()
+
+
+def _sql_edges(page_sql: str) -> str:
+    """The shared pages -> host-edge-relation CTE chain (lk, e0, edges)."""
+    return f"""p AS ({page_sql}),
     lk AS (
         SELECT {_SQL_HOST.format(u='url')} AS src_host,
                unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
@@ -341,7 +353,53 @@ _SQL_PAGE = f"""
     ),
     edges AS (
         SELECT src_host, dst_host, COUNT(*) AS n_links FROM e0 GROUP BY 1, 2
-    ),
+    )"""
+
+
+def _pages_df(spark, sf_dir, external: bool = False):
+    """The Spark twin of ``_sql_page``: deterministic anchor corpus."""
+    did = F.col("doc_id")
+
+    def anchor(k: int):
+        return F.concat(
+            F.lit('<a href="https://h'),
+            ((did * 7 + k) % 37).cast("string"),
+            F.lit(".example.com/x/"),
+            (did + k).cast("string"),
+            F.lit(f'">t{k}</a>'),
+        )
+
+    body = [
+        F.lit('<html><body><a href="/about">About</a>'),
+        anchor(1),
+        anchor(2),
+        F.when(did % 5 != 0, anchor(3)).otherwise(F.lit("")),
+    ]
+    if external:
+        body.append(
+            F.concat(
+                F.lit('<a href="https://sink'),
+                (did % 7).cast("string"),
+                F.lit('.external.net/s">e</a>'),
+            )
+        )
+    body.append(F.lit("</body></html>"))
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"),
+            (did % 37).cast("string"),
+            F.lit(".example.com/p/"),
+            did.cast("string"),
+        ).alias("url"),
+        F.concat(*body).alias("html"),
+    )
+
+
+@query(
+    "q_link_hostgraph",
+    f"""
+    WITH {_sql_edges(_SQL_PAGE)},
     o AS (
         SELECT src_host AS host, COUNT(*) AS out_hosts,
                SUM(n_links) AS n_out_links
@@ -373,36 +431,90 @@ _SQL_PAGE = f"""
 def q_link_hostgraph(spark, sf_dir):
     from corsearch_project_spark.operators import linkgraph as L
 
-    did = F.col("doc_id")
-
-    def anchor(k: int):
-        return F.concat(
-            F.lit('<a href="https://h'),
-            ((did * 7 + k) % 37).cast("string"),
-            F.lit(".example.com/x/"),
-            (did + k).cast("string"),
-            F.lit(f'">t{k}</a>'),
-        )
-
-    d = t(spark, sf_dir, "documents")
-    pages = d.select(
-        "doc_id",
-        F.concat(
-            F.lit("https://h"),
-            (did % 37).cast("string"),
-            F.lit(".example.com/p/"),
-            did.cast("string"),
-        ).alias("url"),
-        F.concat(
-            F.lit('<html><body><a href="/about">About</a>'),
-            anchor(1),
-            anchor(2),
-            F.when(did % 5 != 0, anchor(3)).otherwise(F.lit("")),
-            F.lit("</body></html>"),
-        ).alias("html"),
-    )
-    edges = L.host_edges(pages).persist()
+    edges = L.host_edges(_pages_df(spark, sf_dir)).persist()
     return L.host_degrees(edges)
+
+
+_PR_ITERS = 4
+_PR_SCALE = 10**9
+_PR_DAMP = 85
+
+
+def _sql_pagerank() -> str:
+    """The PageRank recurrence unrolled to exactly _PR_ITERS rounds —
+    integer arithmetic throughout, so the oracle is bit-exact (see
+    operators/linkgraph.pagerank)."""
+    teleport = ((100 - _PR_DAMP) * _PR_SCALE) // 100
+    ctes = [
+        _sql_edges(_sql_page(external=True)),
+        """hosts AS (
+        SELECT src_host AS host FROM edges
+        UNION SELECT dst_host AS host FROM edges
+    )""",
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts FROM hosts)",
+        """ot AS (
+        SELECT src_host, CAST(SUM(n_links) AS BIGINT) AS out_total
+        FROM edges GROUP BY 1
+    )""",
+        f"r0 AS (SELECT host, CAST({_PR_SCALE} AS BIGINT) AS rank FROM hosts)",
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        prev = f"r{i - 1}"
+        ctes.append(
+            f"""c{i} AS (
+        SELECT e.dst_host AS host,
+               SUM((r.rank * e.n_links) // o.out_total) AS in_sum
+        FROM edges e
+        JOIN {prev} r ON e.src_host = r.host
+        JOIN ot o ON o.src_host = e.src_host
+        GROUP BY 1
+    )"""
+        )
+        ctes.append(
+            f"""d{i} AS (
+        SELECT COALESCE(SUM(r.rank), 0) // (SELECT n_hosts FROM n) AS share
+        FROM {prev} r LEFT JOIN ot o ON r.host = o.src_host
+        WHERE o.src_host IS NULL
+    )"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+        SELECT h.host,
+               CAST({teleport} + ({_PR_DAMP} * (COALESCE(c.in_sum, 0)
+                    + (SELECT share FROM d{i}))) // 100 AS BIGINT) AS rank
+        FROM hosts h LEFT JOIN c{i} c ON h.host = c.host
+    )"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT host, rank FROM r{_PR_ITERS}
+    """
+
+
+@query(
+    "q_link_pagerank",
+    _sql_pagerank(),
+    doc="Host PageRank over the link graph — the curation quality prior "
+    "(C4/RefinedWeb-style host weighting, spam-host isolation). "
+    "Deterministic INTEGER power iteration (scaled ranks, per-edge floor "
+    "division, integer damping) so BIGINT-sum associativity makes Spark's "
+    "partial/final aggregation bit-identical to the sequential oracle; "
+    "the oracle is the same recurrence unrolled to 4 rounds. The corpus "
+    "adds external sink hosts (pages link out to hosts that host no "
+    "pages), exercising the dangling-mass redistribution branch in both "
+    "engines. Each round: one equi-join on the pre-aggregated edge "
+    "relation + one partial-agg groupBy + a broadcast 1-row dangling "
+    "aggregate; rank state localCheckpoint'd per round "
+    "(operators/linkgraph.py pagerank).",
+)
+def q_link_pagerank(spark, sf_dir):
+    from corsearch_project_spark.operators import linkgraph as L
+
+    edges = L.host_edges(_pages_df(spark, sf_dir, external=True))
+    return L.pagerank(
+        edges, iterations=_PR_ITERS, damping_pct=_PR_DAMP, scale=_PR_SCALE
+    )
 
 
 _SQL_QUALITY_EXPR = """

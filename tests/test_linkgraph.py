@@ -106,3 +106,46 @@ def test_extraction_is_pure_projection(spark):
     assert "Exchange" not in plan, plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"):
         assert marker not in plan, plan
+
+
+def test_pagerank_matches_reference_integer_recurrence(spark):
+    """Exact check against an independent pure-Python implementation of
+    the same integer recurrence, on a graph with a pure sink (dangling
+    host 's' — its mass must redistribute) and a self-loop."""
+    rows = [
+        ("a", "b", 2),
+        ("a", "a", 1),
+        ("b", "a", 1),
+        ("c", "a", 1),
+        ("a", "s", 1),  # s never appears as src: dangling
+    ]
+    edges = spark.createDataFrame(
+        rows, "src_host string, dst_host string, n_links long"
+    )
+    iters, damp, scale = 3, 85, 10**9
+
+    hosts = sorted({s for s, _, _ in rows} | {d for _, d, _ in rows})
+    out_tot = {}
+    for s, _, n in rows:
+        out_tot[s] = out_tot.get(s, 0) + n
+    rank = {h: scale for h in hosts}
+    teleport = ((100 - damp) * scale) // 100
+    for _ in range(iters):
+        in_sum = {h: 0 for h in hosts}
+        for s, d, n in rows:
+            in_sum[d] += (rank[s] * n) // out_tot[s]
+        share = sum(rank[h] for h in hosts if h not in out_tot) // len(hosts)
+        rank = {
+            h: teleport + (damp * (in_sum[h] + share)) // 100 for h in hosts
+        }
+
+    from corsearch_project_spark.operators.linkgraph import pagerank
+
+    got = {
+        r["host"]: r["rank"]
+        for r in pagerank(edges, iterations=iters, damping_pct=damp,
+                          scale=scale).collect()
+    }
+    assert got == rank
+    # a receives from b, c and the self-loop: must outrank the others
+    assert max(rank, key=rank.get) == "a"
