@@ -607,3 +607,55 @@ def q_dedup_canonical(spark, sf_dir):
         "doc_id", "component", "quality",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+# -------------------------------------------- model-based quality filter
+
+
+def _sql_quality_classifier() -> str:
+    from corsearch_project_spark.queries.textsim import (
+        SQL_PHASH,
+        SQL_WORDS,
+        _sql_shingles,
+    )
+
+    wt = SQL_PHASH.format(s="x")
+    return f"""
+    WITH wt AS (SELECT doc_id, {SQL_WORDS} AS w FROM documents),
+    f AS (
+        SELECT doc_id, list_concat(w, {_sql_shingles(2)}) AS feats FROM wt
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST(len(feats) AS BIGINT) AS n_feats,
+               CAST(COALESCE(list_sum(list_transform(
+                   feats, x -> ({wt} % 2001) - 1000)), 0) AS BIGINT)
+                   AS score_raw
+        FROM f
+    )
+    SELECT doc_id, n_feats, score_raw,
+           round(CAST(score_raw AS DOUBLE)
+                 / (CAST(greatest(n_feats, 1) AS DOUBLE) * 1000.0), 6)
+               AS score,
+           (score_raw > 0) AS keep
+    FROM s
+    """
+
+
+@query(
+    "q_quality_classifier",
+    _sql_quality_classifier(),
+    doc="Model-based quality filter — fastText-style linear classifier "
+    "over hashed unigram+bigram features (the CCNet/GPT-3/LLaMA wiki-vs-"
+    "crawl scoring stage). The hashing trick makes scoring vocabulary-free: "
+    "each doc folds integer feature weights (pure function of the portable "
+    "hash) with F.aggregate inside ONE narrow projection — no explode, no "
+    "shuffle, no Python, plan-gated. Integer weights keep the score an "
+    "exact BIGINT sum, so the oracle (same hash, same arithmetic) is "
+    "bit-identical; a trained model drops in as a broadcast bucket array "
+    "without changing the plan (operators/classifier.py).",
+)
+def q_quality_classifier(spark, sf_dir):
+    from corsearch_project_spark.operators.classifier import classify
+
+    return classify(t(spark, sf_dir, "documents"))
