@@ -485,3 +485,111 @@ def gen_media_fixture(spark, n: int = 60, seed: int = 99) -> DataFrame:
             mime = f"{kind}/x-stub"
         rows.append((i, kind, payload, mime, f"https://media.example.com/{kind}/{i}"))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ------------------------------------------------------------------ video
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("major_brand", T.StringType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("n_tracks", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("has_audio", T.BooleanType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("decoder", T.StringType(), False),
+    ]
+)
+
+
+def _decode_video_stub(payload: bytes):
+    d = hashlib.md5(payload).digest()
+    return ("stub", 1000 * (1 + d[0] % 120), 1 + d[1] % 3,
+            160 * (1 + d[2] % 8), 90 * (1 + d[2] % 8), bool(d[3] % 2))
+
+
+def decode_video_meta(media: DataFrame, decoder: str = "auto") -> DataFrame:
+    """Video container-metadata decode — same iterator-of-batches shape as
+    the image/audio stages. The ``mp4`` arm is a REAL parser: stdlib
+    ISO-BMFF box walking (webextract/mp4x.py) reads brand, duration,
+    track layout and frame size from ftyp/moov — which is all a
+    crawl-scale media-metadata pass needs; SAMPLE decode (frames/pixels)
+    stays behind the ffmpeg seam (sample_frames). Under ``auto`` a
+    payload without an ftyp/moov signature falls to the stub; under
+    ``decoder='mp4'`` it reports decode_ok=False — never fabricated
+    metadata."""
+    if decoder not in ("auto", "mp4", "stub"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    mode = decoder
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from corsearch_project_spark.webextract.mp4x import probe_mp4
+
+        cols = ("media_id", "major_brand", "duration_ms", "n_tracks",
+                "width", "height", "has_audio", "decode_ok", "decoder")
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload or b"")
+                looks_bmff = data[4:8] in (b"ftyp", b"moov")
+                brand = dur = nt = w = h = ha = None
+                try:
+                    if mode == "mp4" or (mode == "auto" and looks_bmff):
+                        used = "mp4"
+                        m = probe_mp4(data)
+                        brand, dur, nt = (m["major_brand"],
+                                          m["duration_ms"], m["n_tracks"])
+                        w, h, ha = m["width"], m["height"], m["has_audio"]
+                    else:
+                        used = "stub"
+                        used_, dur, nt, w, h, ha = _decode_video_stub(data)
+                        brand = ""
+                    ok = True
+                except Exception:
+                    ok, used = False, mode
+                out["media_id"].append(mid)
+                out["major_brand"].append(brand)
+                out["duration_ms"].append(dur)
+                out["n_tracks"].append(nt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["has_audio"].append(ha)
+                out["decode_ok"].append(ok)
+                out["decoder"].append(used)
+            yield pd.DataFrame(out)
+
+    return media.where(F.col("kind") == "video").select("media_id", "payload").mapInPandas(
+        run, VIDEO_META_SCHEMA
+    )
+
+
+def mp4_fixture_params(i: int, seed: int = 67) -> tuple:
+    """(timescale, duration, width, height, has_audio) for fixture clip i
+    — the pure-Python replay the VALUES oracle uses."""
+    import random
+
+    rng = random.Random((seed << 23) ^ i)
+    timescale = rng.choice([600, 1000, 90000])
+    duration = rng.randint(1, 600) * timescale // rng.choice([1, 2, 4])
+    w16 = rng.randint(4, 120)
+    return (timescale, duration, w16 * 16, (w16 * 9 // 16) * 16 or 16,
+            rng.random() < 0.7)
+
+
+def gen_mp4_fixture(spark, n: int = 30, seed: int = 67) -> DataFrame:
+    """Deterministic REAL-MP4 media table: every payload is a valid
+    ISO-BMFF box tree (ftyp + moov/mvhd/trak) built by
+    webextract/mp4x.build_mp4 — no sample data, container only."""
+    from corsearch_project_spark.webextract.mp4x import build_mp4
+
+    rows = []
+    for i in range(n):
+        ts, dur, w, h, ha = mp4_fixture_params(i, seed)
+        payload = build_mp4(ts, dur, video=(w, h), audio=ha)
+        rows.append(
+            (i, "video", payload, "video/mp4",
+             f"https://media.example.com/mp4/{i}")
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -37,7 +37,7 @@ _SWEEP_FIRST = [
     "q_multimodal_png", "q_schema_evolution", "q_multimodal_wav",
     "q_manifest_lookup", "q_boilerplate_lines", "q_pii_scrub",
     "q_decontaminate", "q_link_hostgraph", "q_dedup_canonical",
-    "q_link_pagerank", "q_quality_classifier",
+    "q_link_pagerank", "q_quality_classifier", "q_multimodal_mp4",
 ]
 
 

@@ -412,3 +412,53 @@ def q_schema_evolution(spark, sf_dir):
     return read_evolved(spark, root, PAGES_SCHEMA, {"html": ["body"]}).select(
         "url", "lang", F.length(F.col("html")).alias("html_len")
     )
+
+
+def _multimodal_mp4_expected_values(n: int = 30, seed: int = 67) -> str:
+    from corsearch_project_spark.operators.multimodal import mp4_fixture_params
+
+    rows = []
+    for i in range(n):
+        ts, dur, w, h, ha = mp4_fixture_params(i, seed)
+        dur_ms = (dur * 1000) // ts
+        rows.append(
+            f"({i}, 'isom', {dur_ms}, {2 if ha else 1}, {w}, {h},"
+            f" {'TRUE' if ha else 'FALSE'}, TRUE, 'mp4')"
+        )
+    head = (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, major_brand, "
+        "CAST(duration_ms AS BIGINT) AS duration_ms, "
+        "CAST(n_tracks AS INTEGER) AS n_tracks, "
+        "CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height, "
+        "has_audio, decode_ok, decoder FROM "
+    )
+    return (
+        head
+        + "(VALUES "
+        + ", ".join(rows)
+        + ") AS t(media_id, major_brand, duration_ms, n_tracks, width,"
+        " height, has_audio, decode_ok, decoder)"
+    )
+
+
+@query(
+    "q_multimodal_mp4",
+    _multimodal_mp4_expected_values(),
+    doc="Multimodal video REAL-container arm (round-4): every payload is "
+    "a genuine ISO-BMFF box tree (ftyp + moov/mvhd/trak/tkhd/hdlr); the "
+    "mapInPandas stage parses it with the stdlib box walker "
+    "(webextract/mp4x.py, decoder='mp4') — brand, duration, track "
+    "layout, frame size, all a crawl-scale media-metadata pass needs; "
+    "SAMPLE decode stays behind the ffmpeg seam. Oracle replays the "
+    "seeded fixture params as a VALUES literal; the Spark side earns "
+    "them by walking actual MP4 boxes. n_tracks counts trak boxes "
+    "(video + optional audio).",
+)
+def q_multimodal_mp4(spark, sf_dir):
+    from corsearch_project_spark.operators.multimodal import (
+        decode_video_meta,
+        gen_mp4_fixture,
+    )
+
+    media = gen_mp4_fixture(spark, n=30, seed=67)
+    return decode_video_meta(media, decoder="mp4")
