@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "q_dedup_canonical",  # round 4: per-cluster keep/drop argmax
     "q_link_pagerank",  # round 4: integer PageRank, 4 rounds
     "q_quality_classifier",  # round 4: hashed linear model scoring
+    "q_dedup_substring",  # round 4: Lee-et-al exact-substring dedup
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

@@ -422,3 +422,74 @@ def connected_components(
             "max_iter — returning unconverged labels would be silently wrong"
         )
     return labels
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Exact-substring duplication stats (Lee et al. 2022, 'Deduplicating
+    Training Data Makes Language Models Better'): a token span is
+    duplicated if the ``window``-word shingle starting there appears in
+    >= 2 DISTINCT documents. Returns per-doc
+    (id, n_tokens, dup_tokens, dup_fraction) where dup_tokens is the size
+    of the UNION of all matched [pos, pos+window) intervals — overlapping
+    matches are not double-counted.
+
+    The reference construction is a corpus-wide suffix array; the
+    distributed re-expression is shingle-join: posexplode the
+    ``window``-grams with positions, count distinct docs per gram
+    (partial-agg shuffle; the hash, not the string, is the shuffle key),
+    semi-join each doc's grams against the shared set, then compute the
+    interval-union length with one running-max window per doc
+    (contribution = (p+w) - max(p, max_prev_end), clamped at 0). Three
+    linear shuffles total, no self-join, no all-pairs; viral shingles
+    (boilerplate) are the AQE skew-join case. Within-doc repetition alone
+    does NOT count (that is q_text_repetition's job) — this operator
+    targets cross-document contamination.
+    """
+    from pyspark.sql import Window
+
+    toks = words(F.col(text_col))
+    base = df.select(id_col, F.size(toks).cast("long").alias("n_tokens"))
+    grams = df.select(
+        id_col,
+        F.posexplode(word_shingles(F.col(text_col), window)).alias(
+            "pos", "gram"
+        ),
+    ).select(id_col, "pos", phash(F.col("gram")).alias("g"))
+    shared = (
+        grams.groupBy("g")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("g")
+    )
+    matched = grams.join(shared, "g", "left_semi")
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("pos") + window).over(w_prev)
+    contrib = F.greatest(
+        F.lit(0),
+        (F.col("pos") + window)
+        - F.greatest(F.col("pos"), F.coalesce(prev_end, F.col("pos"))),
+    )
+    per_doc = (
+        matched.select(id_col, contrib.alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum("c").cast("long").alias("dup_tokens"))
+    )
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)).cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_fraction"),
+    )

@@ -659,3 +659,74 @@ def q_quality_classifier(spark, sf_dir):
     from corsearch_project_spark.operators.classifier import classify
 
     return classify(t(spark, sf_dir, "documents"))
+
+
+# -------------------------------------------- exact-substring dedup
+
+
+def _sql_dedup_substring(window: int = 8) -> str:
+    from corsearch_project_spark.queries.textsim import (
+        SQL_PHASH,
+        SQL_WORDS,
+        _sql_shingles,
+    )
+
+    return f"""
+    WITH wt AS (SELECT doc_id, {SQL_WORDS} AS w FROM documents),
+    base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM wt),
+    shingled AS (SELECT doc_id, {_sql_shingles(window)} AS sh FROM wt),
+    g0 AS (
+        SELECT doc_id, sh,
+               unnest(generate_series(1, len(sh))) AS idx
+        FROM shingled
+    ),
+    grams AS (
+        SELECT doc_id, idx - 1 AS pos,
+               {SQL_PHASH.format(s="sh[idx]")} AS g
+        FROM g0
+    ),
+    shared AS (
+        SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    matched AS (
+        SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM shared)
+    ),
+    cov AS (
+        SELECT doc_id,
+               greatest(0, (pos + {window})
+                   - greatest(pos, COALESCE(max(pos + {window}) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), pos))) AS c
+        FROM matched
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dup_tokens
+        FROM cov GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           round(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+                 / CAST(greatest(b.n_tokens, 1) AS DOUBLE), 6) AS dup_fraction
+    FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id
+    """
+
+
+@query(
+    "q_dedup_substring",
+    _sql_dedup_substring(),
+    doc="Exact-substring duplication stats (Lee et al. 2022 suffix-array "
+    "dedup, re-expressed distributed): a token span is duplicated if its "
+    "8-word shingle appears in >=2 DISTINCT documents; dup_tokens is the "
+    "interval-UNION of matched [pos, pos+8) windows per doc (running-max "
+    "window, overlaps not double-counted). Three linear shuffles "
+    "(gram-hash partial agg, semi-join back, per-doc window) — no "
+    "self-join, no all-pairs; viral boilerplate shingles are the AQE "
+    "skew case. Within-doc repetition deliberately excluded "
+    "(q_text_repetition covers it) (operators/dedup.py "
+    "substring_dup_stats).",
+)
+def q_dedup_substring(spark, sf_dir):
+    from corsearch_project_spark.operators.dedup import substring_dup_stats
+
+    return substring_dup_stats(t(spark, sf_dir, "documents"))
