@@ -45,6 +45,21 @@ def doc_features(text: Column) -> Column:
     return F.concat(words(text), word_shingles(text, 2))
 
 
+def score_expr(text: Column) -> Column:
+    """Normalized model score (~[-1, 1] margin) as a single Column — for
+    embedding the classifier into a wider projection (e.g. the curation
+    job) without the classify() column contract."""
+    feats = doc_features(text)
+    raw = F.aggregate(
+        feats, F.lit(0).cast("long"), lambda acc, x: acc + feature_weight(x)
+    )
+    return F.round(
+        raw.cast("double")
+        / (F.greatest(F.size(feats), F.lit(1)).cast("double") * float(WEIGHT_SPAN)),
+        6,
+    )
+
+
 def classify(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

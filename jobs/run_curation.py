@@ -8,8 +8,14 @@ composing the operators from ``operators/{textstats,dedup}.py``:
     2. exact dedup: sha-identical docs → canonical url (min) per group
     3. near-dup candidates: MinHash+LSH pairs over word shingles
     4. connected components over the near-dup graph (canonical per cluster)
-    5. curated table: stats + is_exact_dup + is_near_dup + component + keep
-  6. reproducible train/valid/test assignment (portable-hash split)
+    5. exact-substring dedup (Lee et al. 2022) over the keep-candidates:
+       docs whose 8-gram interval-union coverage vs OTHER survivors
+       exceeds --max-substring-dup are dropped
+    6. curated table: stats (incl. model_score, the fastText-style hashed
+       linear margin — recorded for a trained model to gate on) +
+       is_exact_dup + is_near_dup + component + substring_dup_fraction +
+       keep
+    7. reproducible train/valid/test assignment (portable-hash split)
 
 Outputs: <out>/curated (bucketed like the input), <out>/dup_pairs.
 At 10^12 docs every step is a bounded number of hash-partition shuffles
@@ -33,6 +39,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from corsearch_project_spark.operators import classifier as C
 from corsearch_project_spark.operators import dedup as D
 from corsearch_project_spark.operators import textstats as X
 from corsearch_project_spark.plans.session import build_session
@@ -43,6 +50,7 @@ def run_curation(
     input_path: str,
     output_path: str,
     min_quality: float = 0.3,
+    max_substring_dup: float = 0.8,
 ):
     ext = spark.read.parquet(input_path).select(
         "url", "extracted_text", "text_sha256", "url_bucket"
@@ -58,6 +66,12 @@ def run_curation(
         X.quality_score(text).alias("quality"),
         X.lang_id(text).alias("pred_lang"),
         X.fingerprint(text, 4).alias("fingerprint"),
+        # model-based quality margin (operators/classifier.py) — recorded,
+        # not gated: the hash-derived stand-in weights are ~symmetric, so a
+        # threshold would drop a random half; a TRAINED model's bucket
+        # table plugs into the same column and THEN the keep rule gains
+        # `model_score >= tau`.
+        C.score_expr(text).alias("model_score"),
     )
 
     # exact dedup on the already-computed content digest: canonical = min url
@@ -107,12 +121,43 @@ def run_curation(
             & (F.col("url") != F.col("near_dup_component")),
         )
         .withColumn(
-            "keep",
+            "base_keep",
             (~F.col("is_exact_dup"))
             & (~F.col("is_near_dup"))
             & (F.col("quality") >= min_quality)
             & (F.col("n_tokens") >= 5),
         )
+    )
+
+    # Exact-substring dedup (Lee et al. 2022) runs LAST and only over the
+    # keep-candidates: shingles shared solely with docs the earlier gates
+    # already dropped must not count (a near-dup cluster's canonical would
+    # otherwise self-poison at fraction ~1.0), and at 10^12 docs the
+    # survivor set is the cheap place to pay the shingle shuffles.
+    cand = curated.where("base_keep").select("url")
+    sub = (
+        D.substring_dup_stats(
+            ext.join(cand, "url", "left_semi").select(
+                F.col("url").alias("doc_id"),
+                F.col("extracted_text").alias("text"),
+            ),
+            id_col="doc_id",
+            text_col="text",
+        )
+        .select(
+            F.col("doc_id").alias("url"),
+            F.col("dup_fraction").alias("substring_dup_fraction"),
+        )
+    )
+    curated = (
+        curated.join(sub, "url", "left")
+        .withColumn(
+            "keep",
+            F.col("base_keep")
+            & (F.coalesce("substring_dup_fraction", F.lit(0.0))
+               <= max_substring_dup),
+        )
+        .drop("base_keep")
         # reproducible split as a pure function of the url hash: increments
         # and reruns agree on membership (operators/textstats.hash_split)
         .withColumn("split", X.hash_split(F.col("url")))
@@ -131,6 +176,9 @@ def run_curation(
         "exact_dups": out.where("is_exact_dup").count(),
         "near_dup_docs": out.where("near_dup_degree > 0").count(),
         "near_dup_clusters": out.where("url = near_dup_component").count(),
+        "substring_dup_dropped": out.where(
+            f"substring_dup_fraction > {max_substring_dup}"
+        ).count(),
         "curated_path": curated_path,
         "dup_pairs_path": pairs_path,
     }
@@ -141,13 +189,15 @@ def main(argv=None) -> int:
     ap.add_argument("--input", required=True, help="extracted table path")
     ap.add_argument("--output", required=True)
     ap.add_argument("--min-quality", type=float, default=0.3)
+    ap.add_argument("--max-substring-dup", type=float, default=0.8)
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
     if not os.path.exists(args.input):
         print(f"error: input path does not exist: {args.input}", file=sys.stderr)
         return 1
     spark = build_session("run_curation", master=args.master)
-    report = run_curation(spark, args.input, args.output, args.min_quality)
+    report = run_curation(spark, args.input, args.output, args.min_quality,
+                          args.max_substring_dup)
     print(json.dumps(report, default=str))
     return 0
 

@@ -51,7 +51,8 @@ def test_curation_end_to_end(spark, tmp_path):
     # the planted near-dup was caught by LSH against its donor
     assert planted["https://plant.test/near"]["near_dup_degree"] >= 1
     # schema essentials
-    for c in ("n_tokens", "quality", "pred_lang", "fingerprint", "keep"):
+    for c in ("n_tokens", "quality", "pred_lang", "fingerprint", "keep",
+              "model_score", "substring_dup_fraction"):
         assert c in cur.columns
 
 
