@@ -241,3 +241,23 @@ def test_decontaminate_plan_broadcasts_eval_shingles(spark):
     df = REGISTRY["q_decontaminate"].fn(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_substring_dup_plan_linear_no_python(spark):
+    """q_dedup_substring's plan must stay in the linear-shuffle class:
+    equi-joins only (no cartesian / nested-loop), zero Python stages, and
+    a bounded exchange count (gram agg, semi-join, per-doc window, final
+    left join)."""
+    from corsearch_project_spark.operators.dedup import substring_dup_stats
+
+    df = spark.range(50).selectExpr(
+        "id AS doc_id",
+        "concat('w', id % 7, ' shared run of words common tail piece x y z ', id)"
+        " AS text",
+    )
+    plan = substring_dup_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"):
+        assert marker not in plan, plan
+    assert plan.count("Exchange") <= 6, plan
