@@ -811,3 +811,54 @@ def make_docx(rng: random.Random, force_table: bool | None = None) -> bytes:
         )
         zf.writestr("word/document.xml", doc_xml)
     return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# Minimal RSS/Atom writer (subset-matched to webextract.feedx). NOT part of
+# the frozen golden corpus (gen_page_row's rng stream is pinned); tests
+# build their own feed corpora with it.
+# ---------------------------------------------------------------------------
+
+
+def make_feed(rng: random.Random, flavor: str | None = None) -> bytes:
+    """Deterministic syndication XML: RSS 2.0 or Atom, 1-5 items, with the
+    three description shapes real feeds mix — plain text, entity-escaped
+    HTML, and CDATA-wrapped HTML (CDATA content must NOT be unescaped)."""
+    flavor = flavor or rng.choice(("rss", "atom"))
+    items = []
+    for _ in range(rng.randint(1, 5)):
+        title = _sentence(rng, 3, 7)
+        body = _paragraph(rng, 1, 2)
+        shape = rng.random()
+        if shape < 0.34:
+            desc = body
+        elif shape < 0.67:
+            desc = f"&lt;p&gt;{body}&lt;/p&gt;&lt;br/&gt;"
+        else:
+            desc = f"<![CDATA[<p>{body}</p> <a href=\"/x\">more &amp; raw</a>]]>"
+        items.append((title, desc))
+    feed_title = _sentence(rng, 2, 5)
+    if flavor == "rss":
+        body = "".join(
+            f"<item><title>{t}</title><description>{d}</description>"
+            f"<link>https://feeds.example.com/{rng.randrange(10**6)}</link></item>"
+            for t, d in items
+        )
+        doc = (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<rss version="2.0"><channel>'
+            f"<title>{feed_title}</title><language>en</language>"
+            f"{body}</channel></rss>"
+        )
+    else:
+        body = "".join(
+            f'<entry><title>{t}</title><summary type="html">{d}</summary>'
+            f"<id>urn:uuid:{rng.randrange(10**9)}</id></entry>"
+            for t, d in items
+        )
+        doc = (
+            '<?xml version="1.0" encoding="utf-8"?>\n'
+            '<feed xmlns="http://www.w3.org/2005/Atom">'
+            f"<title>{feed_title}</title>{body}</feed>"
+        )
+    return doc.encode("utf-8")

@@ -23,7 +23,7 @@ Span = Tuple[int, int, str]
 @dataclass
 class ExtractResult:
     url: str
-    doc_kind: str  # html | pdf | docx | binary_other | text_passthrough | oversize
+    doc_kind: str  # html | pdf | docx | feed | binary_other | text_passthrough | oversize
     text: str
     spans: List[Span]
     text_sha256: str
@@ -75,6 +75,12 @@ def extract_document(
             # (decoding raw deflate bytes as text would be garbage)
             text, spans = "", []
             doc_kind = "binary_other"
+    elif kind == "feed":
+        from corsearch_project_spark.webextract.feedx import extract_feed
+
+        src = decode_bytes(data, rule.charset_override)
+        text, spans = extract_feed(src)
+        doc_kind = "feed"
     elif kind == "html":
         src = decode_bytes(data, rule.charset_override)
         text, spans = extract_html(src, rule)

@@ -1,5 +1,5 @@
 """Doc-kind sniffing (SURVEY.md §2.2 E1):
-bytes -> 'pdf' | 'html' | 'zip' | 'text'.
+bytes -> 'pdf' | 'html' | 'feed' | 'zip' | 'text'.
 
 Deterministic, magic-byte-first: the reference's competency is config-driven
 PDF + HTML extraction (/root/reference/README.md:2), so those kinds get
@@ -28,6 +28,13 @@ def sniff_kind(data: bytes) -> str:
     if head.startswith(b"PK\x03\x04"):
         return "zip"
     if stripped.startswith(b"<"):
+        # RSS/Atom before the generic markup bucket: an <rss>/<feed> root
+        # (directly or behind an XML prolog) is syndication XML, not a
+        # page; XHTML's bare prolog stays 'html' (feedx.is_feed guards).
+        from corsearch_project_spark.webextract.feedx import is_feed
+
+        if is_feed(head):
+            return "feed"
         return "html"
     if _HTML_HINT_RE.search(head):
         return "html"
