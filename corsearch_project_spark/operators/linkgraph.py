@@ -177,3 +177,49 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+# ------------------------------------------------------------ crawl frontier
+
+LOC_PATTERN = r"<loc>\s*([^<\s][^<]*?)\s*</loc>"
+
+
+def sitemap_locs(xml: Column) -> Column:
+    """All <loc> URLs in a sitemap document — array<string>, pure codegen
+    (sitemaps are flat XML; a regex pull is the whole parse)."""
+    return F.regexp_extract_all(xml, F.lit(LOC_PATTERN), F.lit(1))
+
+
+def crawl_frontier(sitemaps: DataFrame, crawled: DataFrame,
+                   xml_col: str = "xml", url_col: str = "url") -> DataFrame:
+    """(host, n_known, n_new) — sitemap-driven frontier discovery.
+
+    Explode every sitemap's locs, dedupe (the same URL appears in many
+    sitemap files), LEFT-ANTI join against the crawled url set to find
+    never-fetched URLs, and aggregate both populations per host. The
+    anti-join is the scale shape: the crawled set is the 10^12-row table,
+    so the join must shuffle on url (equi-key), never broadcast the big
+    side; the frontier relation afterwards is small. Same resume-anti-join
+    pattern as P5 (sources/io.py done_buckets).
+    """
+    locs = (
+        sitemaps.select(F.explode(sitemap_locs(F.col(xml_col))).alias("url"))
+        .distinct()
+    )
+    crawled_urls = crawled.select(F.col(url_col).alias("url")).distinct()
+    new = locs.join(crawled_urls, "url", "left_anti").select(
+        url_host(F.col("url")).alias("host"),
+        F.lit(1).alias("is_new"),
+    )
+    known = locs.join(crawled_urls, "url", "left_semi").select(
+        url_host(F.col("url")).alias("host"),
+        F.lit(0).alias("is_new"),
+    )
+    return (
+        new.union(known)
+        .groupBy("host")
+        .agg(
+            F.sum(F.lit(1) - F.col("is_new")).cast("long").alias("n_known"),
+            F.sum("is_new").cast("long").alias("n_new"),
+        )
+    )

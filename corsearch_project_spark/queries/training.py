@@ -730,3 +730,87 @@ def q_dedup_substring(spark, sf_dir):
     from corsearch_project_spark.operators.dedup import substring_dup_stats
 
     return substring_dup_stats(t(spark, sf_dir, "documents"))
+
+
+# -------------------------------------------- sitemap crawl frontier
+
+_SQL_SITEMAP = """
+        SELECT doc_id,
+               '<?xml version="1.0"?><urlset>'
+                   || '<loc>https://h' || CAST(doc_id % 37 AS VARCHAR)
+                   || '.example.com/p/' || CAST(doc_id AS VARCHAR) || '</loc>'
+                   || '<loc> https://h' || CAST(doc_id % 37 AS VARCHAR)
+                   || '.example.com/new/' || CAST(doc_id AS VARCHAR)
+                   || ' </loc>'
+                   || CASE WHEN doc_id % 4 = 0
+                           THEN '<loc>https://h'
+                                || CAST((doc_id + 1) % 37 AS VARCHAR)
+                                || '.example.com/p/'
+                                || CAST(doc_id + 1 AS VARCHAR) || '</loc>'
+                           ELSE '' END
+                   || '</urlset>' AS xml
+        FROM documents
+"""
+
+
+@query(
+    "q_crawl_frontier",
+    f"""
+    WITH sm AS ({_SQL_SITEMAP}),
+    p AS ({_SQL_PAGE}),
+    locs AS (
+        SELECT DISTINCT trim(loc) AS url FROM (
+            SELECT unnest(regexp_extract_all(xml,
+                '<loc>\\s*([^<\\s][^<]*?)\\s*</loc>', 1)) AS loc
+            FROM sm
+        )
+    ),
+    tagged AS (
+        SELECT {_SQL_HOST.format(u='l.url')} AS host,
+               CASE WHEN c.url IS NULL THEN 1 ELSE 0 END AS is_new
+        FROM locs l LEFT JOIN (SELECT DISTINCT url FROM p) c
+            ON l.url = c.url
+    )
+    SELECT host,
+           CAST(SUM(1 - is_new) AS BIGINT) AS n_known,
+           CAST(SUM(is_new) AS BIGINT) AS n_new
+    FROM tagged GROUP BY host
+    """,
+    doc="Sitemap-driven crawl-frontier discovery: extract <loc> URLs "
+    "(pure-codegen regex — sitemaps are flat XML), dedupe, LEFT-ANTI join "
+    "against the crawled url set for never-fetched URLs, per-host "
+    "known/new counts. The anti-join shuffles on url (the crawled side is "
+    "the 10^12-row table — same resume-anti-join shape as P5); known "
+    "pages and every-4th cross-references land on the known side, the "
+    "/new/ paths on the frontier side, so both branches carry rows "
+    "(operators/linkgraph.py crawl_frontier).",
+)
+def q_crawl_frontier(spark, sf_dir):
+    from corsearch_project_spark.operators import linkgraph as L
+
+    did = F.col("doc_id")
+    own = F.concat(
+        F.lit("<loc>https://h"), (did % 37).cast("string"),
+        F.lit(".example.com/p/"), did.cast("string"), F.lit("</loc>"),
+    )
+    new = F.concat(
+        F.lit("<loc> https://h"), (did % 37).cast("string"),
+        F.lit(".example.com/new/"), did.cast("string"), F.lit(" </loc>"),
+    )
+    xref = F.when(
+        did % 4 == 0,
+        F.concat(
+            F.lit("<loc>https://h"), ((did + 1) % 37).cast("string"),
+            F.lit(".example.com/p/"), (did + 1).cast("string"),
+            F.lit("</loc>"),
+        ),
+    ).otherwise(F.lit(""))
+    sitemaps = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'), own, new, xref,
+            F.lit("</urlset>"),
+        ).alias("xml"),
+    )
+    crawled = _pages_df(spark, sf_dir).select("url")
+    return L.crawl_frontier(sitemaps, crawled)

@@ -149,3 +149,48 @@ def test_pagerank_matches_reference_integer_recurrence(spark):
     assert got == rank
     # a receives from b, c and the self-loop: must outrank the others
     assert max(rank, key=rank.get) == "a"
+
+
+def test_sitemap_locs_extraction(spark):
+    """<loc> pull handles surrounding whitespace, multiple entries, and
+    ignores nested-tag noise; pure-codegen (no Python stage)."""
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<loc> https://a.com/1 </loc>"
+        "<loc>https://a.com/2</loc>"
+        "<lastmod>2026-01-01</lastmod>"
+        "<loc></loc>"  # empty loc: no capture (pattern needs 1+ non-space)
+        "</urlset>"
+    )
+    df = spark.createDataFrame([(xml,)], "xml string")
+    got = df.select(L.sitemap_locs(F.col("xml")).alias("u")).head()["u"]
+    assert got == ["https://a.com/1", "https://a.com/2"]
+    plan = df.select(L.sitemap_locs(F.col("xml"))) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_crawl_frontier_counts(spark):
+    """Known vs new split per host: duplicate locs across sitemap files
+    collapse, crawled URLs count as known, never-fetched as new."""
+    sitemaps = spark.createDataFrame(
+        [
+            ("<urlset><loc>https://a.com/1</loc>"
+             "<loc>https://a.com/2</loc></urlset>",),
+            # second sitemap repeats /2 and adds a b.com url
+            ("<urlset><loc>https://a.com/2</loc>"
+             "<loc>https://b.com/x</loc></urlset>",),
+        ],
+        "xml string",
+    )
+    crawled = spark.createDataFrame(
+        [("https://a.com/1",), ("https://c.com/only-crawled",)],
+        "url string",
+    )
+    got = {
+        r["host"]: (r["n_known"], r["n_new"])
+        for r in L.crawl_frontier(sitemaps, crawled).collect()
+    }
+    # a.com: /1 known, /2 new (deduped); b.com: /x new.
+    # c.com never appears in a sitemap -> absent from the frontier relation.
+    assert got == {"a.com": (1, 1), "b.com": (0, 1)}
