@@ -1,0 +1,127 @@
+"""HTML head-metadata extraction as pure-codegen columns.
+
+Extraction pipelines need page metadata (title, description, canonical
+URL, OpenGraph fields, declared language) long before — and far more
+cheaply than — a full DOM parse: metadata feeds crawl dedup
+(rel=canonical collapses www/mobile/tracking URL variants), snippet
+generation, and language routing. The full extractor (webextract/htmlx)
+owns body text; this module owns the head, as narrow ``Column``
+projections that stay inside whole-stage codegen — zero Python, zero
+shuffle — so metadata can be projected during the same scan that feeds
+any downstream operator.
+
+Subset contract (documented, test-pinned): attributes are matched in
+their conventional written order (``<meta name=".." content="..">``,
+``<link rel="canonical" href="..">``) with double-quoted values — the
+same subset `operators/linkgraph.py` pins for hrefs; a permuted-attribute
+arm belongs in the Python-kernel extractor, not here. Entity unescaping
+covers the five XML built-ins (&amp; &lt; &gt; &quot; &#39;), matching
+what head metadata contains in practice; ``&amp;`` is resolved LAST so
+``&amp;lt;`` yields the literal ``&lt;`` (double-escape safety).
+
+Scale shape (10^12 pages): every function here is a projection over the
+html column — Catalyst fuses them into the scan stage, so adding all six
+metadata columns to an extraction job adds no stage, no shuffle, and no
+Python boundary. ``canonical_groups`` is the one aggregating operator:
+a single partial-agg shuffle on the canonical key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TITLE_PATTERN = r"(?s)<title[^>]*>\s*(.*?)\s*</title>"
+META_NAME_PATTERN = r'<meta name="{name}" content="([^"]*)"'
+META_PROP_PATTERN = r'<meta property="{prop}" content="([^"]*)"'
+CANONICAL_PATTERN = r'<link rel="canonical" href="([^"]*)"'
+LANG_PATTERN = r'<html[^>]*\slang="([^"]*)"'
+
+
+def unescape_entities(col: Column) -> Column:
+    """The five XML built-in entities, &amp; last (double-escape safe)."""
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),
+    ):
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
+def _norm_ws(col: Column) -> Column:
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def html_title(html: Column) -> Column:
+    """<title> text, entity-unescaped, whitespace-normalized ('' if none)."""
+    return unescape_entities(_norm_ws(F.regexp_extract(html, TITLE_PATTERN, 1)))
+
+
+def meta_content(html: Column, name: str) -> Column:
+    """content of <meta name="{name}" ...> ('' if absent)."""
+    return unescape_entities(
+        F.regexp_extract(html, META_NAME_PATTERN.format(name=name), 1)
+    )
+
+
+def og_content(html: Column, prop: str) -> Column:
+    """content of <meta property="og:{prop}" ...> ('' if absent)."""
+    return unescape_entities(
+        F.regexp_extract(html, META_PROP_PATTERN.format(prop=f"og:{prop}"), 1)
+    )
+
+
+def canonical_url(html: Column) -> Column:
+    """href of <link rel="canonical"> ('' if the page declares none)."""
+    return F.regexp_extract(html, CANONICAL_PATTERN, 1)
+
+
+def html_lang(html: Column) -> Column:
+    """lang attribute of the <html> tag, lowercased ('' if absent)."""
+    return F.lower(F.regexp_extract(html, LANG_PATTERN, 1))
+
+
+def page_metadata(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, title, description, canonical, og_title, lang) per page.
+
+    One narrow projection — Catalyst keeps it in the scan stage.
+    ``canonical`` falls back to the page's own url when undeclared, so it
+    is always a usable dedup key.
+    """
+    h = F.col(html_col)
+    return pages.select(
+        F.col(url_col).alias("url"),
+        html_title(h).alias("title"),
+        meta_content(h, "description").alias("description"),
+        F.coalesce(
+            F.nullif(canonical_url(h), F.lit("")), F.col(url_col)
+        ).alias("canonical"),
+        og_content(h, "title").alias("og_title"),
+        html_lang(h).alias("lang"),
+    )
+
+
+def canonical_groups(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(canonical, n_variants, n_self) — rel=canonical URL consolidation.
+
+    Groups crawled URLs by their declared canonical target: n_variants
+    counts distinct crawled urls collapsing onto the target (www/mobile/
+    tracking variants), n_self how many of those ARE the target (0 means
+    the canonical page itself was never fetched — a frontier candidate).
+    Single partial-agg shuffle on the canonical key; map-side combine
+    absorbs per-host variant fan-in. Skewed mega-targets are the AQE
+    skew-join case the session enables.
+    """
+    m = page_metadata(pages, url_col=url_col, html_col=html_col)
+    return m.groupBy("canonical").agg(
+        F.countDistinct("url").cast("long").alias("n_variants"),
+        F.sum(
+            F.when(F.col("url") == F.col("canonical"), 1).otherwise(0)
+        ).cast("long").alias("n_self"),
+    )

@@ -38,7 +38,8 @@ _SWEEP_FIRST = [
     "q_manifest_lookup", "q_boilerplate_lines", "q_pii_scrub",
     "q_decontaminate", "q_link_hostgraph", "q_dedup_canonical",
     "q_link_pagerank", "q_quality_classifier", "q_multimodal_mp4",
-    "q_dedup_substring", "q_crawl_frontier",
+    "q_dedup_substring", "q_crawl_frontier", "q_robots_politeness",
+    "q_page_metadata", "q_canonical_groups",
 ]
 
 

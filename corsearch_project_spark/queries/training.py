@@ -814,3 +814,275 @@ def q_crawl_frontier(spark, sf_dir):
     )
     crawled = _pages_df(spark, sf_dir).select("url")
     return L.crawl_frontier(sitemaps, crawled)
+
+
+# -------------------------------------------------- robots.txt politeness
+
+_SQL_ROBOTS = """
+        SELECT 'h' || CAST(hid AS VARCHAR) || '.example.com' AS host,
+               'User-agent: googlebot' || chr(10) || 'Disallow: /' || chr(10)
+               || CASE WHEN hid % 5 = 0 THEN ''
+                  ELSE 'User-agent: *' || chr(10)
+                       || 'Disallow: /p/1' || chr(10)
+                       || 'Allow: /p/1' || CAST(hid % 10 AS VARCHAR) || chr(10)
+                       || 'Disallow: ' || chr(10)
+                       || CASE WHEN hid % 3 = 0
+                               THEN 'Disallow: /p/2' || chr(10) ELSE '' END
+                       || CASE WHEN hid % 4 = 1
+                               THEN 'Allow: /p/3' || chr(10)
+                                    || 'Disallow: /p/3' || chr(10)
+                               ELSE '' END
+                  END AS robots
+        FROM (SELECT DISTINCT doc_id % 37 AS hid FROM documents)
+"""
+
+
+@query(
+    "q_robots_politeness",
+    f"""
+    WITH rb AS ({_SQL_ROBOTS}),
+    g AS (
+        SELECT host,
+               CASE WHEN strpos(robots, 'User-agent: *') = 0 THEN ''
+                    ELSE substr(robots, strpos(robots, 'User-agent: *') + 13)
+               END AS seg0
+        FROM rb
+    ),
+    sg AS (
+        SELECT host,
+               CASE WHEN strpos(seg0, 'User-agent:') > 0
+                    THEN substr(seg0, 1, strpos(seg0, 'User-agent:') - 1)
+                    ELSE seg0 END AS seg
+        FROM g
+    ),
+    rules AS (
+        SELECT host, path, allow FROM (
+            SELECT host,
+                   unnest(regexp_extract_all(seg, 'Disallow: ([^\n]*)', 1))
+                       AS path,
+                   FALSE AS allow
+            FROM sg
+            UNION ALL
+            SELECT host,
+                   unnest(regexp_extract_all(seg, 'Allow: ([^\n]*)', 1))
+                       AS path,
+                   TRUE AS allow
+            FROM sg
+        ) WHERE path <> ''
+    ),
+    u AS (
+        SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS host,
+               'https://h' || CAST(doc_id % 37 AS VARCHAR)
+                   || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+               '/p/' || CAST(doc_id AS VARCHAR) AS path
+        FROM documents
+    ),
+    m AS (
+        SELECT u.url, r.path AS rule_path, r.allow,
+               ROW_NUMBER() OVER (
+                   PARTITION BY u.url
+                   ORDER BY length(r.path) DESC, r.allow DESC, r.path
+               ) AS rn
+        FROM u JOIN rules r
+            ON u.host = r.host AND starts_with(u.path, r.path)
+    )
+    SELECT u.url, u.host,
+           COALESCE(m.allow, TRUE) AS allowed,
+           COALESCE(m.rule_path, '') AS rule_path
+    FROM u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON u.url = m.url
+    """,
+    doc="robots.txt politeness filter (RFC 9309 prefix subset): parse the "
+    "wildcard-group Disallow/Allow rules per host (pure-codegen segment "
+    "slice + regex pull — the googlebot group must never leak), LEFT "
+    "equi-join the url relation on host, decide longest-match with "
+    "allow-wins-ties via one F.aggregate fold over the per-host rule "
+    "array. Hosts hid%5=0 carry no wildcard group (all-allowed branch), "
+    "empty Disallow values are dropped per the RFC, hid%4=1 hosts carry "
+    "an exact-length Allow/Disallow tie. Zero Python stages; the only "
+    "shuffle is the host equi-join (operators/linkgraph.py "
+    "crawl_permissions).",
+)
+def q_robots_politeness(spark, sf_dir):
+    from corsearch_project_spark.operators import linkgraph as L
+
+    hid = F.col("hid")
+    nl = F.lit("\n")
+    wildcard_group = F.concat(
+        F.lit("User-agent: *"), nl,
+        F.lit("Disallow: /p/1"), nl,
+        F.lit("Allow: /p/1"), (hid % 10).cast("string"), nl,
+        F.lit("Disallow: "), nl,
+        F.when(hid % 3 == 0, F.concat(F.lit("Disallow: /p/2"), nl))
+        .otherwise(F.lit("")),
+        F.when(
+            hid % 4 == 1,
+            F.concat(F.lit("Allow: /p/3"), nl, F.lit("Disallow: /p/3"), nl),
+        ).otherwise(F.lit("")),
+    )
+    robots = (
+        t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 37).alias("hid"))
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("h"), hid.cast("string"), F.lit(".example.com")
+            ).alias("host"),
+            F.concat(
+                F.lit("User-agent: googlebot"), nl, F.lit("Disallow: /"), nl,
+                F.when(hid % 5 == 0, F.lit("")).otherwise(wildcard_group),
+            ).alias("robots"),
+        )
+    )
+    urls = _pages_df(spark, sf_dir).select("url")
+    return L.crawl_permissions(urls, robots)
+
+
+# ------------------------------------------------- page metadata / canonical
+
+_SQL_META_PAGE = """
+        SELECT doc_id,
+               'https://h' || CAST(doc_id % 37 AS VARCHAR)
+                   || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+               '<html lang="'
+                   || CASE WHEN doc_id % 2 = 0 THEN 'EN' ELSE 'de' END
+                   || '"><head><title> Doc  ' || CAST(doc_id AS VARCHAR)
+                   || ' &amp; &lt;Co&gt; </title>'
+                   || CASE WHEN doc_id % 3 <> 0
+                           THEN '<meta name="description" content="d &quot;'
+                                || CAST(doc_id AS VARCHAR) || '&quot;">'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 2 = 0
+                           THEN '<meta property="og:title" content="OG '
+                                || CAST(doc_id AS VARCHAR) || '">'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 5 <> 0
+                           THEN '<link rel="canonical" href="https://h'
+                                || CAST((doc_id - doc_id % 4) % 37 AS VARCHAR)
+                                || '.example.com/p/'
+                                || CAST(doc_id - doc_id % 4 AS VARCHAR)
+                                || '">'
+                           ELSE '' END
+                   || '</head><body>b</body></html>' AS html
+        FROM documents
+"""
+
+_SQL_UNESC = (
+    "replace(replace(replace(replace(replace({x}, '&lt;', '<'), "
+    "'&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), '&amp;', '&')"
+)
+
+
+def _sql_meta_cols() -> str:
+    title_raw = (
+        "trim(regexp_replace(regexp_extract(html, "
+        "'(?s)<title[^>]*>\\s*(.*?)\\s*</title>', 1), '\\s+', ' ', 'g'))"
+    )
+    desc_raw = (
+        "regexp_extract(html, "
+        "'<meta name=\"description\" content=\"([^\"]*)\"', 1)"
+    )
+    og_raw = (
+        "regexp_extract(html, "
+        "'<meta property=\"og:title\" content=\"([^\"]*)\"', 1)"
+    )
+    canon = (
+        "regexp_extract(html, '<link rel=\"canonical\" href=\"([^\"]*)\"', 1)"
+    )
+    return f"""
+        SELECT url,
+               {_SQL_UNESC.format(x=title_raw)} AS title,
+               {_SQL_UNESC.format(x=desc_raw)} AS description,
+               CASE WHEN {canon} = '' THEN url ELSE {canon} END AS canonical,
+               {_SQL_UNESC.format(x=og_raw)} AS og_title,
+               lower(regexp_extract(html, '<html[^>]*\\slang=\"([^\"]*)\"', 1))
+                   AS lang
+        FROM mp
+"""
+
+
+def _meta_pages_df(spark, sf_dir):
+    """Spark twin of _SQL_META_PAGE."""
+    did = F.col("doc_id")
+    base = did - (did % 4)
+    html = F.concat(
+        F.lit('<html lang="'),
+        F.when(did % 2 == 0, F.lit("EN")).otherwise(F.lit("de")),
+        F.lit('"><head><title> Doc  '), did.cast("string"),
+        F.lit(" &amp; &lt;Co&gt; </title>"),
+        F.when(
+            did % 3 != 0,
+            F.concat(
+                F.lit('<meta name="description" content="d &quot;'),
+                did.cast("string"), F.lit('&quot;">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit('<meta property="og:title" content="OG '),
+                did.cast("string"), F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 != 0,
+            F.concat(
+                F.lit('<link rel="canonical" href="https://h'),
+                (base % 37).cast("string"), F.lit(".example.com/p/"),
+                base.cast("string"), F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>b</body></html>"),
+    )
+    return t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://h"), (did % 37).cast("string"),
+            F.lit(".example.com/p/"), did.cast("string"),
+        ).alias("url"),
+        html.alias("html"),
+    )
+
+
+@query(
+    "q_page_metadata",
+    f"""
+    WITH mp AS ({_SQL_META_PAGE})
+    {_sql_meta_cols()}
+    """,
+    doc="HTML head-metadata extraction (trafilatura-style head fields, "
+    "pure codegen): title (entity-unescaped incl. the &amp;/&lt;/&gt; "
+    "chain with &amp; resolved last, whitespace-normalized), meta "
+    "description (absent on doc_id%3=0 — empty branch exercised), "
+    "rel=canonical with own-url fallback (doc_id%5=0 declares none), "
+    "og:title, and declared <html lang> lowercased. All six columns are "
+    "one narrow projection fused into the scan — no shuffle, no Python "
+    "(operators/pagemeta.py page_metadata).",
+)
+def q_page_metadata(spark, sf_dir):
+    from corsearch_project_spark.operators import pagemeta as M
+
+    return M.page_metadata(_meta_pages_df(spark, sf_dir))
+
+
+@query(
+    "q_canonical_groups",
+    f"""
+    WITH mp AS ({_SQL_META_PAGE}),
+    meta AS ({_sql_meta_cols()})
+    SELECT canonical,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants,
+           CAST(SUM(CASE WHEN url = canonical THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_self
+    FROM meta GROUP BY canonical
+    """,
+    doc="rel=canonical URL consolidation: group crawled urls by declared "
+    "canonical target (own url when undeclared); n_variants counts "
+    "distinct urls collapsing onto each target, n_self whether the "
+    "target itself was fetched (0 -> frontier candidate). Groups of ~4 "
+    "urls per base target plus self-groups from the no-declaration arm; "
+    "one partial-agg shuffle on the canonical key "
+    "(operators/pagemeta.py canonical_groups).",
+)
+def q_canonical_groups(spark, sf_dir):
+    from corsearch_project_spark.operators import pagemeta as M
+
+    return M.canonical_groups(_meta_pages_df(spark, sf_dir))

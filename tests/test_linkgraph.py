@@ -194,3 +194,48 @@ def test_crawl_frontier_counts(spark):
     # a.com: /1 known, /2 new (deduped); b.com: /x new.
     # c.com never appears in a sitemap -> absent from the frontier relation.
     assert got == {"a.com": (1, 1), "b.com": (0, 1)}
+
+
+def test_robots_rules_wildcard_group_only(spark):
+    """Named-agent groups never leak; empty Disallow dropped; missing
+    wildcard group -> no rules. Rule parse is pure codegen."""
+    txt = (
+        "User-agent: googlebot\nDisallow: /\n"
+        "User-agent: *\nDisallow: /a\nAllow: /a/b\nDisallow: \n"
+        "User-agent: bingbot\nDisallow: /c\n"
+    )
+    df = spark.createDataFrame([(txt,), ("User-agent: googlebot\nDisallow: /\n",)],
+                               "robots string")
+    sel = df.select(L.robots_rules(F.col("robots")).alias("r"))
+    got = [[(x["path"], x["allow"]) for x in row["r"]] for row in sel.collect()]
+    assert got[0] == [("/a", False), ("/a/b", True)]
+    assert got[1] == []  # no wildcard group at all
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_crawl_permissions_longest_match_and_ties(spark):
+    """Longest prefix wins; exact-length tie goes to Allow; hosts with no
+    robots row stay crawlable; single host equi-join, no cartesian."""
+    robots = spark.createDataFrame(
+        [("a.com",
+          "User-agent: *\nDisallow: /p/1\nAllow: /p/12\n"
+          "Allow: /p/3\nDisallow: /p/3\n")],
+        "host string, robots string")
+    urls = spark.createDataFrame(
+        [("https://a.com/p/1",), ("https://a.com/p/120",),
+         ("https://a.com/p/3",), ("https://a.com/free",),
+         ("https://norobots.com/x",)],
+        "url string")
+    out = L.crawl_permissions(urls, robots)
+    got = {r["url"]: (r["allowed"], r["rule_path"]) for r in out.collect()}
+    assert got == {
+        "https://a.com/p/1": (False, "/p/1"),
+        "https://a.com/p/120": (True, "/p/12"),   # longer Allow overrides
+        "https://a.com/p/3": (True, "/p/3"),      # tie -> Allow wins
+        "https://a.com/free": (True, ""),         # no matching rule
+        "https://norobots.com/x": (True, ""),     # no robots row at all
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan

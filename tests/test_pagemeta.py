@@ -1,0 +1,93 @@
+"""HTML head-metadata extraction — operators/pagemeta.py.
+
+Pin the documented subset contract (conventional attribute order,
+double-quoted values, five-entity unescape with &amp; last) and the
+no-Python/no-shuffle plan shape.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from corsearch_project_spark.operators import pagemeta as M
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_head_fields_extracted(spark):
+    html = (
+        '<html lang="EN"><head><title> A  &amp; &lt;B&gt; </title>'
+        '<meta name="description" content="d &quot;x&quot; &#39;y&#39;">'
+        '<meta property="og:title" content="OG">'
+        '<link rel="canonical" href="https://a.com/base"></head>'
+        "<body>ignored</body></html>"
+    )
+    pages = spark.createDataFrame([("https://a.com/v", html)],
+                                  "url string, html string")
+    r = M.page_metadata(pages).head()
+    assert r["title"] == "A & <B>"
+    assert r["description"] == "d \"x\" 'y'"
+    assert r["canonical"] == "https://a.com/base"
+    assert r["og_title"] == "OG"
+    assert r["lang"] == "en"
+
+
+def test_missing_fields_default(spark):
+    """No head metadata at all: empty strings, canonical falls back to
+    the page's own url (always a usable dedup key)."""
+    pages = spark.createDataFrame([("https://a.com/x", "<html></html>")],
+                                  "url string, html string")
+    r = M.page_metadata(pages).head()
+    assert (r["title"], r["description"], r["og_title"], r["lang"]) == \
+        ("", "", "", "")
+    assert r["canonical"] == "https://a.com/x"
+
+
+def test_double_escape_resolves_amp_last(spark):
+    """&amp;lt; must yield the literal text '&lt;', not '<'."""
+    pages = spark.createDataFrame(
+        [("u", "<html><head><title>&amp;lt;tag&amp;gt;</title></head></html>")],
+        "url string, html string")
+    assert M.page_metadata(pages).head()["title"] == "&lt;tag&gt;"
+
+
+def test_multiline_title_normalized(spark):
+    pages = spark.createDataFrame(
+        [("u", "<html><head><title>\n  one\n   two  \n</title></head></html>")],
+        "url string, html string")
+    assert M.page_metadata(pages).head()["title"] == "one two"
+
+
+def test_metadata_plan_pure_codegen(spark):
+    """All six columns are one projection: no Python stage, no exchange."""
+    pages = spark.createDataFrame([("u", "<html></html>")],
+                                  "url string, html string")
+    plan = _plan(M.page_metadata(pages))
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "Exchange" not in plan
+
+
+def test_canonical_groups_counts(spark):
+    """Variants collapse onto the declared target; unfetched targets show
+    n_self=0 (frontier candidates); undeclared pages self-group."""
+    mk = '<html><head><link rel="canonical" href="{c}"></head></html>'
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/base", mk.format(c="https://a.com/base")),
+            ("https://a.com/v1", mk.format(c="https://a.com/base")),
+            ("https://a.com/v2", mk.format(c="https://a.com/base")),
+            # target never fetched:
+            ("https://b.com/m", mk.format(c="https://b.com/base")),
+            # declares nothing:
+            ("https://c.com/solo", "<html></html>"),
+        ],
+        "url string, html string",
+    )
+    got = {r["canonical"]: (r["n_variants"], r["n_self"])
+           for r in M.canonical_groups(pages).collect()}
+    assert got == {
+        "https://a.com/base": (3, 1),
+        "https://b.com/base": (1, 0),
+        "https://c.com/solo": (1, 1),
+    }
