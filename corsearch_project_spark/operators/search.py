@@ -1,0 +1,97 @@
+"""Distributed inverted index + conjunctive ranked search.
+
+A corpus engine needs a search path over its own holdings (finding every
+document containing a set of terms — dedup forensics, contamination
+audits, eyeballing curation decisions). The distributed form of an
+inverted index is not a per-node posting-list file but a *posting
+relation* (term, doc_id, tf): building it is one explode + partial-agg
+shuffle, and every classic index operation becomes relational algebra —
+document frequency is a groupBy, conjunctive AND is a group-count filter,
+ranking is an aggregate. At 10^12 documents the posting relation is
+persisted bucketed by term (sources/io.py's bucketed-sink shape), so a
+query's term filter prunes straight to the matching buckets and the
+fan-in join never rescans the corpus; here the relation is built inline
+and the same plan applies.
+
+Ranking weight: ``tf * (n_docs - df)`` — exact-integer rarity weighting
+(monotone in idf; a document-frequency-rare term outweighs a common one)
+chosen over float ``tf*log(n/df)`` so ranking is bit-deterministic across
+engines and partition orders, with doc_id as the total-order tiebreak.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def build_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(term, doc_id, tf) posting relation — one explode + one shuffle.
+
+    Whitespace tokenization (the corpus contract); empty tokens from
+    runs of spaces are dropped. Map-side combine absorbs within-document
+    term repeats, so the shuffle carries (term, doc_id) keys, not tokens.
+    """
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def term_doc_freq(postings: DataFrame) -> DataFrame:
+    """(term, df) — document frequency; re-aggregates the posting keys."""
+    return postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+
+
+def search_conjunctive(
+    docs: DataFrame,
+    terms: List[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, score) — top-k documents containing ALL query terms.
+
+    Shape: posting relation filtered to the query terms FIRST (with a
+    persisted term-bucketed index this is the bucket prune; inline it
+    cuts the aggregation to |terms| keys), document frequencies of those
+    terms broadcast back onto the postings, per-document fold requiring
+    all |terms| distinct terms (conjunctive AND as HAVING count = n),
+    integer rarity score ``sum(tf * (n_docs - df))``, top-k via
+    TakeOrderedAndProject with doc_id tiebreak. No cartesian anywhere:
+    the two scalar/tiny sides (corpus size, per-term df) are broadcast.
+    """
+    post = build_postings(docs, id_col=id_col, text_col=text_col).where(
+        F.col("term").isin(list(terms))
+    )
+    stats = term_doc_freq(post)
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    scored = (
+        post.join(F.broadcast(stats), "term")
+        .join(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(
+                F.col("tf") * (F.col("n_docs") - F.col("df"))
+            ).cast("long").alias("score"),
+        )
+        .where(F.col("n_terms") == len(terms))
+    )
+    return (
+        scored.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

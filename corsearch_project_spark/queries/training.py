@@ -1086,3 +1086,54 @@ def q_canonical_groups(spark, sf_dir):
     from corsearch_project_spark.operators import pagemeta as M
 
     return M.canonical_groups(_meta_pages_df(spark, sf_dir))
+
+
+# --------------------------------------------- inverted-index search
+
+_SEARCH_TERMS = ["merge", "window", "scan"]
+
+
+@query(
+    "q_search_conjunctive",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+        FROM documents
+    ),
+    post AS (
+        SELECT term, doc_id, COUNT(*) AS tf
+        FROM tok WHERE term <> ''
+          AND term IN ('merge', 'window', 'scan')
+        GROUP BY 1, 2
+    ),
+    stats AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT p.doc_id,
+               COUNT(*) AS n_terms,
+               CAST(SUM(p.tf * (n.n_docs - s.df)) AS BIGINT) AS score
+        FROM post p
+        JOIN stats s ON p.term = s.term
+        CROSS JOIN n
+        GROUP BY p.doc_id
+        HAVING COUNT(*) = 3
+    )
+    SELECT doc_id, score FROM scored
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    doc="Conjunctive ranked search over the corpus's own inverted index: "
+    "posting relation (term, doc_id, tf) built in one explode+partial-agg "
+    "shuffle, filtered to the query terms FIRST (the bucket-prune step of "
+    "a persisted term-bucketed index), per-term document frequencies "
+    "broadcast back, AND-semantics as HAVING count=|terms|, and an "
+    "exact-integer rarity score sum(tf*(n_docs-df)) — bit-deterministic "
+    "across engines, unlike float tf-idf — with top-k via "
+    "TakeOrderedAndProject and doc_id tiebreak "
+    "(operators/search.py search_conjunctive).",
+)
+def q_search_conjunctive(spark, sf_dir):
+    from corsearch_project_spark.operators.search import search_conjunctive
+
+    return search_conjunctive(
+        t(spark, sf_dir, "documents"), _SEARCH_TERMS, k=10
+    )

@@ -1,0 +1,56 @@
+"""Inverted-index search — operators/search.py."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from corsearch_project_spark.operators import search as S
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta alpha gamma"),
+            (2, "alpha beta"),
+            (3, "beta  beta gamma"),  # double space: empty token dropped
+            (4, "delta"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_postings_tf_and_empty_tokens(spark, corpus):
+    got = {
+        (r["term"], r["doc_id"]): r["tf"]
+        for r in S.build_postings(corpus).collect()
+    }
+    assert got[("alpha", 1)] == 2
+    assert got[("beta", 3)] == 2
+    assert ("", 3) not in got  # whitespace runs never emit empty terms
+    assert len(got) == 8
+
+
+def test_term_doc_freq(spark, corpus):
+    df = {r["term"]: r["df"]
+          for r in S.term_doc_freq(S.build_postings(corpus)).collect()}
+    assert df == {"alpha": 2, "beta": 3, "gamma": 2, "delta": 1}
+
+
+def test_conjunctive_and_semantics(spark, corpus):
+    """Only docs containing ALL terms qualify; rarity-weighted score:
+    n_docs=4, df(alpha)=2, df(beta)=3 -> weight 2 and 1."""
+    rows = S.search_conjunctive(corpus, ["alpha", "beta"], k=10).collect()
+    got = [(r["doc_id"], r["score"]) for r in rows]
+    # doc1: alpha tf2*2 + beta tf1*1 = 5; doc2: 2*1 + 1*1 = 3
+    assert got == [(1, 5), (2, 3)]
+
+
+def test_topk_tiebreak_and_plan(spark, corpus):
+    out = S.search_conjunctive(corpus, ["beta"], k=2)
+    rows = [(r["doc_id"], r["score"]) for r in out.collect()]
+    # df(beta)=3, weight 1: doc3 tf2 -> 2; docs 1,2 tf1 -> 1, doc_id break
+    assert rows == [(3, 2), (1, 1)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "Cartesian" not in plan
