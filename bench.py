@@ -68,6 +68,11 @@ BENCH_QUERIES = [
     "q_link_pagerank",  # round 4: integer PageRank, 4 rounds
     "q_quality_classifier",  # round 4: hashed linear model scoring
     "q_dedup_substring",  # round 4: Lee-et-al exact-substring dedup
+    "q_crawl_frontier",  # round 4: sitemap frontier anti-join
+    "q_robots_politeness",  # round 4: RFC 9309 longest-match fold
+    "q_page_metadata",  # round 4: scan-fused head-field projection
+    "q_canonical_groups",  # round 4: rel=canonical consolidation
+    "q_search_conjunctive",  # round 4: inverted-index AND search
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
