@@ -340,3 +340,58 @@ def crawl_permissions(
         .select("url", "host", v["allowed"].alias("allowed"),
                 v["rule_path"].alias("rule_path"))
     )
+
+
+def robots_crawl_delay(robots: Column, default_s: int = 1) -> Column:
+    """Wildcard-group ``Crawl-delay:`` seconds (int, ``default_s`` if
+    absent/unparseable). Same group-slice subset as ``robots_rules`` —
+    a named agent's delay never leaks into the wildcard decision."""
+    start = F.instr(robots, WILDCARD_UA)
+    seg0 = F.substring(robots, start + len(WILDCARD_UA), F.lit(2**30))
+    nxt = F.instr(seg0, "User-agent:")
+    seg = F.when(start == 0, F.lit("")).otherwise(
+        F.when(nxt > 0, F.substring(seg0, F.lit(1), nxt - 1)).otherwise(seg0)
+    )
+    raw = F.regexp_extract(seg, r"Crawl-delay: ([0-9]+)", 1)
+    return F.coalesce(
+        F.nullif(raw, F.lit("")).cast("int"), F.lit(default_s)
+    )
+
+
+def fetch_plan(
+    frontier: DataFrame,
+    robots: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots",
+    default_delay_s: int = 1,
+) -> DataFrame:
+    """(host, n_new, crawl_delay_s, est_fetch_s) — politeness-bounded
+    crawl scheduling.
+
+    Per-host serial fetch time = n_new * crawl-delay (politeness makes
+    the per-host queue sequential regardless of cluster size, so the
+    wall-clock of a crawl round is max over hosts, not sum — exactly why
+    the frontier must be partitioned BY HOST and why one mega-host with a
+    large delay dominates a round; this relation is what a scheduler
+    splits rounds on). LEFT join keeps robots-less hosts (default
+    delay); one small equi-join on host after the frontier agg.
+    """
+    delays = robots.select(
+        F.col(host_col).alias("host"),
+        robots_crawl_delay(
+            F.col(robots_col), default_s=default_delay_s
+        ).alias("crawl_delay_s"),
+    )
+    return (
+        frontier.select("host", "n_new")
+        .join(delays, "host", "left")
+        .select(
+            "host",
+            F.col("n_new").cast("long").alias("n_new"),
+            F.coalesce(F.col("crawl_delay_s"), F.lit(default_delay_s))
+            .alias("crawl_delay_s"),
+            (F.col("n_new") * F.coalesce(
+                F.col("crawl_delay_s"), F.lit(default_delay_s)
+            )).cast("long").alias("est_fetch_s"),
+        )
+    )

@@ -788,6 +788,12 @@ _SQL_SITEMAP = """
 def q_crawl_frontier(spark, sf_dir):
     from corsearch_project_spark.operators import linkgraph as L
 
+    crawled = _pages_df(spark, sf_dir).select("url")
+    return L.crawl_frontier(_sitemaps_df(spark, sf_dir), crawled)
+
+
+def _sitemaps_df(spark, sf_dir):
+    """Spark twin of _SQL_SITEMAP."""
     did = F.col("doc_id")
     own = F.concat(
         F.lit("<loc>https://h"), (did % 37).cast("string"),
@@ -805,15 +811,13 @@ def q_crawl_frontier(spark, sf_dir):
             F.lit("</loc>"),
         ),
     ).otherwise(F.lit(""))
-    sitemaps = t(spark, sf_dir, "documents").select(
+    return t(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
             F.lit('<?xml version="1.0"?><urlset>'), own, new, xref,
             F.lit("</urlset>"),
         ).alias("xml"),
     )
-    crawled = _pages_df(spark, sf_dir).select("url")
-    return L.crawl_frontier(sitemaps, crawled)
 
 
 # -------------------------------------------------- robots.txt politeness
@@ -1137,3 +1141,118 @@ def q_search_conjunctive(spark, sf_dir):
     return search_conjunctive(
         t(spark, sf_dir, "documents"), _SEARCH_TERMS, k=10
     )
+
+
+# ------------------------------------------------- crawl fetch scheduling
+
+_SQL_ROBOTS_DELAY = """
+        SELECT 'h' || CAST(hid AS VARCHAR) || '.example.com' AS host,
+               'User-agent: googlebot' || chr(10) || 'Crawl-delay: 99'
+               || chr(10) || 'Disallow: /' || chr(10)
+               || CASE WHEN hid % 5 = 0 THEN ''
+                  ELSE 'User-agent: *' || chr(10)
+                       || CASE WHEN hid % 2 = 0
+                               THEN 'Crawl-delay: '
+                                    || CAST(1 + hid % 7 AS VARCHAR) || chr(10)
+                               ELSE '' END
+                       || 'Disallow: /p/1' || chr(10)
+                  END AS robots
+        FROM (SELECT DISTINCT doc_id % 37 AS hid FROM documents)
+"""
+
+
+@query(
+    "q_fetch_plan",
+    f"""
+    WITH sm AS ({_SQL_SITEMAP}),
+    p AS ({_SQL_PAGE}),
+    locs AS (
+        SELECT DISTINCT trim(loc) AS url FROM (
+            SELECT unnest(regexp_extract_all(xml,
+                '<loc>\\s*([^<\\s][^<]*?)\\s*</loc>', 1)) AS loc
+            FROM sm
+        )
+    ),
+    tagged AS (
+        SELECT {_SQL_HOST.format(u='l.url')} AS host,
+               CASE WHEN c.url IS NULL THEN 1 ELSE 0 END AS is_new
+        FROM locs l LEFT JOIN (SELECT DISTINCT url FROM p) c
+            ON l.url = c.url
+    ),
+    fr AS (
+        SELECT host, CAST(SUM(is_new) AS BIGINT) AS n_new
+        FROM tagged GROUP BY host
+    ),
+    rb AS ({_SQL_ROBOTS_DELAY}),
+    g AS (
+        SELECT host,
+               CASE WHEN strpos(robots, 'User-agent: *') = 0 THEN ''
+                    ELSE substr(robots, strpos(robots, 'User-agent: *') + 13)
+               END AS seg0
+        FROM rb
+    ),
+    sg AS (
+        SELECT host,
+               CASE WHEN strpos(seg0, 'User-agent:') > 0
+                    THEN substr(seg0, 1, strpos(seg0, 'User-agent:') - 1)
+                    ELSE seg0 END AS seg
+        FROM g
+    ),
+    delays AS (
+        SELECT host,
+               COALESCE(TRY_CAST(NULLIF(
+                   regexp_extract(seg, 'Crawl-delay: ([0-9]+)', 1), ''
+               ) AS INTEGER), 1) AS crawl_delay_s
+        FROM sg
+    )
+    SELECT fr.host, fr.n_new,
+           COALESCE(d.crawl_delay_s, 1) AS crawl_delay_s,
+           CAST(fr.n_new * COALESCE(d.crawl_delay_s, 1) AS BIGINT)
+               AS est_fetch_s
+    FROM fr LEFT JOIN delays d ON fr.host = d.host
+    """,
+    doc="Politeness-bounded crawl scheduling: sitemap frontier (n_new per "
+    "host) joined with the wildcard-group Crawl-delay (googlebot's "
+    "Crawl-delay: 99 must never leak; hid%5=0 hosts carry no wildcard "
+    "group and hid%2=1 hosts no delay line — both fall to the 1 s "
+    "default). est_fetch_s = n_new * delay is the per-host SERIAL fetch "
+    "bound: politeness serializes each host's queue regardless of "
+    "cluster size, so a crawl round's wall-clock is max over hosts — the "
+    "relation a scheduler splits rounds on (operators/linkgraph.py "
+    "fetch_plan).",
+)
+def q_fetch_plan(spark, sf_dir):
+    from corsearch_project_spark.operators import linkgraph as L
+
+    hid = F.col("hid")
+    nl = F.lit("\n")
+    robots = (
+        t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 37).alias("hid"))
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("h"), hid.cast("string"), F.lit(".example.com")
+            ).alias("host"),
+            F.concat(
+                F.lit("User-agent: googlebot"), nl,
+                F.lit("Crawl-delay: 99"), nl, F.lit("Disallow: /"), nl,
+                F.when(hid % 5 == 0, F.lit("")).otherwise(
+                    F.concat(
+                        F.lit("User-agent: *"), nl,
+                        F.when(
+                            hid % 2 == 0,
+                            F.concat(
+                                F.lit("Crawl-delay: "),
+                                (hid % 7 + 1).cast("string"), nl,
+                            ),
+                        ).otherwise(F.lit("")),
+                        F.lit("Disallow: /p/1"), nl,
+                    )
+                ),
+            ).alias("robots"),
+        )
+    )
+    crawled = _pages_df(spark, sf_dir).select("url")
+    frontier = L.crawl_frontier(_sitemaps_df(spark, sf_dir), crawled)
+    return L.fetch_plan(frontier, robots)

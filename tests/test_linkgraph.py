@@ -239,3 +239,28 @@ def test_crawl_permissions_longest_match_and_ties(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_robots_crawl_delay_group_isolation(spark):
+    """googlebot's delay never leaks; missing/absent values default."""
+    df = spark.createDataFrame(
+        [("User-agent: googlebot\nCrawl-delay: 99\nUser-agent: *\nCrawl-delay: 4\n",),
+         ("User-agent: googlebot\nCrawl-delay: 99\nUser-agent: *\nDisallow: /\n",),
+         ("User-agent: googlebot\nCrawl-delay: 99\n",)],
+        "robots string")
+    got = [r["d"] for r in
+           df.select(L.robots_crawl_delay(F.col("robots")).alias("d")).collect()]
+    assert got == [4, 1, 1]
+
+
+def test_fetch_plan_serial_bound(spark):
+    """est_fetch_s = n_new * delay; robots-less hosts use the default."""
+    frontier = spark.createDataFrame(
+        [("a.com", 2, 10), ("b.com", 0, 3)],
+        "host string, n_known int, n_new int")
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nCrawl-delay: 5\n")],
+        "host string, robots string")
+    got = {r["host"]: (r["n_new"], r["crawl_delay_s"], r["est_fetch_s"])
+           for r in L.fetch_plan(frontier, robots).collect()}
+    assert got == {"a.com": (10, 5, 50), "b.com": (3, 1, 3)}
