@@ -395,3 +395,78 @@ def fetch_plan(
             )).cast("long").alias("est_fetch_s"),
         )
     )
+
+
+# ---------------------------------------------------------- anchor text
+
+ANCHOR_TAG_PATTERN = r'<a href="[^"]*">[^<]*</a>'
+
+
+def anchor_pairs(html: Column) -> Column:
+    """array<struct<href,text>> of simple anchors — pure codegen.
+
+    Full-tag pull (group 0) then per-element href/text re-extract inside
+    ``transform``: regexp_extract_all returns a single group, so paired
+    captures need the two-step. Same double-quoted-attribute subset as
+    ``extract_hrefs``.
+    """
+    tags = F.regexp_extract_all(html, F.lit(ANCHOR_TAG_PATTERN), F.lit(0))
+    return F.transform(
+        tags,
+        lambda t: F.struct(
+            F.regexp_extract(t, r'href="([^"]*)"', 1).alias("href"),
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_extract(t, r">([^<]*)<", 1), r"\s+", " "
+                )
+            ).alias("text"),
+        ),
+    )
+
+
+def anchor_text_index(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    top_k: int = 3,
+) -> DataFrame:
+    """(dst_host, anchor, n, rank) — what OTHER pages' link text calls a
+    host; the classic off-page relevance signal (anchor text describes
+    the target better than the target describes itself).
+
+    Explode anchors, resolve relative hrefs to the linking page's own
+    host (same convention as ``host_edges``), lowercase-normalize the
+    text, partial-agg count per (dst_host, anchor), then keep the top-k
+    anchors per host by a rank window with (n desc, anchor asc) total
+    order. Two shuffles — one agg, one window both keyed on dst_host, so
+    AQE's skew handling covers mega-hosts; the window input is the
+    already-aggregated (host × distinct-anchor) relation, not the raw
+    anchor stream.
+    """
+    src_host = url_host(F.col(url_col))
+    a = pages.select(
+        src_host.alias("src_host"),
+        F.explode(anchor_pairs(F.col(html_col))).alias("a"),
+    ).select(
+        "src_host",
+        url_host(F.col("a.href")).alias("dst0"),
+        F.lower(F.col("a.text")).alias("anchor"),
+    ).where(F.col("anchor") != "")
+    counted = (
+        a.select(
+            F.when(F.col("dst0") == "", F.col("src_host"))
+            .otherwise(F.col("dst0")).alias("dst_host"),
+            "anchor",
+        )
+        .groupBy("dst_host", "anchor")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("dst_host").orderBy(
+        F.desc("n"), F.asc("anchor")
+    )
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+    )

@@ -1256,3 +1256,60 @@ def q_fetch_plan(spark, sf_dir):
     crawled = _pages_df(spark, sf_dir).select("url")
     frontier = L.crawl_frontier(_sitemaps_df(spark, sf_dir), crawled)
     return L.fetch_plan(frontier, robots)
+
+
+# ------------------------------------------------------- anchor-text index
+
+_sql_href_host = _SQL_HOST.format(
+    u="regexp_extract(tag, 'href=\"([^\"]*)\"', 1)"
+)
+
+@query(
+    "q_anchor_text",
+    f"""
+    WITH p AS ({_SQL_PAGE}),
+    tags AS (
+        SELECT {_SQL_HOST.format(u='url')} AS src_host,
+               unnest(regexp_extract_all(html,
+                   '<a href="[^"]*">[^<]*</a>')) AS tag
+        FROM p
+    ),
+    a AS (
+        SELECT src_host,
+               {_sql_href_host}
+                   AS dst0,
+               lower(trim(regexp_replace(
+                   regexp_extract(tag, '>([^<]*)<', 1), '\\s+', ' ', 'g')))
+                   AS anchor
+        FROM tags
+    ),
+    counted AS (
+        SELECT CASE WHEN dst0 = '' THEN src_host ELSE dst0 END AS dst_host,
+               anchor, CAST(COUNT(*) AS BIGINT) AS n
+        FROM a WHERE anchor <> ''
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT dst_host, anchor, n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY dst_host ORDER BY n DESC, anchor ASC
+               ) AS rank
+        FROM counted
+    )
+    SELECT dst_host, anchor, n, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+    doc="Anchor-text index: what OTHER pages' link text calls a host — "
+    "the classic off-page relevance signal. Full-tag regex pull + "
+    "per-element href/text re-extract (pure codegen), relative hrefs "
+    "resolve to the linking page's own host (host_edges convention), "
+    "lowercase/ws-normalized text, partial-agg count per (dst_host, "
+    "anchor), top-3 per host by rank window with (n desc, anchor) total "
+    "order. Two dst_host-keyed shuffles, window input already aggregated "
+    "(operators/linkgraph.py anchor_text_index).",
+)
+def q_anchor_text(spark, sf_dir):
+    from corsearch_project_spark.operators import linkgraph as L
+
+    out = L.anchor_text_index(_pages_df(spark, sf_dir), top_k=3)
+    return out.withColumn("rank", F.col("rank").cast("int"))

@@ -264,3 +264,45 @@ def test_fetch_plan_serial_bound(spark):
     got = {r["host"]: (r["n_new"], r["crawl_delay_s"], r["est_fetch_s"])
            for r in L.fetch_plan(frontier, robots).collect()}
     assert got == {"a.com": (10, 5, 50), "b.com": (3, 1, 3)}
+
+
+def test_anchor_pairs_extraction(spark):
+    """Full-tag pull + per-element href/text re-extract; text trimmed and
+    ws-collapsed; pure codegen."""
+    html = ('<a href="https://a.com/x">  First  link </a>'
+            '<a href="/rel">rel</a><a href="https://b.com/y"></a>')
+    df = spark.createDataFrame([(html,)], "html string")
+    sel = df.select(L.anchor_pairs(F.col("html")).alias("a"))
+    got = [(x["href"], x["text"]) for x in sel.head()["a"]]
+    assert got == [("https://a.com/x", "First link"), ("/rel", "rel"),
+                   ("https://b.com/y", "")]
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_anchor_text_index_ranks(spark):
+    """Counts aggregate across pages; relative hrefs attribute to the
+    linking host; top-k rank is (n desc, anchor asc) total-ordered;
+    empty anchor text dropped."""
+    pages = spark.createDataFrame(
+        [
+            ("https://s1.com/p1",
+             '<a href="https://t.com/a">Best Docs</a>'
+             '<a href="https://t.com/b">best docs</a>'  # case-folds together
+             '<a href="/home">Home</a>'
+             '<a href="https://t.com/c"> </a>'),  # whitespace-only: dropped
+            ("https://s2.com/p2",
+             '<a href="https://t.com/d">best docs</a>'
+             '<a href="https://t.com/e">api ref</a>'
+             '<a href="https://t.com/f">zzz</a>'
+             '<a href="https://t.com/g">api ref</a>'),
+        ],
+        "url string, html string",
+    )
+    got = {(r["dst_host"], r["rank"]): (r["anchor"], r["n"])
+           for r in L.anchor_text_index(pages, top_k=2).collect()}
+    assert got == {
+        ("t.com", 1): ("best docs", 3),
+        ("t.com", 2): ("api ref", 2),
+        ("s1.com", 1): ("home", 1),
+    }
