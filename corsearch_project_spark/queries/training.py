@@ -11,7 +11,11 @@ from pyspark.sql import functions as F
 from corsearch_project_spark.operators import textstats as X
 from corsearch_project_spark.operators.dedup import words
 from corsearch_project_spark.queries.base import query, t
-from corsearch_project_spark.queries.textsim import SQL_PHASH, SQL_WORDS
+from corsearch_project_spark.queries.textsim import (
+    SQL_PHASH,
+    SQL_WORDS,
+    _LANG_SQL_HITS,
+)
 
 
 @query(
@@ -1313,3 +1317,94 @@ def q_anchor_text(spark, sf_dir):
 
     out = L.anchor_text_index(_pages_df(spark, sf_dir), top_k=3)
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# --------------------------------------------- declared-vs-detected lang QA
+
+@query(
+    "q_lang_mismatch",
+    f"""
+    WITH pg AS (
+        SELECT doc_id,
+               'h' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS host,
+               '<html lang="' || lang || '"><body>x</body></html>' AS html,
+               text
+        FROM documents
+    ),
+    s AS (
+        SELECT host,
+               lower(regexp_extract(html, '<html[^>]*\\slang=\"([^\"]*)\"', 1))
+                   AS declared,
+               {_LANG_SQL_HITS['en']} AS s_en,
+               {_LANG_SQL_HITS['fr']} AS s_fr,
+               {_LANG_SQL_HITS['es']} AS s_es,
+               {_LANG_SQL_HITS['de']} AS s_de
+        FROM pg
+    ),
+    d AS (
+        SELECT host, declared,
+               CASE WHEN s_en = greatest(s_en, s_fr, s_es, s_de)
+                         AND greatest(s_en, s_fr, s_es, s_de) > 0 THEN 'en'
+                    WHEN s_fr = greatest(s_en, s_fr, s_es, s_de)
+                         AND greatest(s_en, s_fr, s_es, s_de) > 0 THEN 'fr'
+                    WHEN s_es = greatest(s_en, s_fr, s_es, s_de)
+                         AND greatest(s_en, s_fr, s_es, s_de) > 0 THEN 'es'
+                    WHEN s_de = greatest(s_en, s_fr, s_es, s_de)
+                         AND greatest(s_en, s_fr, s_es, s_de) > 0 THEN 'de'
+                    ELSE 'und' END AS detected
+        FROM s
+    )
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN declared = detected THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_match,
+           CAST(SUM(CASE WHEN detected = 'und' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_und,
+           CAST(SUM(CASE WHEN declared <> detected AND detected <> 'und'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+    FROM d GROUP BY host
+    """,
+    doc="Extraction-QA audit: declared <html lang> (pagemeta.html_lang on "
+    "the page markup) vs detected language (textstats.lang_id stopword "
+    "argmax on the extracted text), aggregated per host — the signal that "
+    "catches template-declared languages lying about translated/scraped "
+    "bodies (and routes docs to the right curation shard). Pure-codegen "
+    "projections + one host-keyed partial-agg shuffle. Both branches "
+    "populated: the synthetic corpus declares en/zh/es/de/fr while the "
+    "body text skews detectably en.",
+)
+def q_lang_mismatch(spark, sf_dir):
+    from corsearch_project_spark.operators import pagemeta as M
+    from corsearch_project_spark.operators import textstats as X
+
+    did = F.col("doc_id")
+    pg = t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("h"), (did % 37).cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        F.concat(
+            F.lit('<html lang="'), F.col("lang"),
+            F.lit('"><body>x</body></html>'),
+        ).alias("html"),
+        "text",
+    )
+    d = pg.select(
+        "host",
+        M.html_lang(F.col("html")).alias("declared"),
+        X.lang_id(F.col("text")).alias("detected"),
+    )
+    return d.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("declared") == F.col("detected"), 1).otherwise(0)
+        ).cast("long").alias("n_match"),
+        F.sum(
+            F.when(F.col("detected") == "und", 1).otherwise(0)
+        ).cast("long").alias("n_und"),
+        F.sum(
+            F.when(
+                (F.col("declared") != F.col("detected"))
+                & (F.col("detected") != "und"), 1,
+            ).otherwise(0)
+        ).cast("long").alias("n_mismatch"),
+    )
