@@ -470,3 +470,20 @@ def anchor_text_index(
         counted.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top_k)
     )
+
+
+def frontier_urls(sitemaps: DataFrame, crawled: DataFrame,
+                  xml_col: str = "xml", url_col: str = "url") -> DataFrame:
+    """(url) — deduped sitemap URLs never fetched (the raw frontier).
+
+    The url-level form of :func:`crawl_frontier` (which aggregates to
+    per-host counts): same distinct + LEFT-ANTI equi-join shape, exposed
+    separately so a scheduler can run per-url politeness filtering
+    (``crawl_permissions``) before counting.
+    """
+    locs = (
+        sitemaps.select(F.explode(sitemap_locs(F.col(xml_col))).alias("url"))
+        .distinct()
+    )
+    crawled_urls = crawled.select(F.col(url_col).alias("url")).distinct()
+    return locs.join(crawled_urls, "url", "left_anti")
