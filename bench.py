@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "q_page_metadata",  # round 4: scan-fused head-field projection
     "q_canonical_groups",  # round 4: rel=canonical consolidation
     "q_search_conjunctive",  # round 4: inverted-index AND search
+    "q_fetch_plan",  # round 4: frontier x Crawl-delay scheduling
+    "q_anchor_text",  # round 4: per-target-host top-k link texts
+    "q_lang_mismatch",  # round 4: declared-vs-detected lang audit
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
