@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "q_fetch_plan",  # round 4: frontier x Crawl-delay scheduling
     "q_anchor_text",  # round 4: per-target-host top-k link texts
     "q_lang_mismatch",  # round 4: declared-vs-detected lang audit
+    "q_hreflang_reciprocity",  # round 4: reversed-pair semi-join audit
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

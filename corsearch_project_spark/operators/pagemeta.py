@@ -125,3 +125,69 @@ def canonical_groups(
             F.when(F.col("url") == F.col("canonical"), 1).otherwise(0)
         ).cast("long").alias("n_self"),
     )
+
+
+# ------------------------------------------------------ hreflang alternates
+
+HREFLANG_TAG_PATTERN = (
+    r'<link rel="alternate" hreflang="[^"]*" href="[^"]*"'
+)
+
+
+def hreflang_pairs(html: Column) -> Column:
+    """array<struct<lang,href>> of declared language alternates — pure
+    codegen; same full-tag-pull + per-element re-extract two-step as
+    ``linkgraph.anchor_pairs`` (regexp_extract_all is single-group)."""
+    tags = F.regexp_extract_all(html, F.lit(HREFLANG_TAG_PATTERN), F.lit(0))
+    return F.transform(
+        tags,
+        lambda t: F.struct(
+            F.lower(
+                F.regexp_extract(t, r'hreflang="([^"]*)"', 1)
+            ).alias("lang"),
+            F.regexp_extract(t, r'href="([^"]*)"', 1).alias("href"),
+        ),
+    )
+
+
+def hreflang_reciprocity(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(host, n_alt, n_reciprocal) — hreflang link audit per host.
+
+    An hreflang cluster is only valid when alternates are RECIPROCAL
+    (Google's documented requirement: if A lists B, B must list A back,
+    else the annotation is ignored) — dangling declarations are the
+    classic multilingual-SEO defect and, for a crawler, phantom frontier
+    entries. Edge relation (src, dst) from the declared pairs, reciprocity
+    via one LEFT SEMI self-join on the reversed key (equi-join on both
+    columns — shuffles on the url pair, no cartesian), then a host-keyed
+    partial agg. At 10^12 pages the edge relation is ~|alternate links|,
+    linear; the semi-join is the same shape as the resume anti-join.
+    """
+    edges = pages.select(
+        F.col(url_col).alias("src"),
+        F.explode(hreflang_pairs(F.col(html_col))).alias("a"),
+    ).select("src", F.col("a.href").alias("dst"))
+    back = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    recip = edges.join(back, ["src", "dst"], "left_semi")
+    from corsearch_project_spark.operators.linkgraph import url_host
+
+    n_alt = (
+        edges.select(url_host(F.col("src")).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_alt"))
+    )
+    n_rec = (
+        recip.select(url_host(F.col("src")).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_reciprocal"))
+    )
+    return n_alt.join(n_rec, "host", "left").select(
+        "host",
+        "n_alt",
+        F.coalesce(F.col("n_reciprocal"), F.lit(0).cast("long"))
+        .alias("n_reciprocal"),
+    )

@@ -1408,3 +1408,96 @@ def q_lang_mismatch(spark, sf_dir):
             ).otherwise(0)
         ).cast("long").alias("n_mismatch"),
     )
+
+
+# ------------------------------------------------- hreflang reciprocity
+
+_SQL_U = ("'https://h' || CAST({x} % 37 AS VARCHAR) || '.example.com/p/' "
+          "|| CAST({x} AS VARCHAR)")
+
+_SQL_HREFLANG_PAGE = f"""
+        SELECT {_SQL_U.format(x='doc_id')} AS url,
+               '<html><head>'
+                   || '<link rel="alternate" hreflang="FR" href="'
+                   || {_SQL_U.format(x='xor(doc_id, 1)')} || '">'
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN '<link rel="alternate" hreflang="de" href="'
+                                || {_SQL_U.format(x='doc_id + 1000')} || '">'
+                           ELSE '' END
+                   || '</head></html>' AS html
+        FROM documents
+"""
+
+
+@query(
+    "q_hreflang_reciprocity",
+    f"""
+    WITH pg AS ({_SQL_HREFLANG_PAGE}),
+    tags AS (
+        SELECT url AS src,
+               unnest(regexp_extract_all(html,
+                   '<link rel="alternate" hreflang="[^"]*" href="[^"]*"'))
+                   AS tag
+        FROM pg
+    ),
+    edges AS (
+        SELECT src, regexp_extract(tag, 'href="([^"]*)"', 1) AS dst
+        FROM tags
+    ),
+    recip AS (
+        SELECT e.src, e.dst FROM edges e
+        WHERE EXISTS (SELECT 1 FROM edges b
+                      WHERE b.src = e.dst AND b.dst = e.src)
+    ),
+    na AS (
+        SELECT {_SQL_HOST.format(u='src')} AS host,
+               CAST(COUNT(*) AS BIGINT) AS n_alt
+        FROM edges GROUP BY 1
+    ),
+    nr AS (
+        SELECT {_SQL_HOST.format(u='src')} AS host,
+               CAST(COUNT(*) AS BIGINT) AS n_reciprocal
+        FROM recip GROUP BY 1
+    )
+    SELECT na.host, na.n_alt,
+           COALESCE(nr.n_reciprocal, CAST(0 AS BIGINT)) AS n_reciprocal
+    FROM na LEFT JOIN nr ON na.host = nr.host
+    """,
+    doc="hreflang reciprocity audit: declared language alternates are only "
+    "valid when the target lists the source back (dangling declarations "
+    "are phantom frontier entries for a crawler). Full-tag codegen pull + "
+    "per-element re-extract, edge relation (src, dst), LEFT SEMI "
+    "self-join on the reversed url pair, host-keyed partial aggs. "
+    "Synthesis: every doc declares its XOR-1 partner (reciprocated both "
+    "ways); doc_id%5=0 adds a dangling alternate to a never-crawled url "
+    "(unreciprocated branch) (operators/pagemeta.py "
+    "hreflang_reciprocity).",
+)
+def q_hreflang_reciprocity(spark, sf_dir):
+    from corsearch_project_spark.operators import pagemeta as M
+
+    did = F.col("doc_id")
+
+    def u(x):
+        return F.concat(
+            F.lit("https://h"), (x % 37).cast("string"),
+            F.lit(".example.com/p/"), x.cast("string"),
+        )
+
+    pages = t(spark, sf_dir, "documents").select(
+        u(did).alias("url"),
+        F.concat(
+            F.lit("<html><head>"),
+            F.lit('<link rel="alternate" hreflang="FR" href="'),
+            u(did.bitwiseXOR(F.lit(1))), F.lit('">'),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit('<link rel="alternate" hreflang="de" href="'),
+                    u(did + 1000), F.lit('">'),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("</head></html>"),
+        ).alias("html"),
+    )
+    return M.hreflang_reciprocity(pages)

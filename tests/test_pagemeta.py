@@ -91,3 +91,35 @@ def test_canonical_groups_counts(spark):
         "https://b.com/base": (1, 0),
         "https://c.com/solo": (1, 1),
     }
+
+
+def test_hreflang_pairs_extraction(spark):
+    html = ('<html><head>'
+            '<link rel="alternate" hreflang="FR" href="https://a.com/fr">'
+            '<link rel="alternate" hreflang="de-AT" href="https://a.com/de">'
+            '<link rel="canonical" href="https://a.com/">'  # not an alternate
+            '</head></html>')
+    pages = spark.createDataFrame([(html,)], "html string")
+    got = [(x["lang"], x["href"]) for x in
+           pages.select(M.hreflang_pairs(F.col("html")).alias("p")).head()["p"]]
+    assert got == [("fr", "https://a.com/fr"), ("de-at", "https://a.com/de")]
+
+
+def test_hreflang_reciprocity_counts(spark):
+    """A<->B reciprocate; A->C dangles (C declares nothing back)."""
+    mk = ('<html><head><link rel="alternate" hreflang="fr" href="{h}">'
+          '{extra}</head></html>')
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/en", mk.format(
+                h="https://b.com/fr",
+                extra='<link rel="alternate" hreflang="de" href="https://c.com/de">')),
+            ("https://b.com/fr", mk.format(h="https://a.com/en", extra="")),
+            ("https://c.com/de", "<html></html>"),
+        ],
+        "url string, html string",
+    )
+    got = {r["host"]: (r["n_alt"], r["n_reciprocal"])
+           for r in M.hreflang_reciprocity(pages).collect()}
+    # c.com declares nothing -> absent from the edge relation entirely
+    assert got == {"a.com": (2, 1), "b.com": (1, 1)}
