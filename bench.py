@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "q_anchor_text",  # round 4: per-target-host top-k link texts
     "q_lang_mismatch",  # round 4: declared-vs-detected lang audit
     "q_hreflang_reciprocity",  # round 4: reversed-pair semi-join audit
+    "q_template_census",  # round 4: tag-sequence fingerprint rollup
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

@@ -191,3 +191,55 @@ def hreflang_reciprocity(
         F.coalesce(F.col("n_reciprocal"), F.lit(0).cast("long"))
         .alias("n_reciprocal"),
     )
+
+
+# ------------------------------------------------------ template detection
+
+TAG_PATTERN = r"<([a-zA-Z][a-zA-Z0-9]*)"
+
+
+def tag_sequence(html: Column) -> Column:
+    """Opening-tag name sequence, lowercased — array<string>, pure
+    codegen. The DOM *shape* with all content stripped: two pages off the
+    same template produce the same sequence regardless of their text."""
+    return F.transform(
+        F.regexp_extract_all(html, F.lit(TAG_PATTERN), F.lit(1)),
+        F.lower,
+    )
+
+
+def template_hash(html: Column) -> Column:
+    """Portable 32-bit hash of the tag sequence (functions/portable.phash
+    over the space-joined names) — the page's template fingerprint."""
+    from corsearch_project_spark.functions.portable import phash
+
+    return phash(F.array_join(tag_sequence(html), " "))
+
+
+def host_templates(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(host, n_pages, n_templates, top_template_n) — template census.
+
+    A high top_template_n / n_pages ratio marks a template-dominated host
+    (catalogs, forums, listings) where per-host boilerplate rules pay off
+    most — the statistic that prioritizes which hosts get dedicated
+    extraction configs (webextract/rules.py dispatch). Two partial-agg
+    shuffles on (host, fingerprint) then host; the fingerprint projection
+    itself is scan-fused codegen.
+    """
+    from corsearch_project_spark.operators.linkgraph import url_host
+
+    per_tpl = (
+        pages.select(
+            url_host(F.col(url_col)).alias("host"),
+            template_hash(F.col(html_col)).alias("tpl"),
+        )
+        .groupBy("host", "tpl")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return per_tpl.groupBy("host").agg(
+        F.sum("n").cast("long").alias("n_pages"),
+        F.count(F.lit(1)).cast("long").alias("n_templates"),
+        F.max("n").cast("long").alias("top_template_n"),
+    )

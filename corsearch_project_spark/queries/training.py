@@ -1501,3 +1501,44 @@ def q_hreflang_reciprocity(spark, sf_dir):
         ).alias("html"),
     )
     return M.hreflang_reciprocity(pages)
+
+
+# ---------------------------------------------------- template census
+
+@query(
+    "q_template_census",
+    f"""
+    WITH mp AS ({_SQL_META_PAGE}),
+    tpl AS (
+        SELECT {_SQL_HOST.format(u='url')} AS host,
+               {SQL_PHASH.format(s=(
+                   "array_to_string(list_transform("
+                   "regexp_extract_all(html, '<([a-zA-Z][a-zA-Z0-9]*)', 1), "
+                   "x -> lower(x)), ' ')"
+               ))} AS tpl
+        FROM mp
+    ),
+    per AS (
+        SELECT host, tpl, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tpl GROUP BY 1, 2
+    )
+    SELECT host,
+           CAST(SUM(n) AS BIGINT) AS n_pages,
+           CAST(COUNT(*) AS BIGINT) AS n_templates,
+           CAST(MAX(n) AS BIGINT) AS top_template_n
+    FROM per GROUP BY host
+    """,
+    doc="Per-host template census: portable hash of the lowercased "
+    "opening-tag sequence (the DOM shape with content stripped — two "
+    "pages off one template fingerprint identically), counted per "
+    "(host, fingerprint) then rolled up to (n_pages, n_templates, "
+    "top_template_n). A template-dominated host is where per-host "
+    "extraction configs pay off most (webextract/rules.py dispatch). "
+    "The head-synthesis branches (%2/%3/%5) give each host up to 8 "
+    "distinct shapes. Scan-fused fingerprint projection + two partial-agg "
+    "shuffles (operators/pagemeta.py host_templates).",
+)
+def q_template_census(spark, sf_dir):
+    from corsearch_project_spark.operators import pagemeta as M
+
+    return M.host_templates(_meta_pages_df(spark, sf_dir))

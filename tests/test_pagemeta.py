@@ -123,3 +123,34 @@ def test_hreflang_reciprocity_counts(spark):
            for r in M.hreflang_reciprocity(pages).collect()}
     # c.com declares nothing -> absent from the edge relation entirely
     assert got == {"a.com": (2, 1), "b.com": (1, 1)}
+
+
+def test_tag_sequence_and_template_hash(spark):
+    """Same DOM shape, different content -> identical fingerprint;
+    closing tags and attribute values never enter the sequence."""
+    a = '<html><body CLASS="x"><p>hello</p><p>one</p></body></html>'
+    b = '<html><body class="y"><p>totally</p><p>different</p></body></html>'
+    c = '<html><body><p>extra</p><p>para</p><p>graph</p></body></html>'
+    df = spark.createDataFrame([(a,), (b,), (c,)], "html string")
+    seqs = [r["s"] for r in
+            df.select(M.tag_sequence(F.col("html")).alias("s")).collect()]
+    assert seqs[0] == ["html", "body", "p", "p"] == seqs[1]
+    assert seqs[2] == ["html", "body", "p", "p", "p"]
+    hashes = [r["h"] for r in
+              df.select(M.template_hash(F.col("html")).alias("h")).collect()]
+    assert hashes[0] == hashes[1] != hashes[2]
+
+
+def test_host_templates_census(spark):
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/1", "<html><body><p>x</p></body></html>"),
+            ("https://a.com/2", "<html><body><p>y</p></body></html>"),
+            ("https://a.com/3", "<html><body><div>z</div></body></html>"),
+            ("https://b.com/1", "<html><body></body></html>"),
+        ],
+        "url string, html string",
+    )
+    got = {r["host"]: (r["n_pages"], r["n_templates"], r["top_template_n"])
+           for r in M.host_templates(pages).collect()}
+    assert got == {"a.com": (3, 2, 2), "b.com": (1, 1, 1)}
