@@ -95,3 +95,59 @@ def search_conjunctive(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def update_postings(
+    postings: DataFrame,
+    changed_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incrementally maintain a posting relation after a re-crawl merge:
+    drop every posting of a changed/new document (LEFT ANTI on doc_id —
+    stale terms must go, not just be overwritten), then union the
+    freshly built postings of the changed docs. Equivalent to rebuilding
+    from the merged corpus (pinned by test), but the anti-join + build
+    touch only |changed| documents — the same incremental shape as the
+    merge pipeline's bucket rewrite (plans/merge_pipeline.py). With the
+    relation persisted bucketed by term, the union lands as a per-bucket
+    append + compaction.
+    """
+    changed_ids = changed_docs.select(F.col(id_col).alias("doc_id"))
+    kept = postings.join(changed_ids, "doc_id", "left_anti")
+    fresh = build_postings(changed_docs, id_col=id_col, text_col=text_col)
+    # the join moved its key first; restore the posting-relation contract
+    return kept.select("term", "doc_id", "tf").unionByName(fresh)
+
+
+def search_snippets(
+    docs: DataFrame,
+    terms: List[str],
+    k: int = 10,
+    width: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, score, snippet) — top-k conjunctive hits with a codegen
+    excerpt around the FIRST occurrence of the first query term.
+
+    The ranked doc_ids come from :func:`search_conjunctive`; the snippet
+    join back to the corpus is a broadcast of the k-row result onto the
+    docs relation (never the reverse), and the excerpt itself is
+    locate + substring — no Python. ``width`` chars starting up to 20
+    before the hit, whitespace-trimmed.
+    """
+    top = search_conjunctive(
+        docs, terms, k=k, id_col=id_col, text_col=text_col
+    )
+    joined = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).join(F.broadcast(top), "doc_id")
+    pos = F.locate(terms[0], F.col("text"))
+    start = F.greatest(F.lit(1), pos - F.lit(20))
+    return joined.select(
+        "doc_id",
+        "score",
+        F.trim(F.substring(F.col("text"), start, F.lit(width)))
+        .alias("snippet"),
+    )

@@ -1542,3 +1542,50 @@ def q_template_census(spark, sf_dir):
     from corsearch_project_spark.operators import pagemeta as M
 
     return M.host_templates(_meta_pages_df(spark, sf_dir))
+
+
+# --------------------------------------------------- search snippets
+
+@query(
+    "q_search_snippets",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+        FROM documents
+    ),
+    post AS (
+        SELECT term, doc_id, COUNT(*) AS tf
+        FROM tok WHERE term <> ''
+          AND term IN ('merge', 'window', 'scan')
+        GROUP BY 1, 2
+    ),
+    stats AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT p.doc_id,
+               CAST(SUM(p.tf * (n.n_docs - s.df)) AS BIGINT) AS score
+        FROM post p JOIN stats s ON p.term = s.term CROSS JOIN n
+        GROUP BY p.doc_id HAVING COUNT(*) = 3
+    ),
+    top AS (
+        SELECT doc_id, score FROM scored
+        ORDER BY score DESC, doc_id LIMIT 10
+    )
+    SELECT t.doc_id, t.score,
+           trim(substr(d.text,
+                CAST(greatest(1, strpos(d.text, 'merge') - 20) AS BIGINT),
+                60)) AS snippet
+    FROM top t JOIN documents d ON t.doc_id = d.doc_id
+    """,
+    doc="Ranked search with snippets: the q_search_conjunctive top-k "
+    "broadcast back onto the corpus (k rows broadcast, never the "
+    "corpus), excerpt = locate+substring window around the first query "
+    "term — pure codegen, no Python. The serving-layer face of the "
+    "inverted index (operators/search.py search_snippets).",
+)
+def q_search_snippets(spark, sf_dir):
+    from corsearch_project_spark.operators.search import search_snippets
+
+    return search_snippets(
+        t(spark, sf_dir, "documents"), _SEARCH_TERMS, k=10, width=60
+    )

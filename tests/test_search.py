@@ -54,3 +54,42 @@ def test_topk_tiebreak_and_plan(spark, corpus):
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     assert "Cartesian" not in plan
+
+
+def test_update_postings_equals_rebuild(spark, corpus):
+    """Incremental maintenance == full rebuild on the merged corpus:
+    doc 2 changes content, doc 5 is new, docs 1/3/4 untouched."""
+    changed = spark.createDataFrame(
+        [(2, "epsilon epsilon alpha"), (5, "zeta")],
+        "doc_id long, text string",
+    )
+    merged = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha gamma"),
+            (2, "epsilon epsilon alpha"),   # replaced
+            (3, "beta  beta gamma"),
+            (4, "delta"),
+            (5, "zeta"),                    # new
+        ],
+        "doc_id long, text string",
+    )
+    inc = S.update_postings(S.build_postings(corpus), changed)
+    full = S.build_postings(merged)
+    assert sorted(map(tuple, inc.collect())) == \
+        sorted(map(tuple, full.collect()))
+    # stale postings must be GONE, not shadowed
+    assert inc.where((F.col("doc_id") == 2)
+                     & (F.col("term") == "beta")).count() == 0
+
+
+def test_search_snippets_window(spark, corpus):
+    """Snippet centers on the first query-term hit; broadcast of the
+    k-row side; no Python stage."""
+    out = S.search_snippets(corpus, ["beta"], k=2, width=10)
+    rows = {r["doc_id"]: r["snippet"] for r in out.collect()}
+    # doc3 'beta  beta gamma': hit at pos 1, window starts at 1
+    assert rows[3] == "beta  beta"
+    # doc1 'alpha beta alpha gamma': hit at 7, start=max(1,7-20)=1
+    assert rows[1] == "alpha beta"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
