@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "q_lang_mismatch",  # round 4: declared-vs-detected lang audit
     "q_hreflang_reciprocity",  # round 4: reversed-pair semi-join audit
     "q_template_census",  # round 4: tag-sequence fingerprint rollup
+    "q_search_snippets",  # round 4: broadcast top-k snippet join
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
