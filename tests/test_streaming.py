@@ -291,3 +291,70 @@ def test_ingest_batch_replay_is_idempotent(spark, tmp_path):
     spark.createDataFrame(pages_to_pandas(rows2)).write.parquet(src2)
     S.ingest_batch(spark.read.parquet(src2), 1, out, rules_bc, "RRUN", src2, buckets=8)
     assert spark.read.parquet(out + "/extracted").count() == n1 + len(rows2)
+
+
+def test_streaming_crawl_frontier_equals_batch(spark, tmp_path):
+    """Sitemap discoveries arriving as a STREAM maintain the same frontier
+    a batch pass computes: each foreachBatch increment anti-joins its locs
+    against the crawled table plus everything already discovered, so
+    re-discoveries across micro-batches never duplicate. The per-batch
+    work is exactly operators/linkgraph.frontier_urls — the batch
+    operator IS the streaming increment (same pattern as the extraction
+    stream's batch-kernel reuse)."""
+    from corsearch_project_spark.operators import linkgraph as L
+
+    src = os.path.join(str(tmp_path), "sm_src")
+    out = os.path.join(str(tmp_path), "frontier_out")
+    os.makedirs(src, exist_ok=True)
+
+    def sm(urls):
+        return "<urlset>" + "".join(f"<loc>{u}</loc>" for u in urls) + "</urlset>"
+
+    # three micro-batches; /b/1 re-discovered in batch 2, /old crawled
+    batches = [
+        [sm(["https://a.com/1", "https://a.com/old"])],
+        [sm(["https://b.com/1", "https://a.com/1"])],   # /1 re-discovered
+        [sm(["https://b.com/2"])],
+    ]
+    crawled = spark.createDataFrame([("https://a.com/old",)], "url string")
+
+    schema = "xml string"
+    for k, rows in enumerate(batches):
+        spark.createDataFrame([(x,) for x in rows], schema).write.mode(
+            "append"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema("xml string").option(
+                "maxFilesPerTrigger", 1
+            ).parquet(src)
+        )
+
+    def handle(batch_df, batch_id):
+        known = crawled
+        if os.path.exists(os.path.join(out, "_SUCCESS")) or (
+            os.path.isdir(out) and os.listdir(out)
+        ):
+            known = known.unionByName(spark.read.parquet(out))
+        fresh = L.frontier_urls(batch_df, known)
+        if fresh.take(1):
+            fresh.write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .foreachBatch(handle)
+        .start()
+    )
+    _drain(q)
+
+    got = sorted(r["url"] for r in spark.read.parquet(out).collect())
+    # batch reference: one pass over ALL sitemaps
+    all_sm = spark.createDataFrame(
+        [(x,) for b in batches for x in b], schema
+    )
+    want = sorted(
+        r["url"] for r in L.frontier_urls(all_sm, crawled).collect()
+    )
+    assert got == want == [
+        "https://a.com/1", "https://b.com/1", "https://b.com/2",
+    ]
