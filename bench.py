@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "q_hreflang_reciprocity",  # round 4: reversed-pair semi-join audit
     "q_template_census",  # round 4: tag-sequence fingerprint rollup
     "q_search_snippets",  # round 4: broadcast top-k snippet join
+    "q_link_hits",  # round 4: integer hubs/authorities, 3 rounds
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

@@ -1589,3 +1589,69 @@ def q_search_snippets(spark, sf_dir):
     return search_snippets(
         t(spark, sf_dir, "documents"), _SEARCH_TERMS, k=10, width=60
     )
+
+
+# ---------------------------------------------------------- HITS
+
+_HITS_ITERS = 3
+
+
+def _sql_hits() -> str:
+    """The HITS recurrence unrolled to _HITS_ITERS rounds — integer
+    arithmetic, bit-exact twin of operators/linkgraph.hits."""
+    ctes = [
+        _sql_edges(_sql_page(external=True)),
+        """de AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM edges)""",
+        """nodes AS (
+        SELECT src AS host FROM de UNION SELECT dst AS host FROM de
+    )""",
+        "s0 AS (SELECT host, CAST(1 AS BIGINT) AS auth, "
+        "CAST(1 AS BIGINT) AS hub FROM nodes)",
+    ]
+    for i in range(1, _HITS_ITERS + 1):
+        prev = f"s{i - 1}"
+        ctes.append(
+            f"""a{i} AS (
+        SELECT n.host,
+               CAST(COALESCE((SELECT SUM(p.hub) FROM de e
+                              JOIN {prev} p ON e.src = p.host
+                              WHERE e.dst = n.host), 0) AS BIGINT) AS auth
+        FROM nodes n
+    )"""
+        )
+        ctes.append(
+            f"""s{i} AS (
+        SELECT a.host, a.auth,
+               CAST(COALESCE((SELECT SUM(q.auth) FROM de e
+                              JOIN a{i} q ON e.dst = q.host
+                              WHERE e.src = a.host), 0) AS BIGINT) AS hub
+        FROM a{i} a
+    )"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT host, auth, hub FROM s{_HITS_ITERS}
+    """
+
+
+@query(
+    "q_link_hits",
+    _sql_hits(),
+    doc="HITS hubs-and-authorities over the host graph — the off-page "
+    "ranking pair complementing PageRank (C13): authorities are "
+    "link-endorsed content hosts, hubs the directories pointing at them. "
+    "Unnormalized INTEGER power iteration over the distinct edge set "
+    "(presence, not multiplicity) with the classic update order "
+    "(auth from previous hubs, hub from NEW auths), so BIGINT-sum "
+    "associativity makes Spark bit-identical to the sequential oracle "
+    "(same recurrence unrolled to 3 rounds). External sink hosts "
+    "exercise the hub=0/auth-only branch. Each round: two equi-joins on "
+    "the pre-aggregated edge relation + two partial-agg groupBys, score "
+    "state localCheckpoint'd (operators/linkgraph.py hits).",
+)
+def q_link_hits(spark, sf_dir):
+    from corsearch_project_spark.operators import linkgraph as L
+
+    edges = L.host_edges(_pages_df(spark, sf_dir, external=True))
+    return L.hits(edges, iterations=_HITS_ITERS)

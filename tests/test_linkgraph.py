@@ -306,3 +306,27 @@ def test_anchor_text_index_ranks(spark):
         ("t.com", 2): ("api ref", 2),
         ("s1.com", 1): ("home", 1),
     }
+
+
+def test_hits_matches_reference_integer_recurrence(spark):
+    """3-round unnormalized integer HITS vs an independent pure-Python
+    reference on a hub/authority-shaped graph: d is the directory (links
+    to everything), a is the endorsed authority, s a pure sink."""
+    E = [("d", "a"), ("d", "b"), ("d", "s"), ("b", "a"), ("a", "s")]
+    edges = spark.createDataFrame(
+        [(s, t, 1) for s, t in E], "src_host string, dst_host string, n_links long"
+    )
+    nodes = sorted({x for e in E for x in e})
+    auth = {n: 1 for n in nodes}
+    hub = {n: 1 for n in nodes}
+    for _ in range(3):
+        auth = {n: sum(hub[s] for s, t in E if t == n) for n in nodes}
+        hub = {n: sum(auth[t] for s, t in E if s == n) for n in nodes}
+    got = {r["host"]: (r["auth"], r["hub"])
+           for r in L.hits(edges, iterations=3).collect()}
+    assert got == {n: (auth[n], hub[n]) for n in nodes}
+    # structural sanity: the pure sink is authority-only, the directory
+    # hub-only, and the endorsed page out-authorities everyone
+    assert got["s"][1] == 0 and got["d"][0] == 0
+    assert max(got, key=lambda n: got[n][0]) in ("a", "s")
+    assert max(got, key=lambda n: got[n][1]) == "d"
