@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "q_template_census",  # round 4: tag-sequence fingerprint rollup
     "q_search_snippets",  # round 4: broadcast top-k snippet join
     "q_link_hits",  # round 4: integer hubs/authorities, 3 rounds
+    "q_resolve_redirects",  # round 4: pointer-doubling chains
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

@@ -1422,7 +1422,7 @@ _SQL_HREFLANG_PAGE = f"""
                    || {_SQL_U.format(x='xor(doc_id, 1)')} || '">'
                    || CASE WHEN doc_id % 5 = 0
                            THEN '<link rel="alternate" hreflang="de" href="'
-                                || {_SQL_U.format(x='doc_id + 1000')} || '">'
+                                || {_SQL_U.format(x='(doc_id + 1000)')} || '">'
                            ELSE '' END
                    || '</head></html>' AS html
         FROM documents
@@ -1655,3 +1655,78 @@ def q_link_hits(spark, sf_dir):
 
     edges = L.host_edges(_pages_df(spark, sf_dir, external=True))
     return L.hits(edges, iterations=_HITS_ITERS)
+
+
+# ------------------------------------------------ redirect resolution
+
+# NB: _SQL_U embeds '{x} % 37', so every composite x MUST be
+# parenthesized — 'doc_id - 1 % 37' would bind % first.
+_SQL_REDIRECTS = f"""
+        SELECT {_SQL_U.format(x='doc_id')} AS src,
+               {_SQL_U.format(x='(doc_id - 1)')} AS dst
+        FROM documents WHERE doc_id % 5 <> 0
+        UNION ALL
+        SELECT {_SQL_U.format(x='(doc_id + 100000)')} AS src,
+               {_SQL_U.format(x='(doc_id + 200000)')} AS dst
+        FROM documents WHERE doc_id % 35 = 0
+        UNION ALL
+        SELECT {_SQL_U.format(x='(doc_id + 200000)')} AS src,
+               {_SQL_U.format(x='(doc_id + 100000)')} AS dst
+        FROM documents WHERE doc_id % 35 = 0
+"""
+
+
+@query(
+    "q_resolve_redirects",
+    f"""
+    WITH RECURSIVE r AS ({_SQL_REDIRECTS}),
+    chain(src, cur, hops) AS (
+        SELECT src, dst, 1 FROM r
+        UNION ALL
+        SELECT c.src, r.dst, c.hops + 1
+        FROM chain c JOIN r ON c.cur = r.src
+        WHERE c.hops < 16
+    ),
+    fin AS (
+        SELECT src, cur, hops,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY hops DESC) AS rn
+        FROM chain
+    )
+    SELECT f.src AS url, f.cur AS final_url,
+           (f.cur NOT IN (SELECT src FROM r)) AS resolved
+    FROM fin f WHERE f.rn = 1
+    """,
+    doc="Transitive redirect-chain resolution: pointer DOUBLING over the "
+    "functional (src -> Location) graph — ceil(log2(16)) = 4 self-joins "
+    "follow up to 16 hops in O(log h) shuffles, terminals absorb, and a "
+    "url still pointing at a redirect source after the cap sits on a "
+    "cycle (resolved=false — a crawler drops it rather than loop). "
+    "Synthesis: doc_id%5 chains of length <= 4 down to %5==0 terminals "
+    "(resolved branch) plus 2-cycles on synthetic url pairs for "
+    "doc_id%35==0 (cycle branch); the oracle follows the chain "
+    "hop-by-hop with the same 16-hop cap "
+    "(operators/linkgraph.py resolve_redirects).",
+)
+def q_resolve_redirects(spark, sf_dir):
+    from corsearch_project_spark.operators import linkgraph as L
+
+    did = F.col("doc_id")
+
+    def u(x):
+        return F.concat(
+            F.lit("https://h"), (x % 37).cast("string"),
+            F.lit(".example.com/p/"), x.cast("string"),
+        )
+
+    d = t(spark, sf_dir, "documents")
+    chains = d.where(did % 5 != 0).select(
+        u(did).alias("src"), u(did - 1).alias("dst")
+    )
+    cyc_a = d.where(did % 35 == 0).select(
+        u(did + 100000).alias("src"), u(did + 200000).alias("dst")
+    )
+    cyc_b = d.where(did % 35 == 0).select(
+        u(did + 200000).alias("src"), u(did + 100000).alias("dst")
+    )
+    redirects = chains.unionByName(cyc_a).unionByName(cyc_b)
+    return L.resolve_redirects(redirects, max_hops=16)

@@ -330,3 +330,31 @@ def test_hits_matches_reference_integer_recurrence(spark):
     assert got["s"][1] == 0 and got["d"][0] == 0
     assert max(got, key=lambda n: got[n][0]) in ("a", "s")
     assert max(got, key=lambda n: got[n][1]) == "d"
+
+
+def test_resolve_redirects_chains_and_cycles(spark):
+    """Doubling follows chains to terminals in O(log h) joins; cycles
+    and over-cap chains come back resolved=False."""
+    redirects = spark.createDataFrame(
+        [
+            # chain a -> b -> c -> T (3 hops)
+            ("https://x/a", "https://x/b"),
+            ("https://x/b", "https://x/c"),
+            ("https://x/c", "https://x/T"),
+            # 2-cycle
+            ("https://y/1", "https://y/2"),
+            ("https://y/2", "https://y/1"),
+            # self-loop
+            ("https://z/s", "https://z/s"),
+        ],
+        "src string, dst string",
+    )
+    got = {r["url"]: (r["final_url"], r["resolved"])
+           for r in L.resolve_redirects(redirects, max_hops=16).collect()}
+    assert got["https://x/a"] == ("https://x/T", True)
+    assert got["https://x/b"] == ("https://x/T", True)
+    assert got["https://x/c"] == ("https://x/T", True)
+    assert got["https://y/1"][1] is False
+    assert got["https://y/2"][1] is False
+    assert got["https://z/s"] == ("https://z/s", False)
+    assert len(got) == 6  # total: one verdict per redirect source
