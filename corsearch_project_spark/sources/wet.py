@@ -122,6 +122,42 @@ def write_wet(df, out_dir: str, prefix: str = "part"):
     )
 
 
+def _iter_wet_plain(
+    buf: bytes,
+) -> Iterator[Tuple[str, Optional[_dt.datetime], str]]:
+    from corsearch_project_spark.sources.warc import (
+        _parse_headers,
+        _parse_warc_date,
+    )
+
+    i = 0
+    while i < len(buf):
+        start = buf.find(b"WARC/", i)
+        if start < 0:
+            break
+        hdr_end = buf.find(CRLF + CRLF, start)
+        if hdr_end < 0:
+            break
+        headers = _parse_headers(buf[start:hdr_end])
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            i = hdr_end + 4
+            continue
+        payload = buf[hdr_end + 4 : hdr_end + 4 + length]
+        i = hdr_end + 4 + length
+        if headers.get("warc-type") != "conversion":
+            continue
+        url = headers.get("warc-target-uri", "")
+        if not url:
+            continue
+        yield (
+            url,
+            _parse_warc_date(headers.get("warc-date", "")),
+            payload.decode("utf-8", errors="replace"),
+        )
+
+
 def iter_wet_records(
     data: bytes,
 ) -> Iterator[Tuple[str, Optional[_dt.datetime], str]]:
@@ -129,45 +165,13 @@ def iter_wet_records(
     conversion record. Same skip-don't-raise contract as
     ``warc.iter_warc_records``; the payload is the text itself (no HTTP
     envelope to strip)."""
-    from corsearch_project_spark.sources.warc import (
-        _iter_gzip_members,
-        _parse_headers,
-        _parse_warc_date,
-    )
-
-    def plain(buf: bytes) -> Iterator[Tuple[str, Optional[_dt.datetime], str]]:
-        i = 0
-        while i < len(buf):
-            start = buf.find(b"WARC/", i)
-            if start < 0:
-                break
-            hdr_end = buf.find(CRLF + CRLF, start)
-            if hdr_end < 0:
-                break
-            headers = _parse_headers(buf[start:hdr_end])
-            try:
-                length = int(headers.get("content-length", ""))
-            except ValueError:
-                i = hdr_end + 4
-                continue
-            payload = buf[hdr_end + 4 : hdr_end + 4 + length]
-            i = hdr_end + 4 + length
-            if headers.get("warc-type") != "conversion":
-                continue
-            url = headers.get("warc-target-uri", "")
-            if not url:
-                continue
-            yield (
-                url,
-                _parse_warc_date(headers.get("warc-date", "")),
-                payload.decode("utf-8", errors="replace"),
-            )
+    from corsearch_project_spark.sources.warc import _iter_gzip_members
 
     if data[:2] == b"\x1f\x8b":
         for member in _iter_gzip_members(data):
-            yield from plain(member)
+            yield from _iter_wet_plain(member)
     else:
-        yield from plain(data)
+        yield from _iter_wet_plain(data)
 
 
 def read_wet(spark, path: str):
@@ -215,4 +219,81 @@ def _wet_batch(pa, urls, tss, texts):
                 pa.field("text", pa.string()),
             ]
         ),
+    )
+
+
+def read_wet_ranges(spark, path: str, split_bytes: int = 64 << 20):
+    """Splittable WET scan: (file, offset, length) ranges -> one task per
+    range -> DataFrame(url, warc_ts, text). The 100-TB read path for WET
+    archives — no 2 GiB file cap, per-task memory one decompressed member
+    + one bounded Arrow batch.
+
+    Reuses the WARC range machinery (``warc._SplitReader`` +
+    gzip-member resync): because the writer emits one gzip member per
+    record, a task landing mid-file scans forward to the next member
+    magic and parses conversion records from there — identical semantics
+    to ``warc.read_warc_ranges``, different record parser. Gzip WET only
+    (the format this repo and Common Crawl ship); plain-text WET goes
+    through :func:`read_wet`'s whole-file path.
+    """
+    import pyarrow as pa
+
+    from corsearch_project_spark.sources.warc import (
+        _read_gzip_member,
+        _SplitReader,
+        _sync_gzip_member,
+        warc_manifest,
+    )
+
+    manifest = warc_manifest(path, split_bytes)
+    if not manifest:
+        raise FileNotFoundError(f"no WET files under {path!r}")
+    mdf = spark.createDataFrame(
+        manifest, "path string, offset bigint, length bigint"
+    ).repartition(len(manifest))
+
+    def expand(
+        batches: Iterator["pa.RecordBatch"],
+    ) -> Iterator["pa.RecordBatch"]:
+        for rb in batches:
+            for row in rb.to_pylist():
+                fpath, offset, length = (
+                    row["path"], row["offset"], row["length"]
+                )
+                with open(fpath, "rb") as probe:
+                    if probe.read(2) != b"\x1f\x8b":
+                        raise ValueError(
+                            f"{fpath}: plain-text WET is not range-"
+                            "splittable; use read_wet"
+                        )
+                end = offset + length
+                urls, tss, texts = [], [], []
+                with open(fpath, "rb") as fobj:
+                    fobj.seek(offset)
+                    r = _SplitReader(fobj, offset)
+                    if not _sync_gzip_member(r, end):
+                        continue
+                    while r.pos < end:
+                        member = _read_gzip_member(r)
+                        if member is None:
+                            r.consume(min(3, len(r.buf)))
+                            if not _sync_gzip_member(r, end):
+                                break
+                            continue
+                        for url, ts, text in _iter_wet_plain(member):
+                            urls.append(url)
+                            tss.append(ts)
+                            texts.append(text)
+                            if len(urls) >= 1024:
+                                yield _wet_batch(pa, urls, tss, texts)
+                                urls, tss, texts = [], [], []
+                        if not r.ensure(3) or not r.buf.startswith(
+                            b"\x1f\x8b\x08"
+                        ):
+                            break
+                if urls:
+                    yield _wet_batch(pa, urls, tss, texts)
+
+    return mdf.mapInArrow(
+        expand, "url string, warc_ts timestamp, text string"
     )

@@ -99,3 +99,21 @@ def test_malformed_wet_skips(spark):
     recs = list(W.iter_wet_records(blob))
     assert len(recs) == 1
     assert recs[0][0] == "https://a.com/x" and recs[0][2] == "hello"
+
+
+def test_read_wet_ranges_split_equals_whole(spark, extracted, tmp_path):
+    """Range scan at a split size far smaller than the files must yield
+    exactly the whole-file parse — member resync loses nothing and
+    duplicates nothing (each record counted once across range tasks)."""
+    out = str(tmp_path / "wet")
+    W.write_wet(extracted, out).collect()
+    whole = {(r["url"], r["warc_ts"], r["text"])
+             for r in W.read_wet(spark, out + "/*.warc.wet.gz").collect()}
+    ranged = [(r["url"], r["warc_ts"], r["text"])
+              for r in W.read_wet_ranges(spark, out, split_bytes=200).collect()]
+    assert len(ranged) == len(whole) == 20  # no dupes across ranges
+    assert set(ranged) == whole
+    plan_df = W.read_wet_ranges(spark, out, split_bytes=200)
+    # one Python stage (the Arrow scan), nothing else
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") + plan.count("MapInArrow") <= 2
