@@ -151,3 +151,52 @@ def search_snippets(
         F.trim(F.substring(F.col("text"), start, F.lit(width)))
         .alias("snippet"),
     )
+
+
+def write_postings(
+    postings: DataFrame, path: str, n_buckets: int = 64
+) -> None:
+    """Persist the posting relation term-bucketed: ``term_bucket =
+    pmod(xxhash64(term), n_buckets)`` as a partition column, so a query's
+    term filter becomes PARTITION PRUNING — the scan opens only the
+    matching bucket directories, never the corpus-wide index. The same
+    layout contract as the pages table (url_bucket, sources/io.py): at
+    10^12 docs the index is far larger than any single query's slice, and
+    pruning is what keeps lookup cost ~|matching postings|.
+    """
+    (
+        postings.withColumn(
+            "term_bucket",
+            F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).cast("int"),
+        )
+        .repartition(F.col("term_bucket"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(path)
+    )
+
+
+def lookup_postings(
+    spark, path: str, terms: List[str], n_buckets: int = 64
+) -> DataFrame:
+    """Read only the buckets covering ``terms`` — the explicit
+    bucket-prune companion to :func:`write_postings`. The term_bucket
+    predicate is computed driver-side from the same hash, so Catalyst
+    prunes partitions statically; the residual term filter lands as a
+    parquet pushed filter inside the surviving buckets.
+    """
+    probe = spark.createDataFrame([(t,) for t in terms], "term string")
+    buckets = [
+        r["b"]
+        for r in probe.select(
+            F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets))
+            .cast("int").alias("b")
+        ).distinct().collect()
+    ]
+    return (
+        spark.read.parquet(path)
+        .where(F.col("term_bucket").isin(buckets))
+        .where(F.col("term").isin(list(terms)))
+        .select("term", "doc_id", "tf")
+    )

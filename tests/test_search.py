@@ -93,3 +93,30 @@ def test_search_snippets_window(spark, corpus):
     assert rows[1] == "alpha beta"
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_postings_persist_and_bucket_prune(spark, corpus, tmp_path):
+    """Persisted term-bucketed index: lookup equals the in-memory filter,
+    the plan prunes on the term_bucket partition column, and the scan
+    touches a strict subset of the bucket directories."""
+    import os
+
+    path = str(tmp_path / "postings")
+    S.write_postings(S.build_postings(corpus), path, n_buckets=16)
+    got = S.lookup_postings(spark, path, ["beta"], n_buckets=16)
+    want = {(r["term"], r["doc_id"], r["tf"])
+            for r in S.build_postings(corpus)
+            .where(F.col("term") == "beta").collect()}
+    assert {(r["term"], r["doc_id"], r["tf"]) for r in got.collect()} == want
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "term_bucket" in plan  # partition-prune predicate present
+    # physical layout: beta's single bucket directory alone holds exactly
+    # the looked-up rows, and it is a strict subset of the bucket dirs
+    b = spark.createDataFrame([("beta",)], "term string").select(
+        F.pmod(F.xxhash64("term"), F.lit(16)).cast("int").alias("b")
+    ).head()["b"]
+    only = spark.read.parquet(os.path.join(path, f"term_bucket={b}"))
+    assert {(r["term"], r["doc_id"], r["tf"])
+            for r in only.where(F.col("term") == "beta").collect()} == want
+    n_dirs = len([d for d in os.listdir(path) if d.startswith("term_bucket=")])
+    assert n_dirs > 1  # pruning to one dir is a strict subset
