@@ -601,3 +601,19 @@ def resolve_redirects(
             F.coalesce(~F.col("cyc"), F.lit(True)).alias("resolved"),
         )
     )
+
+
+SITEMAP_DIRECTIVE = r"Sitemap: ([^\n ]+)"
+
+
+def robots_sitemaps(robots: Column) -> Column:
+    """``Sitemap:`` directive URLs — array<string>, pure codegen.
+
+    Per RFC 9309 §2.3 the Sitemap field is NOT group-scoped: it applies
+    file-wide regardless of which User-agent block it appears in, so this
+    pull deliberately scans the WHOLE text (no wildcard-group slice —
+    the opposite scoping of ``robots_rules``). Feeding these into
+    ``crawl_frontier``'s sitemap side closes the discovery loop:
+    robots -> sitemaps -> frontier -> politeness -> fetch plan.
+    """
+    return F.regexp_extract_all(robots, F.lit(SITEMAP_DIRECTIVE), F.lit(1))

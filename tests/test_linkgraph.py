@@ -358,3 +358,31 @@ def test_resolve_redirects_chains_and_cycles(spark):
     assert got["https://y/2"][1] is False
     assert got["https://z/s"] == ("https://z/s", False)
     assert len(got) == 6  # total: one verdict per redirect source
+
+
+def test_robots_sitemaps_file_wide(spark):
+    """Sitemap: directives are file-wide (RFC 9309 §2.3) — collected from
+    every group AND outside groups, unlike Disallow/Allow."""
+    txt = ("Sitemap: https://a.com/sm0.xml\n"
+           "User-agent: googlebot\nSitemap: https://a.com/sm1.xml\n"
+           "User-agent: *\nDisallow: /x\nSitemap: https://a.com/sm2.xml\n")
+    df = spark.createDataFrame([(txt,)], "robots string")
+    got = df.select(L.robots_sitemaps(F.col("robots")).alias("s")).head()["s"]
+    assert got == ["https://a.com/sm0.xml", "https://a.com/sm1.xml",
+                   "https://a.com/sm2.xml"]
+    # and the rules parse still scopes to the wildcard group only
+    rules = df.select(L.robots_rules(F.col("robots")).alias("r")).head()["r"]
+    assert [(x["path"], x["allow"]) for x in rules] == [("/x", False)]
+
+
+def test_sitemap_locs_handles_sitemapindex(spark):
+    """A sitemap INDEX (<sitemapindex><sitemap><loc>..) yields its child
+    sitemap urls through the same <loc> pull — the crawler feeds them
+    back through fetch + sitemap_locs until urlsets remain."""
+    xml = ('<?xml version="1.0"?><sitemapindex>'
+           "<sitemap><loc>https://a.com/sm-a.xml</loc></sitemap>"
+           "<sitemap><loc> https://a.com/sm-b.xml </loc></sitemap>"
+           "</sitemapindex>")
+    df = spark.createDataFrame([(xml,)], "xml string")
+    got = df.select(L.sitemap_locs(F.col("xml")).alias("u")).head()["u"]
+    assert got == ["https://a.com/sm-a.xml", "https://a.com/sm-b.xml"]
