@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "q_search_snippets",  # round 4: broadcast top-k snippet join
     "q_link_hits",  # round 4: integer hubs/authorities, 3 rounds
     "q_resolve_redirects",  # round 4: pointer-doubling chains
+    "q_url_surt",  # round 4: SURT/CDX capture-index key
+    "q_recrawl_schedule",  # round 4: change-rate revisit tiers
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

@@ -62,3 +62,58 @@ def canonicalize_url(url: Column) -> Column:
             F.lit("")
         ),
     )
+
+
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key for a url.
+
+    The key the web-archive world sorts its capture indexes by (Common
+    Crawl's CDX index, OpenWayback, pywb): drop the scheme, lowercase the
+    host, drop an explicit default port (``:80``/``:443``), strip a leading
+    ``www.`` label, REVERSE the remaining host labels and join them with
+    commas, then append ``)`` + path (+ the canonicalized query, reusing
+    rule 4–5 of :func:`canonicalize_url`)::
+
+        HTTPS://WWW.News.Example.com:443/p/1?b=2&utm_s=x&a=1
+            -> com,example,news)/p/1?a=1&b=2
+
+    Why reversed-host: byte-lexicographic order on the key clusters every
+    url of a registrable domain (and every subdomain under it) into one
+    contiguous key range, so a 10^12-row capture index range-partitioned on
+    ``surt`` serves per-domain lookups and per-domain sequential scans from
+    a bounded partition range — the same min/max pruning the S15 manifest
+    does per bucket, but domain-contiguous. Everything below is codegen
+    regexp + higher-order array ops: a narrow projection, no Python, no
+    shuffle.
+    """
+    u = F.regexp_replace(url, r"#.*$", "")
+    hostport = F.lower(F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]+)", 1))
+    # A non-default port belongs AFTER the reversed host ("com,ex:8443)"),
+    # so peel it off before the label reversal, drop it if default.
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    port = F.when((port == "80") | (port == "443"), F.lit("")).otherwise(port)
+    host = F.regexp_replace(hostport, r":\d+$", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.when(port == "", F.lit("")).otherwise(F.concat(F.lit(":"), port)),
+    )
+
+    rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]+", "")
+    path = F.substring_index(rest, "?", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    qs = F.when(
+        rest.contains("?"), F.regexp_extract(rest, r"^[^?]*\?(.*)$", 1)
+    ).otherwise(F.lit(""))
+    params = F.when(qs == "", F.array().cast("array<string>")).otherwise(
+        F.split(qs, "&")
+    )
+    kept = F.array_sort(F.filter(params, lambda p: ~_is_tracking(p)))
+    return F.concat(
+        rev,
+        F.lit(")"),
+        path,
+        F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(
+            F.lit("")
+        ),
+    )

@@ -617,3 +617,70 @@ def robots_sitemaps(robots: Column) -> Column:
     robots -> sitemaps -> frontier -> politeness -> fetch plan.
     """
     return F.regexp_extract_all(robots, F.lit(SITEMAP_DIRECTIVE), F.lit(1))
+
+
+def recrawl_schedule(
+    history: DataFrame,
+    scale: int = 1000,
+    hot_permille: int = 500,
+    cold_permille: int = 0,
+) -> DataFrame:
+    """Change-rate recrawl scheduling from a per-url fetch history.
+
+    ``history`` has one row per (url, fetch_seq, digest) — the content
+    digest each fetch observed (the extraction pipeline's per-url sha256,
+    E18, makes this free). A crawler re-visiting 10^12 urls cannot afford
+    uniform revisit intervals: the Cho & Garcia-Molina result (TOIT 2003,
+    "Estimating frequency of change") is that revisit frequency should
+    track each page's observed change rate. This operator computes the
+    observed-change statistics and buckets urls into hot/warm/cold tiers:
+
+    - ``n_fetches``     — observations of the url;
+    - ``n_changes``     — fetches whose digest differs from the PREVIOUS
+      fetch's digest (lag over fetch_seq, not count-distinct: A->B->A is
+      two changes, two distinct digests would say one);
+    - ``change_permille`` — ``n_changes * scale / (n_fetches - 1)``,
+      integer arithmetic so the DuckDB oracle twin is bit-exact (the
+      float Poisson MLE -log((n-X+.5)/(n+.5)) orders identically at
+      fixed n, so the tier decision is unchanged by the integer form);
+    - ``tier`` — 'hot' (>= hot_permille), 'cold' (<= cold_permille, i.e.
+      never seen changing), else 'warm'; single-fetch urls have no
+      comparison and land in 'new'.
+
+    Scale shape: one window over (url ORDER BY fetch_seq) + the groupBy
+    on url — both hash-partition on url, and AQE coalesces; per-url state
+    is the fetch count (bounded, ~dozens), never corpus-sized. The tier
+    CASE is a narrow codegen projection.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy("fetch_seq")
+    changed = (
+        F.col("digest") != F.lag("digest").over(w)
+    ).cast("long")
+    per_url = (
+        history.select("url", "fetch_seq", "digest")
+        .withColumn("chg", F.coalesce(changed, F.lit(0)))
+        .groupBy("url")
+        .agg(
+            F.count("*").alias("n_fetches"),
+            F.sum("chg").alias("n_changes"),
+        )
+    )
+    permille = F.when(
+        F.col("n_fetches") > 1,
+        (F.col("n_changes") * scale).cast("long")
+        / (F.col("n_fetches") - 1),
+    ).otherwise(F.lit(None))
+    permille = F.floor(permille).cast("long")
+    return per_url.select(
+        "url",
+        "n_fetches",
+        "n_changes",
+        permille.alias("change_permille"),
+        F.when(F.col("n_fetches") <= 1, F.lit("new"))
+        .when(permille >= hot_permille, F.lit("hot"))
+        .when(permille <= cold_permille, F.lit("cold"))
+        .otherwise(F.lit("warm"))
+        .alias("tier"),
+    )

@@ -46,6 +46,7 @@ _SWEEP_FIRST = [
     "q_page_metadata", "q_canonical_groups", "q_search_conjunctive",
     "q_fetch_plan", "q_anchor_text", "q_lang_mismatch",
     "q_hreflang_reciprocity", "q_template_census", "q_search_snippets", "q_link_hits", "q_resolve_redirects",
+    "q_url_surt", "q_recrawl_schedule",
 ]
 
 

@@ -1730,3 +1730,183 @@ def q_resolve_redirects(spark, sf_dir):
     )
     redirects = chains.unionByName(cyc_a).unionByName(cyc_b)
     return L.resolve_redirects(redirects, max_hops=16)
+
+
+# ---------------------------------------------------------- SURT/CDX index
+
+@query(
+    "q_url_surt",
+    """
+    WITH u0 AS (
+        SELECT doc_id,
+               CASE
+                   WHEN doc_id % 3 = 0 THEN
+                       'HTTPS://WWW.News.' || upper(source)
+                       || '.EXample.com:443/p/' || CAST(doc_id % 10 AS VARCHAR)
+                       || '?zz=1&utm_c=' || CAST(doc_id AS VARCHAR)
+                       || '&a=' || CAST(doc_id % 5 AS VARCHAR) || '#f'
+                   WHEN doc_id % 3 = 1 THEN
+                       'http://' || source || '.example.com:80'
+                   ELSE
+                       'https://CDN.' || source || '.example.com/static/'
+                       || CAST(doc_id % 7 AS VARCHAR)
+               END AS url
+        FROM documents
+    ),
+    s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u0),
+    s2 AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(
+                   lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]+)', 1)),
+                   ':(80|443)$', ''), '^www\\.', '') AS host,
+               regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]+', '') AS rest
+        FROM s1
+    ),
+    s3 AS (
+        SELECT doc_id,
+               array_to_string(list_reverse(string_split(host, '.')), ',') AS rev,
+               CASE WHEN strpos(rest, '?') > 0
+                    THEN substr(rest, 1, strpos(rest, '?') - 1) ELSE rest END AS path0,
+               CASE WHEN strpos(rest, '?') > 0
+                    THEN substr(rest, strpos(rest, '?') + 1) ELSE '' END AS qs
+        FROM s2
+    ),
+    s4 AS (
+        SELECT doc_id, rev,
+               CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+               list_sort(list_filter(string_split(qs, '&'),
+                   p -> NOT (substr(p, 1, 4) = 'utm_' OR substr(p, 1, 4) = 'ref='
+                             OR p = ''))) AS params
+        FROM s3
+    ),
+    c AS (
+        SELECT doc_id,
+               rev || ')' || path || CASE WHEN len(params) > 0
+                   THEN '?' || array_to_string(params, '&') ELSE '' END AS surt
+        FROM s4
+    )
+    SELECT surt, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS first_doc_id
+    FROM c GROUP BY 1
+    """,
+    doc="SURT capture-index key (the sort key of Common Crawl's CDX index "
+    "and every Wayback-style archive): scheme dropped, host lowercased, "
+    "default port and leading www. stripped, host labels REVERSED and "
+    "comma-joined, ')' + path (+ canonicalized query). Byte-lexicographic "
+    "order on the key clusters a registrable domain and all its subdomains "
+    "into one contiguous range, so a 10^12-row index range-partitioned on "
+    "surt serves per-domain scans from a bounded partition range. Pure "
+    "codegen regexp/array projection + one hash agg; synthesis exercises "
+    "multi-label hosts, www./port/tracking strips, and the empty-path->'/' "
+    "default (functions/urlnorm.py surt_key).",
+)
+def q_url_surt(spark, sf_dir):
+    from corsearch_project_spark.functions.urlnorm import surt_key
+
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    src = F.col("source")
+    url = (
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.News."), F.upper(src),
+                F.lit(".EXample.com:443/p/"), (did % 10).cast("string"),
+                F.lit("?zz=1&utm_c="), did.cast("string"),
+                F.lit("&a="), (did % 5).cast("string"), F.lit("#f"),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(F.lit("http://"), src, F.lit(".example.com:80")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://CDN."), src, F.lit(".example.com/static/"),
+                (did % 7).cast("string"),
+            )
+        )
+    )
+    return (
+        d.select(surt_key(url).alias("surt"), "doc_id")
+        .groupBy("surt")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )
+
+
+# ------------------------------------------------- change-rate recrawl tiers
+
+@query(
+    "q_recrawl_schedule",
+    """
+    WITH h AS (
+        SELECT 'https://h' || CAST(doc_id % 37 AS VARCHAR)
+                   || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+               seq,
+               'd' || CAST(doc_id AS VARCHAR) || ':'
+                   || CAST(seq // (1 + doc_id % 4) AS VARCHAR) AS digest
+        FROM (SELECT doc_id, unnest(range(0, 4)) AS seq FROM documents)
+        WHERE seq <= CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 3 END
+    ),
+    lagged AS (
+        SELECT url, digest,
+               LAG(digest) OVER (PARTITION BY url ORDER BY seq) AS prev
+        FROM h
+    ),
+    per_url AS (
+        SELECT url,
+               CAST(COUNT(*) AS BIGINT) AS n_fetches,
+               CAST(SUM(CASE WHEN prev IS NOT NULL AND digest <> prev
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+        FROM lagged GROUP BY url
+    )
+    SELECT url, n_fetches, n_changes,
+           CASE WHEN n_fetches > 1
+                THEN CAST(floor(n_changes * 1000.0 / (n_fetches - 1)) AS BIGINT)
+           END AS change_permille,
+           CASE WHEN n_fetches <= 1 THEN 'new'
+                WHEN n_changes * 1000.0 / (n_fetches - 1) >= 500 THEN 'hot'
+                WHEN n_changes = 0 THEN 'cold'
+                ELSE 'warm' END AS tier
+    FROM per_url
+    """,
+    doc="Change-rate recrawl scheduling (Cho & Garcia-Molina, TOIT 2003): "
+    "per-url fetch history (url, fetch_seq, digest) -> observed-change "
+    "stats via lag over fetch_seq (A->B->A counts two changes, unlike "
+    "count-distinct) -> integer change_permille -> hot/warm/cold/new "
+    "revisit tiers. A 10^12-url crawler allocates its fetch budget by "
+    "these tiers instead of uniform revisits. One url-keyed window + one "
+    "url-keyed agg (same hash partitioning, per-url state bounded by "
+    "fetch count); synthesis gives each url change period 1+doc_id%4 over "
+    "4 fetches and a single-fetch arm (doc_id%11==0), populating all four "
+    "tiers (operators/linkgraph.py recrawl_schedule).",
+)
+def q_recrawl_schedule(spark, sf_dir):
+    from corsearch_project_spark.operators import linkgraph as L
+
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    hist = (
+        d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("fetch_seq"),
+        )
+        .where(
+            F.col("fetch_seq")
+            <= F.when(did % 11 == 0, F.lit(0)).otherwise(F.lit(3))
+        )
+        .select(
+            F.concat(
+                F.lit("https://h"), (did % 37).cast("string"),
+                F.lit(".example.com/p/"), did.cast("string"),
+            ).alias("url"),
+            "fetch_seq",
+            F.concat(
+                F.lit("d"), did.cast("string"), F.lit(":"),
+                F.expr("fetch_seq div (1 + doc_id % 4)").cast("string"),
+            ).alias("digest"),
+        )
+    )
+    return L.recrawl_schedule(hist)

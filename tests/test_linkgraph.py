@@ -386,3 +386,49 @@ def test_sitemap_locs_handles_sitemapindex(spark):
     df = spark.createDataFrame([(xml,)], "xml string")
     got = df.select(L.sitemap_locs(F.col("xml")).alias("u")).head()["u"]
     assert got == ["https://a.com/sm-a.xml", "https://a.com/sm-b.xml"]
+
+
+def test_recrawl_schedule_tiers_and_lag_semantics(spark):
+    """Change counting is lag-based (A->B->A = two changes), tiers follow
+    change_permille, and a single observation is 'new' (no comparison)."""
+    hist = spark.createDataFrame(
+        [
+            # flips every fetch -> 3/3 changes -> hot
+            ("u/hot", 0, "a"), ("u/hot", 1, "b"),
+            ("u/hot", 2, "c"), ("u/hot", 3, "d"),
+            # A->B->A: two changes despite only two DISTINCT digests
+            ("u/aba", 0, "a"), ("u/aba", 1, "b"), ("u/aba", 2, "a"),
+            # never changes -> cold
+            ("u/cold", 0, "x"), ("u/cold", 1, "x"), ("u/cold", 2, "x"),
+            # one change in three comparisons -> warm (333 permille)
+            ("u/warm", 0, "x"), ("u/warm", 1, "x"),
+            ("u/warm", 2, "y"), ("u/warm", 3, "y"),
+            # single fetch -> new, NULL permille
+            ("u/new", 0, "x"),
+        ],
+        "url string, fetch_seq int, digest string",
+    )
+    got = {r["url"]: r.asDict() for r in L.recrawl_schedule(hist).collect()}
+    assert got["u/hot"]["tier"] == "hot"
+    assert got["u/hot"]["change_permille"] == 1000
+    assert got["u/aba"]["n_changes"] == 2  # count-distinct would say 1
+    assert got["u/aba"]["tier"] == "hot"  # 2/2 comparisons
+    assert got["u/cold"] == {
+        "url": "u/cold", "n_fetches": 3, "n_changes": 0,
+        "change_permille": 0, "tier": "cold",
+    }
+    assert got["u/warm"]["change_permille"] == 333
+    assert got["u/warm"]["tier"] == "warm"
+    assert got["u/new"]["tier"] == "new"
+    assert got["u/new"]["change_permille"] is None
+
+
+def test_recrawl_schedule_plan_shape(spark):
+    """One url-keyed window + the url-keyed agg, zero Python stages —
+    the whole estimator stays JVM-side."""
+    hist = spark.createDataFrame(
+        [("u", i, "d%d" % (i // 2)) for i in range(4)],
+        "url string, fetch_seq int, digest string",
+    )
+    plan = L.recrawl_schedule(hist)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
