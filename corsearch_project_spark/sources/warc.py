@@ -478,11 +478,12 @@ def warc_manifest(path: str, split_bytes: int = 64 << 20) -> List[Tuple[str, int
 
     if os.path.isdir(path):
         files = sorted(
-            os.path.join(path, f) for f in os.listdir(path)
+            p for f in os.listdir(path)
             if not f.startswith(("_", "."))
+            and os.path.isfile(p := os.path.join(path, f))
         )
     else:
-        files = sorted(_glob.glob(path))
+        files = sorted(p for p in _glob.glob(path) if os.path.isfile(p))
     splits: List[Tuple[str, int, int]] = []
     for f in files:
         size = os.path.getsize(f)
