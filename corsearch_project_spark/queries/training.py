@@ -1910,3 +1910,99 @@ def q_recrawl_schedule(spark, sf_dir):
         )
     )
     return L.recrawl_schedule(hist)
+
+
+# ------------------------------------------- registrable-domain rollup (PSL)
+
+_SQL_SUF1 = ("'com','org','net','edu','gov','mil','int','io','co',"
+             "'ai','dev','app','info','biz','uk','de','fr','jp','au',"
+             "'cn','ru','br','in','us','eu','nl','it','es','se','ch'")
+_SQL_SUF2 = ("'co.uk','org.uk','ac.uk','gov.uk','me.uk','net.uk',"
+             "'com.au','net.au','org.au','edu.au','gov.au',"
+             "'co.jp','or.jp','ne.jp','ac.jp','go.jp',"
+             "'com.br','net.br','org.br','com.cn','net.cn','org.cn',"
+             "'co.in','net.in','org.in',"
+             "'github.io','gitlab.io','blogspot.com','herokuapp.com',"
+             "'cloudfront.net','amazonaws.com','netlify.app','vercel.app'")
+
+
+@query(
+    "q_domain_quality",
+    f"""
+    WITH h0 AS (
+        SELECT doc_id, n_chars,
+               CASE doc_id % 4
+                   WHEN 0 THEN 'a' || CAST(doc_id % 7 AS VARCHAR)
+                               || '.example.com'
+                   WHEN 1 THEN 'www.news' || CAST(doc_id % 3 AS VARCHAR)
+                               || '.co.uk'
+                   WHEN 2 THEN 'u' || CAST(doc_id % 5 AS VARCHAR)
+                               || '.github.io'
+                   ELSE 'x.intranet'
+               END AS host
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id, n_chars, host,
+               string_split(host, '.') AS parts,
+               len(string_split(host, '.')) AS n
+        FROM h0
+    ),
+    rd AS (
+        SELECT doc_id, n_chars, host,
+               CASE
+                   WHEN (parts[n-1] || '.' || parts[n]) IN ({_SQL_SUF2})
+                        AND n >= 3
+                       THEN parts[n-2] || '.' || parts[n-1] || '.' || parts[n]
+                   WHEN (parts[n-1] || '.' || parts[n]) IN ({_SQL_SUF2})
+                       THEN host
+                   WHEN parts[n] IN ({_SQL_SUF1}) AND n >= 2
+                       THEN parts[n-1] || '.' || parts[n]
+                   ELSE host
+               END AS domain
+        FROM p
+    )
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM rd GROUP BY domain
+    """,
+    doc="Registrable-domain (eTLD+1) rollup — the aggregation key of C4/"
+    "RefinedWeb-style domain filters and per-domain caps: hosts collapse "
+    "onto their public-suffix+1 (news sites' subdomains merge, every "
+    "github.io user stays separate) via functions/psl.py "
+    "registrable_domain — two substring_index probes against literal "
+    "suffix arrays compiled into the plan (no join, no Python; full-PSL "
+    "deploy seam documented), then one partial-agg shuffle on domain. "
+    "Synthesis covers .com collapse, multi-label co.uk, private-registry "
+    "github.io, and an unknown intranet tail; the oracle mirrors the PSL "
+    "decision generically rather than per-branch.",
+)
+def q_domain_quality(spark, sf_dir):
+    from corsearch_project_spark.functions.psl import registrable_domain
+
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    host = (
+        F.when(did % 4 == 0,
+               F.concat(F.lit("a"), (did % 7).cast("string"),
+                        F.lit(".example.com")))
+        .when(did % 4 == 1,
+              F.concat(F.lit("www.news"), (did % 3).cast("string"),
+                       F.lit(".co.uk")))
+        .when(did % 4 == 2,
+              F.concat(F.lit("u"), (did % 5).cast("string"),
+                       F.lit(".github.io")))
+        .otherwise(F.lit("x.intranet"))
+    )
+    return (
+        d.select(registrable_domain(host).alias("domain"),
+                 host.alias("host"), "n_chars")
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
