@@ -173,3 +173,33 @@ def pii_counts(text: Column) -> tuple:
         F.size(F.regexp_extract_all(text, F.lit(PII_IPV4), 0)),
         F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), 0)),
     )
+
+
+def mixture_keep(
+    stratum: Column,
+    key: Column,
+    rates_permille: dict,
+    default_permille: int = 1000,
+    salt: str = "mix:",
+) -> Column:
+    """Deterministic training-mixture DOWN-sampling verdict.
+
+    Corpus mixtures (The Pile's per-source weights, DoReMi-style domain
+    reweighting, per-language caps) need each stratum sampled at its own
+    rate — reproducibly, so increments, reruns and any cluster size keep
+    the exact same rows. Verdict: ``phash(salt || key) % 1000 <
+    rate[stratum]`` — a pure function of the row, no rand()/state, no
+    shuffle; the rate CASE over the (small, broadcast-free) literal dict
+    and the hash are one codegen projection. The salt decorrelates the
+    sampling hash from `hash_split`'s (the same key must not make
+    'kept for training' correlate with 'assigned to test').
+
+    Rates above 1000 (up-sampling) are out of scope by design: repeat an
+    up-weighted stratum by unioning k salted copies instead, which keeps
+    the pure-function-of-key property per copy.
+    """
+    h = phash(F.concat(F.lit(salt), key)) % 1000
+    verdict = F.lit(default_permille)
+    for name, rate in sorted(rates_permille.items(), reverse=True):
+        verdict = F.when(stratum == name, F.lit(int(rate))).otherwise(verdict)
+    return h < verdict

@@ -2006,3 +2006,58 @@ def q_domain_quality(spark, sf_dir):
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+# ---------------------------------------------- training-mixture sampling
+
+_MIX_RATES = {"src0": 1000, "src1": 750, "src2": 500, "src3": 250,
+              "src4": 100, "src5": 0}
+_MIX_DEFAULT = 300
+
+
+@query(
+    "q_mixture_sample",
+    f"""
+    WITH v AS (
+        SELECT source,
+               {SQL_PHASH.format(s="'mix:' || CAST(doc_id AS VARCHAR)")} % 1000
+                   AS h,
+               CASE source
+                   WHEN 'src0' THEN 1000 WHEN 'src1' THEN 750
+                   WHEN 'src2' THEN 500  WHEN 'src3' THEN 250
+                   WHEN 'src4' THEN 100  WHEN 'src5' THEN 0
+                   ELSE {_MIX_DEFAULT}
+               END AS rate
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM v GROUP BY source
+    """,
+    doc="Deterministic training-mixture sampling (The Pile / DoReMi-style "
+    "per-source rates): keep verdict = phash('mix:'||key) % 1000 < "
+    "rate[source] — a pure function of the row (reruns, increments and "
+    "any cluster size keep identical rows), rate CASE + hash in one "
+    "codegen projection, salt decorrelated from hash_split so sampling "
+    "never biases the train/valid/test assignment. Rates cover keep-all, "
+    "four partial rates, drop-all and the default; up-sampling is by "
+    "unioned salted copies, documented in operators/textstats.py "
+    "mixture_keep.",
+)
+def q_mixture_sample(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    keep = X.mixture_keep(
+        F.col("source"),
+        F.col("doc_id").cast("string"),
+        _MIX_RATES,
+        default_permille=_MIX_DEFAULT,
+    )
+    return (
+        d.select("source", keep.cast("int").alias("k"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("k").cast("long").alias("n_kept"),
+        )
+    )

@@ -52,3 +52,59 @@ def test_registrable_domain_is_pure_projection(spark):
     assert "Exchange" not in plan
     assert "Python" not in plan
     assert "Join" not in plan
+
+
+# -------------------------------------------- mixture sampling (textstats)
+
+from corsearch_project_spark.operators import textstats as X  # noqa: E402
+
+
+def test_mixture_keep_deterministic_and_rate_scoped(spark):
+    """Same rows kept across reruns and partitionings; rate 0 drops all,
+    1000 keeps all, partial rates keep a stable strict subset."""
+    rows = [("a", str(i)) for i in range(400)] + [
+        ("z", str(i)) for i in range(400)
+    ] + [("half", str(i)) for i in range(400)]
+    df = spark.createDataFrame(rows, "src string, key string")
+    keep = X.mixture_keep(
+        F.col("src"), F.col("key"),
+        {"a": 1000, "z": 0, "half": 500},
+    )
+    got = df.where(keep)
+    kept = {(r["src"], r["key"]) for r in got.collect()}
+    assert {s for s, _ in kept} == {"a", "half"}
+    assert len([1 for s, _ in kept if s == "a"]) == 400  # keep-all
+    n_half = len([1 for s, _ in kept if s == "half"])
+    assert 0 < n_half < 400  # partial, both branches populated
+    # determinism across a different partitioning
+    again = {(r["src"], r["key"])
+             for r in df.repartition(13).where(keep).collect()}
+    assert again == kept
+
+
+def test_mixture_keep_decorrelated_from_hash_split(spark):
+    """The salt must keep 'sampled at 50%' independent of 'test split':
+    within the kept half, the split distribution stays ~80/10/10, not
+    skewed — equality of the two hashes would make it degenerate."""
+    df = spark.createDataFrame(
+        [(str(i),) for i in range(2000)], "key string"
+    )
+    keep = X.mixture_keep(F.lit("s"), F.col("key"), {"s": 500})
+    kept = df.where(keep).select(
+        X.hash_split(F.col("key")).alias("split")
+    )
+    counts = {r["split"]: r["n"]
+              for r in kept.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert 0.70 < counts["train"] / total < 0.90
+    assert counts.get("valid", 0) > 0 and counts.get("test", 0) > 0
+
+
+def test_mixture_keep_is_pure_projection(spark):
+    df = spark.createDataFrame([("s", "k")], "src string, key string")
+    plan = (
+        df.where(X.mixture_keep(F.col("src"), F.col("key"), {"s": 500}))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
