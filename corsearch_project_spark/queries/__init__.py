@@ -21,9 +21,12 @@ from corsearch_project_spark.queries import training  # noqa: F401
 # Round 4: exactly the 22 queries absent from CORRECTNESS_r03.json
 # (computed by set difference), plus this round's new registrations.
 # ROUND 5 NOTE: recompute this list as (registry minus green rows in
-# CORRECTNESS_r04.json) — i.e. surface the ~43 r3-green queries this
-# round's window displaced — plus any round-5 registrations, so the
-# two-round guarantee keeps holding by construction.
+# CORRECTNESS_r04.json) — i.e. surface the r3-green queries this
+# round's window displaced PLUS the two late-round-4 registrations that
+# did not fit the 50-slot window (q_domain_quality, q_mixture_sample;
+# both already exact-parity-green in pytest) — plus any round-5
+# registrations, so the two-round guarantee keeps holding by
+# construction.
 _SWEEP_FIRST = [
     # scalar-function and set-op rows last green in r2
     "q_math_fns", "q_array_fns", "q_json_fns", "q_cond_fns",
