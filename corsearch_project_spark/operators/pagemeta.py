@@ -243,3 +243,28 @@ def host_templates(
         F.count(F.lit(1)).cast("long").alias("n_templates"),
         F.max("n").cast("long").alias("top_template_n"),
     )
+
+
+def meta_robots(html: Column) -> Column:
+    """Page-level robots directives -> struct(noindex, nofollow).
+
+    robots.txt (RFC 9309, C17) speaks for the HOST; ``<meta
+    name="robots">`` speaks for the PAGE, and a crawl pipeline must honor
+    both: ``noindex`` pages stay out of the search postings (C19) and
+    ``nofollow`` pages contribute no edges to the link graph (C13/C26) —
+    ignoring them inflates both with pages their publishers excluded.
+    Directive tokens are comma-separated and case-insensitive per
+    Google's/Bing's published semantics; ``none`` ≡ ``noindex,nofollow``.
+    Pure codegen: one regex pull + lowercase token probes, no Python."""
+    content = F.lower(
+        F.regexp_extract(
+            html, META_NAME_PATTERN.format(name="robots"), 1
+        )
+    )
+    toks = F.transform(F.split(content, ","), lambda t: F.trim(t))
+    has = lambda v: F.array_contains(toks, v)  # noqa: E731
+    none = has("none")
+    return F.struct(
+        (none | has("noindex")).alias("noindex"),
+        (none | has("nofollow")).alias("nofollow"),
+    )

@@ -154,3 +154,26 @@ def test_host_templates_census(spark):
     got = {r["host"]: (r["n_pages"], r["n_templates"], r["top_template_n"])
            for r in M.host_templates(pages).collect()}
     assert got == {"a.com": (3, 2, 2), "b.com": (1, 1, 1)}
+
+
+def test_meta_robots_directives(spark):
+    from corsearch_project_spark.operators.pagemeta import meta_robots
+
+    cases = [
+        ('<meta name="robots" content="noindex, nofollow">', True, True),
+        ('<meta name="robots" content="noindex">', True, False),
+        ('<meta name="robots" content="NOFOLLOW">', False, True),
+        ('<meta name="robots" content="none">', True, True),
+        ('<meta name="robots" content="index, follow">', False, False),
+        ("<p>no meta at all</p>", False, False),
+        # token-boundary: 'noindexing' is NOT a noindex directive
+        ('<meta name="robots" content="noindexing">', False, False),
+    ]
+    df = spark.createDataFrame(
+        [(h,) for h, _, _ in cases], "html string"
+    ).select("html", meta_robots(F.col("html")).alias("r"))
+    got = [(r["r"]["noindex"], r["r"]["nofollow"]) for r in df.collect()]
+    assert got == [(a, b) for _, a, b in cases]
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
