@@ -203,3 +203,65 @@ def mixture_keep(
     for name, rate in sorted(rates_permille.items(), reverse=True):
         verdict = F.when(stratum == name, F.lit(int(rate))).otherwise(verdict)
     return h < verdict
+
+
+def chunk_sentences(
+    df,
+    max_tokens: int,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Sentence-boundary chunking for training-sequence prep.
+
+    ``pack_bins`` packs whole documents into token budgets; tokenizer
+    pipelines also need the converse — splitting LONG documents into
+    ~max_tokens chunks WITHOUT cutting mid-sentence, so no training
+    sequence starts in the middle of a thought. Sentences (split at
+    ``[.!?]`` + whitespace, a codegen lookbehind regex) are greedily
+    assigned chunk ids by token cumsum: chunk = floor(tokens_before /
+    max_tokens) — the same straddle rule as pack_bins (one sentence may
+    overflow its chunk; a single sentence longer than the budget becomes
+    its own oversized chunk rather than being cut). Reassembly orders by
+    sentence position via array_sort over (pos, sent) structs —
+    collect_list alone has no deterministic order.
+
+    Scale shape: posexplode to sentence rows, ONE window + ONE groupBy
+    both keyed on the doc (AQE sees the shared partitioning); per-doc
+    state is bounded by document length, never corpus-sized; no Python.
+    Returns (doc, chunk_id, chunk_text, n_tok).
+    """
+    from pyspark.sql import Window
+
+    sents = df.select(
+        F.col(doc_col).alias("doc"),
+        F.posexplode(
+            F.split(F.col(text_col), r"(?<=[.!?])\s+")
+        ).alias("pos", "sent"),
+    ).where(F.trim(F.col("sent")) != "")
+    n_tok = F.size(F.split(F.trim(F.col("sent")), " "))
+    w = Window.partitionBy("doc").orderBy("pos")
+    staged = sents.select(
+        "doc", "pos", "sent", n_tok.alias("n_tok")
+    ).withColumn(
+        "before",
+        F.coalesce(
+            F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    return (
+        staged.withColumn(
+            "chunk_id", F.floor(F.col("before") / max_tokens).cast("long")
+        )
+        .groupBy("doc", "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "sent"))),
+                    lambda x: x["sent"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.sum("n_tok").alias("n_tok"),
+        )
+    )

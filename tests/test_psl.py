@@ -108,3 +108,42 @@ def test_mixture_keep_is_pure_projection(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+# ------------------------------------------ sentence chunking (textstats)
+
+
+def test_chunk_sentences_boundaries_and_straddle(spark):
+    """Chunks break ONLY at sentence boundaries; a sentence straddling
+    the budget overflows its chunk; an oversized single sentence becomes
+    its own chunk uncut."""
+    doc1 = "one two three. four five. six seven eight nine. ten."
+    doc2 = "a " * 19 + "b."  # one 20-token sentence, budget 5
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc"], r["chunk_id"]): (r["chunk_text"], r["n_tok"])
+        for r in X.chunk_sentences(df, max_tokens=5).collect()
+    }
+    # doc1 tokens per sentence: 3, 2, 4, 1 -> before: 0,3,5,9
+    # chunk 0: before<5 -> sents 1+2; chunk 1: before 5,9 -> sents 3+4
+    assert got[(1, 0)] == ("one two three. four five.", 5)
+    assert got[(1, 1)] == ("six seven eight nine. ten.", 5)
+    assert got[(2, 0)][1] == 20  # oversized sentence kept whole
+    assert "a a" in got[(2, 0)][0] and got[(2, 0)][0].endswith("b.")
+
+
+def test_chunk_sentences_reassembly_order_and_plan(spark):
+    """Sentence order survives the groupBy (array_sort on pos, not
+    collect_list order), across partitionings; zero Python stages."""
+    text = " ".join(f"s{i}." for i in range(40))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = X.chunk_sentences(df.repartition(7), max_tokens=8)
+    rows = sorted(
+        (r["chunk_id"], r["chunk_text"]) for r in out.collect()
+    )
+    joined = " ".join(t for _, t in rows)
+    assert joined == text  # exact reconstruction in order
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
