@@ -265,3 +265,34 @@ def chunk_sentences(
             F.sum("n_tok").alias("n_tok"),
         )
     )
+
+
+def domain_cap(
+    df,
+    cap: int,
+    domain_col: str = "domain",
+    key_col: str = "url",
+):
+    """Per-domain document cap (RefinedWeb-style): keep at most ``cap``
+    docs per domain, chosen DETERMINISTICALLY by portable-hash rank of
+    the stable key — not by input order, so reruns, increments and any
+    cluster size keep the same survivors, and the kept subset is an
+    unbiased pseudo-random sample of each domain (hash order is
+    uncorrelated with crawl order or quality).
+
+    Mega-domains dominate web corpora (the largest registrable domains
+    hold billions of pages); capping them is the standard defense
+    against domain-level memorization and topic skew. One window
+    shuffle keyed on the domain; AQE's skew split handles the very
+    mega-domains being capped. Ties cannot happen (rank includes the
+    key itself as tiebreak)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(domain_col).orderBy(
+        phash(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= cap)
+        .drop("__rk")
+    )

@@ -2061,3 +2061,61 @@ def q_mixture_sample(spark, sf_dir):
             F.sum("k").cast("long").alias("n_kept"),
         )
     )
+
+
+# ------------------------------------------------- per-domain cap sampling
+
+@query(
+    "q_domain_cap",
+    f"""
+    WITH h0 AS (
+        SELECT doc_id,
+               'https://h' || CAST(doc_id % 37 AS VARCHAR)
+                   || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+               CASE WHEN doc_id % 37 < 30 THEN 'example.com'
+                    ELSE 'rare' || CAST(doc_id % 37 AS VARCHAR) || '.org'
+               END AS domain
+        FROM documents
+    ),
+    rk AS (
+        SELECT domain, url,
+               ROW_NUMBER() OVER (
+                   PARTITION BY domain
+                   ORDER BY {SQL_PHASH.format(s='url')}, url
+               ) AS r
+        FROM h0
+    )
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           MIN(url) AS first_url
+    FROM rk WHERE r <= 25 GROUP BY domain
+    """,
+    doc="Per-domain document cap (RefinedWeb-style anti-memorization "
+    "sampling): keep at most K docs per registrable domain, survivors "
+    "chosen by portable-hash rank of the url — deterministic across "
+    "reruns/increments/cluster sizes and uncorrelated with crawl order. "
+    "One window shuffle on domain (AQE skew split covers the mega-domain "
+    "being capped, which is exactly the skewed key). Synthesis gives one "
+    "mega-domain (30/37 of all urls) and 7 rare domains below the cap — "
+    "both the capped and uncapped branches carry rows "
+    "(operators/textstats.py domain_cap).",
+)
+def q_domain_cap(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    h0 = d.select(
+        F.concat(
+            F.lit("https://h"), (did % 37).cast("string"),
+            F.lit(".example.com/p/"), did.cast("string"),
+        ).alias("url"),
+        F.when(did % 37 < 30, F.lit("example.com"))
+        .otherwise(
+            F.concat(F.lit("rare"), (did % 37).cast("string"), F.lit(".org"))
+        )
+        .alias("domain"),
+    )
+    capped = X.domain_cap(h0, cap=25, domain_col="domain", key_col="url")
+    return capped.groupBy("domain").agg(
+        F.count("*").alias("n_kept"),
+        F.min("url").alias("first_url"),
+    )

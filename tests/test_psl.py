@@ -147,3 +147,23 @@ def test_chunk_sentences_reassembly_order_and_plan(spark):
     assert joined == text  # exact reconstruction in order
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+# ------------------------------------------------ per-domain cap sampling
+
+
+def test_domain_cap_deterministic_and_capped(spark):
+    rows = [(f"u{i}", "big.com") for i in range(50)] + [
+        ("v1", "small.org"), ("v2", "small.org")
+    ]
+    df = spark.createDataFrame(rows, "url string, domain string")
+    kept = X.domain_cap(df, cap=10)
+    got = {(r["domain"], r["url"]) for r in kept.collect()}
+    assert len([1 for d, _ in got if d == "big.com"]) == 10
+    assert len([1 for d, _ in got if d == "small.org"]) == 2  # under cap
+    # survivors are a pure function of the keys, not input partitioning
+    again = {(r["domain"], r["url"])
+             for r in X.domain_cap(df.repartition(9), cap=10).collect()}
+    assert again == got
+    # schema passthrough (no helper columns leak)
+    assert kept.columns == ["url", "domain"]
