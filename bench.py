@@ -83,6 +83,10 @@ BENCH_QUERIES = [
     "q_resolve_redirects",  # round 4: pointer-doubling chains
     "q_url_surt",  # round 4: SURT/CDX capture-index key
     "q_recrawl_schedule",  # round 4: change-rate revisit tiers
+    "q_domain_quality",  # round 4: registrable-domain (PSL) rollup
+    "q_mixture_sample",  # round 4: deterministic mixture sampling
+    "q_domain_cap",  # round 4: per-domain cap window
+    "q_meta_robots",  # round 4: page-level robots census
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

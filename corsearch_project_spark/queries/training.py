@@ -2119,3 +2119,99 @@ def q_domain_cap(spark, sf_dir):
         F.count("*").alias("n_kept"),
         F.min("url").alias("first_url"),
     )
+
+
+# ------------------------------------------------ page-level robots census
+
+@query(
+    "q_meta_robots",
+    """
+    WITH p AS (
+        SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) AS host,
+               '<html><head>' ||
+               CASE
+                   WHEN doc_id % 10 = 0
+                       THEN '<meta name="robots" content="noindex, nofollow">'
+                   WHEN doc_id % 10 = 1
+                       THEN '<meta name="robots" content="NOINDEX">'
+                   WHEN doc_id % 10 = 2
+                       THEN '<meta name="robots" content="none">'
+                   WHEN doc_id % 10 = 3
+                       THEN '<meta name="robots" content="nofollow">'
+                   WHEN doc_id % 10 = 4
+                       THEN '<meta name="robots" content="index, follow">'
+                   ELSE ''
+               END || '</head><body>x</body></html>' AS html
+        FROM documents
+    ),
+    v AS (
+        SELECT host,
+               lower(regexp_extract(html,
+                   '<meta name="robots" content="([^"]*)"', 1)) AS c
+        FROM p
+    ),
+    d AS (
+        SELECT host,
+               list_contains(list_transform(string_split(c, ','),
+                                            x -> trim(x)), 'none')
+                   OR list_contains(list_transform(string_split(c, ','),
+                                                   x -> trim(x)), 'noindex')
+                   AS noindex,
+               list_contains(list_transform(string_split(c, ','),
+                                            x -> trim(x)), 'none')
+                   OR list_contains(list_transform(string_split(c, ','),
+                                                   x -> trim(x)), 'nofollow')
+                   AS nofollow
+        FROM v
+    )
+    SELECT host,
+           CAST(SUM(CASE WHEN noindex THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_noindex,
+           CAST(SUM(CASE WHEN nofollow THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nofollow,
+           CAST(SUM(CASE WHEN NOT noindex AND NOT nofollow THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_unrestricted
+    FROM d GROUP BY host
+    """,
+    doc="Page-level robots-directive census per host: meta name=robots "
+    "content tokens -> (noindex, nofollow) verdicts (case-insensitive, "
+    "comma-split, 'none' implies both) aggregated per host — the page-"
+    "level complement of host-level RFC 9309 that gates what enters the "
+    "search postings (C19) and which pages contribute link-graph edges "
+    "(C13/C26). Pure-codegen regex + token probes, one host-keyed "
+    "partial-agg shuffle; synthesis exercises combined/single/none/"
+    "positive/absent directive arms "
+    "(operators/pagemeta.py meta_robots).",
+)
+def q_meta_robots(spark, sf_dir):
+    from corsearch_project_spark.operators.pagemeta import meta_robots
+
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    meta = (
+        F.when(did % 10 == 0,
+               F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(did % 10 == 1, F.lit('<meta name="robots" content="NOINDEX">'))
+        .when(did % 10 == 2, F.lit('<meta name="robots" content="none">'))
+        .when(did % 10 == 3, F.lit('<meta name="robots" content="nofollow">'))
+        .when(did % 10 == 4,
+              F.lit('<meta name="robots" content="index, follow">'))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(F.lit("<html><head>"), meta,
+                    F.lit("</head><body>x</body></html>"))
+    r = meta_robots(html)
+    return (
+        d.select(
+            F.concat(F.lit("h"), (did % 37).cast("string")).alias("host"),
+            r["noindex"].alias("noindex"),
+            r["nofollow"].alias("nofollow"),
+        )
+        .groupBy("host")
+        .agg(
+            F.sum(F.col("noindex").cast("int")).cast("long").alias("n_noindex"),
+            F.sum(F.col("nofollow").cast("int")).cast("long").alias("n_nofollow"),
+            F.sum((~F.col("noindex") & ~F.col("nofollow")).cast("int"))
+            .cast("long").alias("n_unrestricted"),
+        )
+    )
