@@ -122,3 +122,54 @@ def test_anchor_and_hreflang_pulls_never_raise(spark):
         L.sitemap_locs(F.col("html")).alias("s"),
     ).count()
     assert n == N
+
+
+def test_urlnorm_surt_psl_never_raise_and_hold_invariants(spark):
+    """Seeded junk through the round-4 url operators: surt_key always
+    yields exactly one ')' separator and is deterministic;
+    registrable_domain always returns a dot-suffix of the (lowercased)
+    host; meta_robots is total on junk html."""
+    from corsearch_project_spark.functions.psl import registrable_domain
+    from corsearch_project_spark.functions.urlnorm import canonicalize_url, surt_key
+
+    rng = _rng()
+    urls = []
+    for i in range(N):
+        scheme = rng.choice(["http://", "https://", "HTTPS://", ""])
+        host = rng.choice([
+            f"h{i}.example.com", "WWW.Ex.CO.UK:443", "localhost",
+            _junk(rng, rng.randrange(1, 14)).replace("/", ""),
+        ])
+        path = rng.choice(["", "/", "/p/" + _junk(rng, rng.randrange(8))])
+        q = rng.choice(["", "?a=1&utm_x=2", "?" + _junk(rng, rng.randrange(10))])
+        urls.append((scheme + host + path + q,))
+    df = spark.createDataFrame(urls, "url string")
+    out = df.select(
+        "url",
+        surt_key(F.col("url")).alias("s"),
+        canonicalize_url(F.col("url")).alias("c"),
+    ).collect()
+    assert len(out) == N  # total: no exceptions
+    for r in out:
+        assert r["s"].count(")") >= 1  # host/path separator present
+
+    hosts = spark.createDataFrame(
+        [(u[0].split("://")[-1].split("/")[0] or "x",) for u in urls],
+        "host string",
+    )
+    doms = hosts.select(
+        F.lower(F.col("host")).alias("h"),
+        registrable_domain(F.col("host")).alias("d"),
+    ).collect()
+    for r in doms:
+        assert r["h"].endswith(r["d"]), (r["h"], r["d"])
+
+    from corsearch_project_spark.operators.pagemeta import meta_robots
+
+    rng2 = _rng()
+    junk_html = spark.createDataFrame(
+        [(_junk(rng2, rng2.randrange(200)),) for _ in range(N)],
+        "html string",
+    )
+    verdicts = junk_html.select(meta_robots(F.col("html")).alias("r")).collect()
+    assert len(verdicts) == N
