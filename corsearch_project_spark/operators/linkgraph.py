@@ -684,3 +684,30 @@ def recrawl_schedule(
         .otherwise(F.lit("warm"))
         .alias("tier"),
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Per-url crawl-snapshot delta: (url, host, change) with change in
+    {'added','removed','changed','unchanged'}.
+
+    The report every recrawl round ends with — what did the web do since
+    last time — and the input to S11's merge decisions and C29's
+    change-rate estimator. Both sides are (url, digest) relations (the
+    extraction pipeline's per-url sha256, E18, so no content re-read);
+    the diff is ONE full outer join on url, the null pattern of each
+    side classifying the row. At 10^12 urls both sides shuffle on url —
+    the same key the tables are already bucketed by (P1), so with
+    bucketed inputs this is a zero-exchange sort-merge join; the
+    classification is a narrow projection on top."""
+    o = old.select(F.col("url"), F.col("digest").alias("old_digest"))
+    n = new.select(F.col("url"), F.col("digest").alias("new_digest"))
+    joined = o.join(n, "url", "full_outer")
+    change = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") != F.col("new_digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        "url", url_host(F.col("url")).alias("host"), change.alias("change")
+    )

@@ -2215,3 +2215,71 @@ def q_meta_robots(spark, sf_dir):
             .cast("long").alias("n_unrestricted"),
         )
     )
+
+
+# ------------------------------------------------------ crawl snapshot diff
+
+@query(
+    "q_snapshot_diff",
+    """
+    WITH old AS (
+        SELECT 'https://h' || CAST(doc_id % 37 AS VARCHAR)
+                   || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+               'd' || CAST(doc_id AS VARCHAR) AS digest
+        FROM documents WHERE doc_id % 9 <> 0
+    ),
+    new AS (
+        SELECT 'https://h' || CAST(doc_id % 37 AS VARCHAR)
+                   || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+               CASE WHEN doc_id % 5 = 0
+                    THEN 'D' || CAST(doc_id AS VARCHAR)
+                    ELSE 'd' || CAST(doc_id AS VARCHAR) END AS digest
+        FROM documents WHERE doc_id % 7 <> 0
+    ),
+    d AS (
+        SELECT COALESCE(o.url, n.url) AS url,
+               CASE WHEN o.url IS NULL THEN 'added'
+                    WHEN n.url IS NULL THEN 'removed'
+                    WHEN o.digest <> n.digest THEN 'changed'
+                    ELSE 'unchanged' END AS change
+        FROM old o FULL OUTER JOIN new n ON o.url = n.url
+    )
+    SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+           change,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM d GROUP BY host, change
+    """,
+    doc="Crawl snapshot diff — the recrawl round's closing report (what "
+    "the web did since last time) and the input to merge decisions (S11) "
+    "and change-rate scheduling (C29): two (url, digest) relations, ONE "
+    "full outer join on url with null-pattern classification into added/"
+    "removed/changed/unchanged, rolled up per host. On url-bucketed "
+    "tables (P1) the join is a zero-exchange sort-merge; synthesis drops "
+    "doc_id%9 from old and doc_id%7 from new and flips digests at "
+    "doc_id%5, populating all four branches "
+    "(operators/linkgraph.py snapshot_diff).",
+)
+def q_snapshot_diff(spark, sf_dir):
+    from corsearch_project_spark.operators import linkgraph as L
+
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"), (did % 37).cast("string"),
+        F.lit(".example.com/p/"), did.cast("string"),
+    )
+    old = d.where(did % 9 != 0).select(
+        url.alias("url"),
+        F.concat(F.lit("d"), did.cast("string")).alias("digest"),
+    )
+    new = d.where(did % 7 != 0).select(
+        url.alias("url"),
+        F.when(did % 5 == 0, F.concat(F.lit("D"), did.cast("string")))
+        .otherwise(F.concat(F.lit("d"), did.cast("string")))
+        .alias("digest"),
+    )
+    return (
+        L.snapshot_diff(old, new)
+        .groupBy("host", "change")
+        .agg(F.count("*").alias("n"))
+    )

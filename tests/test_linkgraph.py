@@ -432,3 +432,22 @@ def test_recrawl_schedule_plan_shape(spark):
     )
     plan = L.recrawl_schedule(hist)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_snapshot_diff_all_branches(spark):
+    old = spark.createDataFrame(
+        [("https://a/x", "d1"), ("https://a/y", "d2"), ("https://a/z", "d3")],
+        "url string, digest string",
+    )
+    new = spark.createDataFrame(
+        [("https://a/x", "d1"), ("https://a/y", "D2"), ("https://a/w", "d4")],
+        "url string, digest string",
+    )
+    got = {r["url"]: r["change"]
+           for r in L.snapshot_diff(old, new).collect()}
+    assert got == {
+        "https://a/x": "unchanged",
+        "https://a/y": "changed",
+        "https://a/z": "removed",
+        "https://a/w": "added",
+    }
