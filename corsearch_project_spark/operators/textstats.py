@@ -296,3 +296,49 @@ def domain_cap(
         .where(F.col("__rk") <= cap)
         .drop("__rk")
     )
+
+
+def common_token_fraction(
+    docs,
+    min_df: int = 3,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Corpus-relative vocabulary quality: per doc, the permille of its
+    tokens whose corpus DOCUMENT frequency is >= min_df.
+
+    Gibberish, OCR noise, and boilerplate-free spam share one signature:
+    tokens that appear almost nowhere else in the corpus. CCNet ranks by
+    LM perplexity; this is the LM-free integer-exact analogue (corpus df
+    as the probability proxy), bit-identical across engines where a
+    float logprob sum would not be.
+
+    Shape — the doc<->corpus statistics join, distinct from every other
+    textstats op: (1) explode to (doc, token) pairs, de-duped per doc;
+    (2) partial-agg token -> df (vocab-sized relation, Zipf-small
+    relative to the corpus); (3) join pairs back to df on token — AQE
+    broadcasts the df side when it fits, else shuffle-joins on token
+    with map-side combine having already collapsed repeats; (4) per-doc
+    agg to the permille. Three linear shuffles, no Python.
+
+    Returns (doc, n_tok, n_common_tok, common_permille) where n_tok
+    counts DISTINCT tokens (the df relation is per-doc-distinct by
+    construction — within-doc repetition is q_text_repetition's job).
+    """
+    pairs = docs.select(
+        F.col(doc_col).alias("doc"),
+        F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), " "))).alias("tok"),
+    ).where(F.col("tok") != "")
+    df_rel = pairs.groupBy("tok").agg(F.countDistinct("doc").alias("df"))
+    joined = pairs.join(df_rel, "tok")
+    return (
+        joined.groupBy("doc")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum((F.col("df") >= min_df).cast("int")).cast("long").alias("n_common_tok"),
+        )
+        .select(
+            "doc", "n_tok", "n_common_tok",
+            F.expr("(n_common_tok * 1000) div n_tok").alias("common_permille"),
+        )
+    )

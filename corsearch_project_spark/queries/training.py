@@ -2283,3 +2283,39 @@ def q_snapshot_diff(spark, sf_dir):
         .groupBy("host", "change")
         .agg(F.count("*").alias("n"))
     )
+
+
+# -------------------------------------------- corpus-relative token rarity
+
+@query(
+    "q_token_rarity",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT doc_id AS doc, unnest(string_split(trim(text), ' ')) AS tok
+        FROM documents
+    ),
+    p AS (SELECT doc, tok FROM pairs WHERE tok <> ''),
+    dfr AS (SELECT tok, COUNT(DISTINCT doc) AS df FROM p GROUP BY tok),
+    j AS (SELECT p.doc, dfr.df FROM p JOIN dfr ON p.tok = dfr.tok)
+    SELECT doc,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           CAST(SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_common_tok,
+           CAST(SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) * 1000
+               // CAST(COUNT(*) AS BIGINT) AS common_permille
+    FROM j GROUP BY doc
+    """,
+    doc="Corpus-relative token rarity (the LM-free CCNet-quality "
+    "analogue): per doc, the permille of its DISTINCT tokens whose "
+    "corpus document-frequency is >= 3 — gibberish and OCR noise score "
+    "low because their tokens appear nowhere else. The doc<->corpus "
+    "statistics join shape: explode distinct (doc, token) pairs, "
+    "partial-agg token->df (Zipf-small vocab relation), join back on "
+    "token (AQE broadcasts when the vocab fits), per-doc integer "
+    "permille. Three linear shuffles, no Python, bit-exact across "
+    "engines where a float logprob sum would not be "
+    "(operators/textstats.py common_token_fraction).",
+)
+def q_token_rarity(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return X.common_token_fraction(d, min_df=3)

@@ -167,3 +167,26 @@ def test_domain_cap_deterministic_and_capped(spark):
     assert again == got
     # schema passthrough (no helper columns leak)
     assert kept.columns == ["url", "domain"]
+
+
+# ------------------------------------------- corpus-relative token rarity
+
+
+def test_common_token_fraction_scores_gibberish_low(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on a mat"),
+            (3, "the cat and the dog sat"),
+            (4, "qzxv jkwpt brrgl zzyqt"),  # gibberish: df-1 tokens only
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc"]: r.asDict()
+           for r in X.common_token_fraction(docs, min_df=2).collect()}
+    assert got[4]["n_common_tok"] == 0 and got[4]["common_permille"] == 0
+    # doc 1 distinct tokens: the,cat,sat,on,mat -> all df>=2 -> 1000
+    assert got[1] == {"doc": 1, "n_tok": 5, "n_common_tok": 5,
+                      "common_permille": 1000}
+    # doc 2: the,dog,sat,on,a,mat -> 'a' is df-1 -> 5/6 -> 833
+    assert got[2]["common_permille"] == 833
