@@ -120,3 +120,41 @@ def test_postings_persist_and_bucket_prune(spark, corpus, tmp_path):
             for r in only.where(F.col("term") == "beta").collect()} == want
     n_dirs = len([d for d in os.listdir(path) if d.startswith("term_bucket=")])
     assert n_dirs > 1  # pruning to one dir is a strict subset
+
+
+def test_build_index_job_full_and_incremental(spark, tmp_path):
+    """jobs/build_index.py build_index(): full build persists the
+    term-bucketed index; --increment drops stale postings for
+    re-extracted urls (not shadowed) and the probe lookup equals a full
+    scan."""
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), "jobs"))
+    import build_index as J
+
+    ext = str(tmp_path / "extracted")
+    spark.createDataFrame(
+        [("u1", "alpha beta beta"), ("u2", "beta gamma"),
+         ("u3", "alpha delta")],
+        "url string, extracted_text string",
+    ).write.parquet(ext)
+    idx = str(tmp_path / "index")
+    rep = J.build_index(spark, ext, idx, buckets=8, probe="beta,missing")
+    assert rep["docs"] == 3 and rep["terms"] == 4
+    assert rep["probe"] == {"beta": 2}  # u1+u2; 'missing' absent
+
+    # increment: u2 re-extracted without 'beta' -> its stale posting gone
+    inc = str(tmp_path / "inc")
+    spark.createDataFrame(
+        [("u2", "gamma gamma epsilon")],
+        "url string, extracted_text string",
+    ).write.parquet(inc)
+    idx2 = str(tmp_path / "index2")
+    rep2 = J.build_index(spark, ext, idx2, buckets=8, increment=inc,
+                         probe="beta,epsilon")
+    assert rep2["probe"] == {"beta": 1, "epsilon": 1}  # only u1 keeps beta
+
+    from corsearch_project_spark.operators.search import lookup_postings
+
+    got = lookup_postings(spark, idx2, ["gamma"], n_buckets=8).collect()
+    assert {(r["doc_id"], r["tf"]) for r in got} == {("u2", 2)}
