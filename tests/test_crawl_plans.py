@@ -24,6 +24,15 @@ PURE_JVM_QUERIES = [
     "q_lang_mismatch",
     "q_hreflang_reciprocity",
     "q_template_census",
+    # round-4 close additions — same pure-JVM contract
+    "q_url_surt",
+    "q_recrawl_schedule",
+    "q_domain_quality",
+    "q_mixture_sample",
+    "q_domain_cap",
+    "q_meta_robots",
+    "q_snapshot_diff",
+    "q_token_rarity",
 ]
 
 
