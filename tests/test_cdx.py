@@ -117,3 +117,33 @@ def test_domain_probe_covers_subdomains(spark, tmp_path):
     write_cdx(read_warc_index(spark, d), idx_path, partitions=2)
     hits = cdx_lookup(spark, idx_path, "com,example").count()
     assert hits == len(recs)  # h0..h4 are all *.example.com
+
+
+def test_index_total_on_corrupt_archives(spark, tmp_path):
+    """Seeded corruption mid-archive: the indexer must not raise, must
+    resync past damage, and every extent it DOES emit must still
+    seek-reproduce its record (no off-by-N drift after resync)."""
+    import random
+    import zlib as _z
+
+    d, recs = _mk_corpus(tmp_path, n=24)
+    rng = random.Random(20260819)
+    for name in ("a.warc.gz", "b.warc"):
+        p = os.path.join(d, name)
+        blob = bytearray(open(p, "rb").read())
+        # three random 16-byte stomps, away from the file head
+        for _ in range(3):
+            at = rng.randrange(len(blob) // 4, len(blob) - 16)
+            for i in range(16):
+                blob[at + i] ^= 0x5A
+        open(p, "wb").write(bytes(blob))
+
+    rows = read_warc_index(spark, d, split_bytes=900).collect()
+    assert 0 < len(rows) <= len(recs)  # damaged records dropped, not fatal
+    for r in rows:
+        with open(os.path.join(d, r["filename"]), "rb") as f:
+            f.seek(r["offset"])
+            blob = f.read(r["length"])
+        if r["filename"].endswith(".gz"):
+            blob = _z.decompress(blob, 16 + _z.MAX_WBITS)
+        assert f"WARC-Target-URI: {r['url']}".encode() in blob
