@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "q_meta_robots",  # round 4: page-level robots census
     "q_snapshot_diff",  # round 4: full-outer crawl delta
     "q_token_rarity",  # round 4: doc-corpus df join quality
+    "q_crawl_traps",  # round 4: url-template trap census
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

@@ -711,3 +711,61 @@ def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     return joined.select(
         "url", url_host(F.col("url")).alias("host"), change.alias("change")
     )
+
+
+def url_template(url: Column) -> Column:
+    """URL path template: query dropped, digit runs collapsed to 'N',
+    32+ hex-ish runs to 'H' — `/cal/2026/08/19?sid=x` -> `/cal/N/N/N`.
+    Pure codegen; the URL-space analogue of pagemeta.template_hash's
+    DOM-shape fingerprint."""
+    path = F.regexp_replace(
+        F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""),
+        r"[?#].*$", "",
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.regexp_replace(path, r"[0-9a-fA-F]{32,}", "H")
+    return F.regexp_replace(path, r"[0-9]+", "N")
+
+
+def crawl_traps(urls: DataFrame, min_urls: int = 100,
+                max_per_template: int = 50) -> DataFrame:
+    """Per-host crawl-trap statistics from the url inventory.
+
+    Calendar pages, session-id links and faceted search generate
+    INFINITE url spaces over a handful of path shapes — the classic
+    crawler trap. Frontier urls that collapse onto few templates are the
+    signature: this operator reports per host (n_urls, n_templates,
+    urls_per_template = n_urls div n_templates, top_template,
+    top_template_n) so a scheduler can cap per-template fetches (the
+    url-space counterpart of the per-domain doc cap, C33).
+
+    Shape: template is a narrow codegen projection; then one
+    (host, template) partial agg and one host rollup — same two-shuffle
+    pattern as the DOM template census (C21), linear in |urls|."""
+    t = urls.select(
+        url_host(F.col("url")).alias("host"),
+        url_template(F.col("url")).alias("template"),
+    )
+    per_t = t.groupBy("host", "template").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(
+        F.desc("n"), F.asc("template")
+    )
+    ranked = per_t.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("host")
+        .agg(
+            F.sum("n").alias("n_urls"),
+            F.count("*").alias("n_templates"),
+            F.max(F.when(F.col("rk") == 1, F.col("template"))).alias("top_template"),
+            F.max(F.when(F.col("rk") == 1, F.col("n"))).alias("top_template_n"),
+        )
+        .select(
+            "host", "n_urls",
+            F.col("n_templates").cast("long").alias("n_templates"),
+            F.expr("n_urls div n_templates").alias("urls_per_template"),
+            "top_template",
+            F.col("top_template_n").cast("long").alias("top_template_n"),
+        )
+    )

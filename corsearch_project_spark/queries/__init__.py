@@ -24,7 +24,8 @@ from corsearch_project_spark.queries import training  # noqa: F401
 # CORRECTNESS_r04.json) — i.e. surface the r3-green queries this
 # round's window displaced PLUS the two late-round-4 registrations that
 # did not fit the 50-slot window (q_domain_quality, q_mixture_sample,
-# q_domain_cap, q_meta_robots, q_snapshot_diff, q_token_rarity; all already
+# q_domain_cap, q_meta_robots, q_snapshot_diff, q_token_rarity,
+# q_crawl_traps; all already
 # exact-parity-green in pytest) — plus any round-5
 # registrations, so the two-round guarantee keeps holding by
 # construction.

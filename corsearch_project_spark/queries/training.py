@@ -2319,3 +2319,93 @@ def q_snapshot_diff(spark, sf_dir):
 def q_token_rarity(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     return X.common_token_fraction(d, min_df=3)
+
+
+# ---------------------------------------------------- crawl-trap detection
+
+@query(
+    "q_crawl_traps",
+    """
+    WITH u AS (
+        SELECT CASE WHEN doc_id % 3 = 0
+                    THEN 'https://cal.example.com/d/'
+                         || CAST(2000 + doc_id % 30 AS VARCHAR) || '/'
+                         || CAST(doc_id % 12 AS VARCHAR)
+                         || '?sid=' || CAST(doc_id AS VARCHAR)
+                    ELSE 'https://www.example.org/'
+                         || CASE WHEN doc_id % 4 = 1 THEN 'about'
+                                 WHEN doc_id % 4 = 2 THEN 'products/p'
+                                      || CAST(doc_id AS VARCHAR)
+                                 ELSE 'blog/' || CAST(doc_id AS VARCHAR)
+                                      || '/comments' END
+               END AS url
+        FROM documents
+    ),
+    t AS (
+        SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+                   '[?#].*$', ''),
+                   '[0-9a-fA-F]{32,}', 'H', 'g'),
+                   '[0-9]+', 'N', 'g') AS template
+        FROM u
+    ),
+    pt AS (
+        SELECT host, template, COUNT(*) AS n
+        FROM t GROUP BY host, template
+    ),
+    rk AS (
+        SELECT host, template, n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY host ORDER BY n DESC, template ASC
+               ) AS rk
+        FROM pt
+    )
+    SELECT host,
+           CAST(SUM(n) AS BIGINT) AS n_urls,
+           CAST(COUNT(*) AS BIGINT) AS n_templates,
+           CAST(SUM(n) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+               AS urls_per_template,
+           MAX(CASE WHEN rk = 1 THEN template END) AS top_template,
+           CAST(MAX(CASE WHEN rk = 1 THEN n END) AS BIGINT)
+               AS top_template_n
+    FROM rk GROUP BY host
+    """,
+    doc="Crawl-trap detection from the url inventory: digit/hex runs "
+    "collapse into path TEMPLATES (/d/2026/8?sid=123 -> /d/N/N), and "
+    "hosts whose urls pile onto few templates (calendar pages, session "
+    "ids, faceted search — infinite url spaces) surface via "
+    "urls_per_template, so the scheduler can cap per-template fetches — "
+    "the url-space counterpart of the DOM template census (C21) and the "
+    "per-domain doc cap (C33). Narrow codegen template projection + the "
+    "same two host-keyed shuffles as the census; synthesis gives one "
+    "trap host (calendar+sid collapsing to a single template) and one "
+    "organic host with distinct-per-doc and shared templates "
+    "(operators/linkgraph.py crawl_traps).",
+)
+def q_crawl_traps(spark, sf_dir):
+    from corsearch_project_spark.operators import linkgraph as L
+
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit("https://cal.example.com/d/"),
+            (2000 + did % 30).cast("string"), F.lit("/"),
+            (did % 12).cast("string"),
+            F.lit("?sid="), did.cast("string"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://www.example.org/"),
+            F.when(did % 4 == 1, F.lit("about"))
+            .when(did % 4 == 2,
+                  F.concat(F.lit("products/p"), did.cast("string")))
+            .otherwise(
+                F.concat(F.lit("blog/"), did.cast("string"),
+                         F.lit("/comments"))
+            ),
+        )
+    )
+    return L.crawl_traps(d.select(url.alias("url")))

@@ -451,3 +451,32 @@ def test_snapshot_diff_all_branches(spark):
         "https://a/z": "removed",
         "https://a/w": "added",
     }
+
+
+def test_url_template_and_crawl_traps(spark):
+    """Digit/hex collapse, query strip, empty-path default; the trap
+    host's calendar space folds to ONE template while the organic host
+    keeps distinct shapes."""
+    from corsearch_project_spark.operators.linkgraph import url_template
+
+    cases = [
+        ("https://h/cal/2026/08/19?sid=9", "/cal/N/N/N"),
+        ("https://h/p/" + "a1" * 20, "/p/H"),  # 40-char hex id
+        ("https://h", "/"),
+        ("https://h/a9b/x10y20", "/aNb/xNyN"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["t"] for r in df.select(url_template(F.col("url")).alias("t")).collect()]
+    assert got == [w for _, w in cases]
+
+    urls = spark.createDataFrame(
+        [(f"https://trap.com/cal/{2000+i}/{i%12}?s={i}",) for i in range(60)]
+        + [(f"https://ok.org/{p}",) for p in ("about", "contact", "blog/x")],
+        "url string",
+    )
+    stats = {r["host"]: r.asDict() for r in L.crawl_traps(urls).collect()}
+    assert stats["trap.com"]["n_templates"] == 1
+    assert stats["trap.com"]["urls_per_template"] == 60
+    assert stats["trap.com"]["top_template"] == "/cal/N/N"
+    assert stats["ok.org"]["n_templates"] == 3
+    assert stats["ok.org"]["urls_per_template"] == 1
