@@ -33,6 +33,7 @@ PURE_JVM_QUERIES = [
     "q_meta_robots",
     "q_snapshot_diff",
     "q_token_rarity",
+    "q_crawl_traps",
 ]
 
 
