@@ -90,6 +90,12 @@ BENCH_QUERIES = [
     "q_snapshot_diff",  # round 4: full-outer crawl delta
     "q_token_rarity",  # round 4: doc-corpus df join quality
     "q_crawl_traps",  # round 4: url-template trap census
+    "q_jsonld_types",  # round 4: JSON-LD entity census per host
+    "q_nofollow_edges",  # round 4: rel=nofollow-gated host edges
+    "q_html_tables",  # round 4: in-projection table stats fold
+    "q_mojibake",  # round 4: double-encoding QA census
+    "q_soft404",  # round 4: error-shell phrase+length audit
+    "q_image_assets",  # round 4: srcset-aware asset footprint
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

@@ -66,6 +66,70 @@ def host_edges(
     )
 
 
+# Full opening anchor tag (href first, the pinned subset order) so the
+# rel attribute — conventionally written after href — stays in the match.
+ANCHOR_OPEN_PATTERN = r'<a href="[^"]*"[^>]*>'
+# RE2/Java-portable token-boundary match: "nofollow" as a whole token
+# inside the space-separated rel value ("nofollower" must NOT match).
+NOFOLLOW_PATTERN = r'rel="([^"]* )?nofollow( [^"]*)?"'
+
+
+def anchor_rel(html: Column) -> Column:
+    """array<struct<href,nofollow>> — anchors with their rel=nofollow bit.
+
+    Same double-quoted-attribute subset as ``extract_hrefs``; the
+    nofollow probe is token-boundary-safe (``rel="nofollowed"`` does not
+    match). Pure codegen: full-tag pull then per-element re-extract
+    inside ``transform`` (paired captures need the two-step, same as
+    ``anchor_pairs``).
+    """
+    tags = F.regexp_extract_all(html, F.lit(ANCHOR_OPEN_PATTERN), F.lit(0))
+    return F.transform(
+        tags,
+        lambda t: F.struct(
+            F.regexp_extract(t, HREF_PATTERN, 1).alias("href"),
+            (F.regexp_extract(t, NOFOLLOW_PATTERN, 0) != "").alias(
+                "nofollow"
+            ),
+        ),
+    )
+
+
+def host_edges_rel(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_host, dst_host, n_links, n_followed) — nofollow-aware edges.
+
+    rel=nofollow is the publisher's own statement that a link is not an
+    endorsement (paid/UGC/spam), so ranking walks (pagerank, HITS) over
+    endorsement-gated graphs should weight by ``n_followed``, while
+    crawl-discovery keeps ``n_links`` — one relation serves both by
+    carrying both counts through the same single partial-agg shuffle as
+    ``host_edges``. Relative hrefs resolve to the page's own host (same
+    convention), so totals reconcile exactly with ``host_edges``.
+    """
+    src = url_host(F.col(url_col))
+    links = pages.select(
+        src.alias("src_host"),
+        F.explode(anchor_rel(F.col(html_col))).alias("a"),
+    )
+    dst = url_host(F.col("a.href"))
+    return (
+        links.select(
+            "src_host",
+            F.when(dst == "", F.col("src_host"))
+            .otherwise(dst)
+            .alias("dst_host"),
+            (~F.col("a.nofollow")).cast("int").alias("followed"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_links"),
+            F.sum("followed").cast("long").alias("n_followed"),
+        )
+    )
+
+
 def host_degrees(edges: DataFrame) -> DataFrame:
     """Per-host degree summary over the edge relation.
 

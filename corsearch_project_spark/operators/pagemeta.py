@@ -268,3 +268,51 @@ def meta_robots(html: Column) -> Column:
         (none | has("noindex")).alias("noindex"),
         (none | has("nofollow")).alias("nofollow"),
     )
+
+
+# Soft-404: the server said 200 but the page is an error shell. The
+# classic detector (Bar-Yossef et al., WWW 2004 "Sic transit gloria
+# telae") probes random non-existent URLs; at corpus scale the cheap
+# batch proxy is phrase evidence + a thin body. Phrases are probed on
+# the lowercased title AND body so template-cased variants match.
+SOFT404_PHRASES = (
+    "page not found",
+    "404",
+    "no longer available",
+    "does not exist",
+)
+
+
+def soft404(html: Column, text: Column, max_chars: int = 500) -> Column:
+    """Boolean: error-shell evidence (title or body phrase) AND a body
+    under ``max_chars`` — both conditions, because '404' alone appears in
+    legitimate prose and short pages alone are just stubs. Pure codegen.
+    """
+    hay = F.lower(F.concat(html_title(html), F.lit(" "), text))
+    hit = F.lit(False)
+    for p in SOFT404_PHRASES:
+        hit = hit | F.contains(hay, F.lit(p))
+    return hit & (F.length(text) < max_chars)
+
+
+def soft404_census(
+    pages: DataFrame,
+    host_col: str = "host",
+    html_col: str = "html",
+    text_col: str = "text",
+) -> DataFrame:
+    """(host, n_pages, n_soft404) — per-host error-shell rate.
+
+    Feeds two consumers: the recrawl scheduler (soft-404s are churn, not
+    content — deprioritize) and corpus curation (drop them before
+    training). One partial-agg shuffle; the flag is a scan-fused
+    projection."""
+    flag = soft404(F.col(html_col), F.col(text_col))
+    return (
+        pages.select(F.col(host_col).alias("host"), flag.alias("s"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.sum(F.col("s").cast("int")).cast("long").alias("n_soft404"),
+        )
+    )

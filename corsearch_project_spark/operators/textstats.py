@@ -342,3 +342,41 @@ def common_token_fraction(
             F.expr("(n_common_tok * 1000) div n_tok").alias("common_permille"),
         )
     )
+
+
+# Mojibake: UTF-8 bytes re-decoded as Latin-1/cp1252 leave a fingerprint —
+# every 2-byte UTF-8 sequence becomes 'Ã'/'Â' + trailer, every 3-byte
+# punctuation sequence becomes 'â€' + trailer. Counting those three lead
+# sequences (with any following char) catches the corruption regardless of
+# which original characters were mangled. '.' spans any codepoint on both
+# RE2 (DuckDB) and Java regex (Spark); matches are non-overlapping
+# left-to-right on both, so counts are cross-engine exact.
+MOJIBAKE_PATTERN = "(Ã.|Â.|â€.)"
+
+
+def mojibake_hits(text: Column) -> Column:
+    """Count of mojibake lead sequences in the text — pure codegen."""
+    return F.regexp_count(text, F.lit(MOJIBAKE_PATTERN)).cast("long")
+
+
+def mojibake_census(docs, host_col: str = "host", text_col: str = "text"):
+    """(host, n_docs, n_suspect, hits_total) — double-encoding QA rollup.
+
+    A host whose docs consistently carry mojibake was crawled with the
+    wrong charset (or its origin double-encodes): route it back through
+    charset re-detection (E2) rather than shipping corrupted text to
+    training. One partial-agg shuffle on host; the hit count is a
+    projection fused into the scan.
+    """
+    h = mojibake_hits(F.col(text_col))
+    return (
+        docs.select(F.col(host_col).alias("host"), h.alias("hits"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("hits") > 0).cast("int")).cast("long").alias(
+                "n_suspect"
+            ),
+            F.sum("hits").cast("long").alias("hits_total"),
+        )
+    )

@@ -10,6 +10,8 @@ from corsearch_project_spark.queries import textsim  # noqa: F401
 from corsearch_project_spark.queries import extensions  # noqa: F401
 from corsearch_project_spark.queries import analytics  # noqa: F401
 from corsearch_project_spark.queries import training  # noqa: F401
+from corsearch_project_spark.queries import structured  # noqa: F401
+from corsearch_project_spark.queries import webqa  # noqa: F401
 
 
 # The driver sweep caps at ~50 queries per round while the registry holds
@@ -25,8 +27,9 @@ from corsearch_project_spark.queries import training  # noqa: F401
 # round's window displaced PLUS the two late-round-4 registrations that
 # did not fit the 50-slot window (q_domain_quality, q_mixture_sample,
 # q_domain_cap, q_meta_robots, q_snapshot_diff, q_token_rarity,
-# q_crawl_traps; all already
-# exact-parity-green in pytest) — plus any round-5
+# q_crawl_traps, q_jsonld_types, q_nofollow_edges, q_html_tables,
+# q_mojibake, q_soft404, q_image_assets;
+# all already exact-parity-green in pytest) — plus any round-5
 # registrations, so the two-round guarantee keeps holding by
 # construction.
 _SWEEP_FIRST = [

@@ -1,0 +1,116 @@
+"""Crawl/corpus QA operators — mojibake, soft-404, image assets.
+
+The registry parity gate cross-checks q_mojibake / q_soft404 /
+q_image_assets against DuckDB on the synthesized corpus; this file pins
+the pieces on hand-written inputs (trailing lead sequences, phrase/length
+gate combinations, srcset microsyntax corners) plus plan shapes.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from corsearch_project_spark.operators import pagemeta as M
+from corsearch_project_spark.operators import structured as S
+from corsearch_project_spark.operators import textstats as X
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ------------------------------------------------------------ mojibake
+
+MOJI_CASES = [
+    ("cafÃ© â€œxâ€", 2),  # Ã© + â€œ; trailing â€ lacks a trailer
+    ("ÃÃÃ", 1),  # ÃÃ consumed, lone trailing Ã uncounted
+    ("plain ascii text", 0),
+    ("Â nbsp mojibake", 1),  # Â + nbsp trailer
+]
+
+
+@pytest.mark.parametrize("text,want", MOJI_CASES)
+def test_mojibake_hits(spark, text, want):
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(X.mojibake_hits(F.col("text")).alias("h")).head()["h"]
+    assert got == want, (text, got)
+
+
+def test_mojibake_census_branches(spark):
+    df = spark.createDataFrame(
+        [("a", "clean"), ("a", "cafÃ© naÃ¯ve"),
+         ("b", "clean too")],
+        "host string, text string",
+    )
+    got = {r["host"]: (r["n_docs"], r["n_suspect"], r["hits_total"])
+           for r in X.mojibake_census(df).collect()}
+    assert got == {"a": (2, 1, 2), "b": (1, 0, 0)}
+
+
+# ------------------------------------------------------------ soft-404
+
+SOFT404_CASES = [
+    # phrase in title, short body -> flagged
+    ("<title>404 Not Found</title>", "tiny", True),
+    # phrase in body, short -> flagged
+    ("<title>Oops</title>", "this page does not exist", True),
+    # phrase but long body -> NOT flagged (length gate)
+    ("<title>article</title>", "404 " + "w" * 600, False),
+    # short but clean -> NOT flagged (phrase gate)
+    ("<title>stub</title>", "short stub", False),
+]
+
+
+@pytest.mark.parametrize("html,text,want", SOFT404_CASES)
+def test_soft404_gates(spark, html, text, want):
+    df = spark.createDataFrame([(html, text)], "html string, text string")
+    got = df.select(
+        M.soft404(F.col("html"), F.col("text")).alias("s")).head()["s"]
+    assert got is want, (html, text, got)
+
+
+def test_soft404_projection_pure(spark):
+    df = spark.createDataFrame([("x", "y")], "html string, text string")
+    plan = _plan(df.select(M.soft404(F.col("html"), F.col("text"))))
+    assert "Exchange" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"):
+        assert marker not in plan, plan
+
+
+# -------------------------------------------------------- image assets
+
+def test_image_assets_src_and_srcset(spark):
+    html = (
+        '<img src="/i/a.png">'
+        '<img srcset="https://c.net/x-2x.jpg 2x, /i/x.png 1x" src="/i/x.png">'
+        '<img alt="no source">'
+        "<p>not an img</p>"
+    )
+    df = spark.createDataFrame([("https://h.com/p", html)],
+                               "url string, html string")
+    got = sorted(r["asset"] for r in S.image_assets(df).collect())
+    # srcset candidates split at first space; src-less tag contributes
+    # nothing; the duplicated /i/x.png ref is kept (refs, not distinct)
+    assert got == ["/i/a.png", "/i/x.png", "/i/x.png",
+                   "https://c.net/x-2x.jpg"]
+
+
+def test_image_asset_census_offsite_split(spark):
+    df = spark.createDataFrame(
+        [("https://h.com/1",
+          '<img src="https://cdn.net/a.jpg"><img src="/local.png">'
+          '<img src="https://h.com/self.png">'),
+         ("https://h.com/2", '<img src="https://cdn.net/a.jpg">')],
+        "url string, html string",
+    )
+    r = S.image_asset_census(df).head()
+    # 4 refs, 3 distinct assets, 1 offsite (cdn.net; the absolute
+    # same-host and relative assets are onsite)
+    assert (r["host"], r["n_refs"], r["n_assets"], r["n_offsite"]) == (
+        "h.com", 4, 3, 1)
+
+
+def test_image_assets_no_python_stage(spark):
+    df = spark.createDataFrame([("u", "x")], "url string, html string")
+    plan = _plan(S.image_assets(df))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"):
+        assert marker not in plan, plan
