@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "q_mojibake",  # round 4: double-encoding QA census
     "q_soft404",  # round 4: error-shell phrase+length audit
     "q_image_assets",  # round 4: srcset-aware asset footprint
+    "q_publish_dates",  # round 4: freshness source-priority census
+    "q_pagination_chains",  # round 4: distance-carrying pointer doubling
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

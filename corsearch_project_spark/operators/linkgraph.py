@@ -833,3 +833,90 @@ def crawl_traps(urls: DataFrame, min_urls: int = 100,
             F.col("top_template_n").cast("long").alias("top_template_n"),
         )
     )
+
+
+def paginate_chains(next_edges: DataFrame, max_len: int = 32) -> DataFrame:
+    """(url, head_url, pos, chain_len, resolved) — rel=next chain assembly.
+
+    ``next_edges`` is (src, dst): src declares ``<link rel="next">`` dst.
+    Multi-page articles must be reassembled before curation (each part
+    alone fails quality gates; concatenated they are one document), and
+    the chain id IS the head url. Inverting next gives each member ONE
+    predecessor pointer, so chain-head resolution is the redirect
+    resolver's pointer doubling — here extended to carry DISTANCE: each
+    round keeps (url, ptr, d) and the join adds the stepped-over hop
+    count (d += d[ptr]), so after ceil(log2(max_len)) rounds ``pos`` is
+    the exact offset from the head in O(log L) linear shuffles.
+
+    Heads (members with no inbound next) anchor at pos 0; a member whose
+    final pointer is NOT a head sits on a cycle or an over-long chain —
+    ``resolved`` false with ('', -1, -1) normalized outputs, exactly the
+    redirect resolver's drop-don't-loop policy. chain_len counts
+    resolved members per head (one more groupBy + broadcast-size join).
+    """
+    import math
+
+    src_urls = next_edges.select(F.col("src").alias("url"))
+    dst_urls = next_edges.select(F.col("dst").alias("url"))
+    members = src_urls.union(dst_urls).distinct()
+    heads = members.join(
+        dst_urls.distinct(), "url", "left_anti"
+    )
+
+    # prev relation: each dst's single predecessor, one hop away.
+    f = next_edges.select(
+        F.col("dst").alias("url"),
+        F.col("src").alias("ptr"),
+        F.lit(1).cast("long").alias("d"),
+    )
+    for _ in range(max(1, math.ceil(math.log2(max_len)))):
+        nxt = f.select(
+            F.col("url").alias("ptr"),
+            F.col("ptr").alias("ptr2"),
+            F.col("d").alias("d2"),
+        )
+        f = f.join(nxt, "ptr", "left").select(
+            "url",
+            F.coalesce(F.col("ptr2"), F.col("ptr")).alias("ptr"),
+            (F.col("d") + F.coalesce(F.col("d2"), F.lit(0))).alias("d"),
+        )
+
+    head_set = heads.select(F.col("url").alias("ptr")).withColumn(
+        "is_head", F.lit(True)
+    )
+    tails = f.join(head_set, "ptr", "left").select(
+        "url",
+        F.col("ptr").alias("head_url"),
+        F.col("d").alias("pos"),
+        F.coalesce(F.col("is_head"), F.lit(False)).alias("resolved"),
+    )
+    resolved = tails.where("resolved").select("url", "head_url", "pos")
+    head_rows = heads.select(
+        "url", F.col("url").alias("head_url"), F.lit(0).cast("long").alias("pos")
+    )
+    ok = resolved.union(head_rows)
+    sizes = ok.groupBy("head_url").agg(
+        F.count(F.lit(1)).cast("long").alias("chain_len")
+    )
+    ok_out = ok.join(sizes, "head_url").select(
+        "url", "head_url", "pos", "chain_len", F.lit(True).alias("resolved")
+    )
+    bad = tails.where(~F.col("resolved")).select(
+        "url",
+        F.lit("").alias("head_url"),
+        F.lit(-1).cast("long").alias("pos"),
+        F.lit(-1).cast("long").alias("chain_len"),
+        F.lit(False).alias("resolved"),
+    )
+    return ok_out.union(bad)
+
+
+NEXT_LINK_PATTERN = r'<link rel="next" href="([^"]*)"'
+
+
+def next_links(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """(src, dst) rel=next edges from page markup — scan-fused pull."""
+    dst = F.regexp_extract(F.col(html_col), NEXT_LINK_PATTERN, 1)
+    return pages.select(
+        F.col(url_col).alias("src"), dst.alias("dst")
+    ).where(F.col("dst") != "")

@@ -296,3 +296,270 @@ def q_image_assets(spark, sf_dir):
     )
 
     return image_asset_census(_img_pages_df(spark, sf_dir))
+
+
+# ---------------------------------------------------- publish-date audit
+
+# Arms by doc_id%4: 0 = article:published_time meta (day precision),
+# 1 = JSON-LD datePublished (day precision), 2 = /YYYY/MM/ url path
+# (month precision), 3 = undated. Dates derive from doc_id so hosts mix
+# sources and max_date is non-trivial.
+_SQL_DATE_PARTS = (
+    "CAST(2019 + doc_id % 5 AS VARCHAR)",
+    "lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')",
+    "lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')",
+)
+
+_SQL_DATED_PAGE = f"""
+    SELECT doc_id,
+           'h' || CAST(doc_id % 37 AS VARCHAR) AS host,
+           'https://h' || CAST(doc_id % 37 AS VARCHAR) || '.example.com'
+               || CASE WHEN doc_id % 4 = 2
+                       THEN '/' || {_SQL_DATE_PARTS[0]} || '/'
+                            || {_SQL_DATE_PARTS[1]} || '/post-'
+                            || CAST(doc_id AS VARCHAR)
+                       ELSE '/p/' || CAST(doc_id AS VARCHAR) END AS url,
+           CASE WHEN doc_id % 4 = 0
+                THEN '<html><head><meta property="article:published_time"'
+                     || ' content="' || {_SQL_DATE_PARTS[0]} || '-'
+                     || {_SQL_DATE_PARTS[1]} || '-' || {_SQL_DATE_PARTS[2]}
+                     || 'T10:00:00Z"></head></html>'
+                WHEN doc_id % 4 = 1
+                THEN '<html><head><script type="application/ld+json">'
+                     || '{{"@type":"Article","datePublished":"'
+                     || {_SQL_DATE_PARTS[0]} || '-' || {_SQL_DATE_PARTS[1]}
+                     || '-' || {_SQL_DATE_PARTS[2]}
+                     || '"}}</script></head></html>'
+                ELSE '<html><head><title>x</title></head></html>' END AS html
+    FROM documents
+"""
+
+
+def _dated_pages_df(spark, sf_dir):
+    did = F.col("doc_id")
+    y = (did % 5 + 2019).cast("string")
+    m = F.lpad((did % 12 + 1).cast("string"), 2, "0")
+    d = F.lpad((did % 28 + 1).cast("string"), 2, "0")
+    url = F.concat(
+        F.lit("https://h"),
+        (did % 37).cast("string"),
+        F.lit(".example.com"),
+        F.when(
+            did % 4 == 2,
+            F.concat(
+                F.lit("/"), y, F.lit("/"), m, F.lit("/post-"),
+                did.cast("string"),
+            ),
+        ).otherwise(F.concat(F.lit("/p/"), did.cast("string"))),
+    )
+    html = (
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(
+                    '<html><head><meta property="article:published_time"'
+                    ' content="'
+                ),
+                y, F.lit("-"), m, F.lit("-"), d,
+                F.lit('T10:00:00Z"></head></html>'),
+            ),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(
+                F.lit(
+                    '<html><head><script type="application/ld+json">'
+                    '{"@type":"Article","datePublished":"'
+                ),
+                y, F.lit("-"), m, F.lit("-"), d,
+                F.lit('"}</script></head></html>'),
+            ),
+        )
+        .otherwise(F.lit("<html><head><title>x</title></head></html>"))
+    )
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("h"), (did % 37).cast("string")).alias("host"),
+        url.alias("url"),
+        html.alias("html"),
+    )
+
+
+_SQL_JLD_DATE = (
+    "COALESCE(list_filter(list_transform("
+    "regexp_extract_all(html,"
+    " '<script type=\"application/ld\\+json\">(.*?)</script>', 1),"
+    " p -> json_extract_string(p, '$.datePublished')),"
+    " x -> x IS NOT NULL)[1], '')"
+)
+
+
+@query(
+    "q_publish_dates",
+    f"""
+    WITH p AS ({_SQL_DATED_PAGE}),
+    x AS (
+        SELECT host,
+               substr(regexp_extract(html,
+                   '<meta property="article:published_time"'
+                   || ' content="([^"]*)"', 1), 1, 10) AS meta_d,
+               substr({_SQL_JLD_DATE}, 1, 10) AS jld_d,
+               regexp_extract(url, '/((19|20)\\d\\d)/(\\d\\d)/', 1)
+                   AS u_year,
+               regexp_extract(url, '/((19|20)\\d\\d)/(\\d\\d)/', 3)
+                   AS u_month
+        FROM p
+    ),
+    s AS (
+        SELECT host,
+               CASE WHEN meta_d <> '' THEN meta_d
+                    WHEN jld_d <> '' THEN jld_d
+                    WHEN u_year <> ''
+                        THEN u_year || '-' || u_month || '-01'
+                    ELSE '' END AS date,
+               CASE WHEN meta_d <> '' THEN 'meta'
+                    WHEN jld_d <> '' THEN 'jsonld'
+                    WHEN u_year <> '' THEN 'url'
+                    ELSE 'none' END AS src
+        FROM x
+    )
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(SUM(CASE WHEN src = 'meta' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_meta,
+           CAST(SUM(CASE WHEN src = 'jsonld' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_jsonld,
+           CAST(SUM(CASE WHEN src = 'url' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_url,
+           CAST(SUM(CASE WHEN src = 'none' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_undated,
+           MAX(date) AS max_date
+    FROM s GROUP BY host
+    """,
+    doc="Publish-date extraction + freshness census: priority chain "
+    "article:published_time meta > JSON-LD datePublished (first block "
+    "carrying it, filter+get inside the projection — no explode) > "
+    "/YYYY/MM/ url path (month precision). All comparisons on ISO "
+    "strings (lexicographic == chronological, bit-identical across "
+    "engines where date parsing is not); per-host source-coverage "
+    "counts + string-max latest date feed the recrawl freshness prior. "
+    "Scan-fused codegen + one host shuffle "
+    "(operators/pagemeta.py freshness_census).",
+)
+def q_publish_dates(spark, sf_dir):
+    from corsearch_project_spark.operators.pagemeta import freshness_census
+
+    return freshness_census(_dated_pages_df(spark, sf_dir))
+
+
+# -------------------------------------------------- rel=next pagination
+
+# Four-part series: sid = doc_id div 4, part = doc_id % 4; parts 0-2
+# declare rel=next to part+1; in every 25th series part 3 points BACK to
+# part 0 (a cycle — no head, whole component unresolved), otherwise part
+# 3 ends the chain. An incomplete tail series just yields a shorter
+# chain — both engines derive edges from the same synthesis.
+# DuckDB quirk pinned by parity: under WITH RECURSIVE, a CTE whose body
+# is a top-level UNION loses its dedup (it parses as recursive-union
+# syntax even without self-reference), so the member CTE must use an
+# explicit SELECT DISTINCT over UNION ALL.
+_SQL_PAGED_PAGE = """
+    SELECT 'https://s' || CAST(doc_id // 4 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id % 4 AS VARCHAR) AS url,
+           CASE WHEN doc_id % 4 < 3
+                THEN '<link rel="next" href="https://s'
+                     || CAST(doc_id // 4 AS VARCHAR) || '.example.com/p/'
+                     || CAST(doc_id % 4 + 1 AS VARCHAR) || '">'
+                WHEN (doc_id // 4) % 25 = 0
+                THEN '<link rel="next" href="https://s'
+                     || CAST(doc_id // 4 AS VARCHAR)
+                     || '.example.com/p/0">'
+                ELSE '<html></html>' END AS html
+    FROM documents
+"""
+
+
+def _paged_pages_df(spark, sf_dir):
+    did = F.col("doc_id")
+    sid = (did / 4).cast("long")
+    part = did % 4
+    base = F.concat(
+        F.lit("https://s"), sid.cast("string"), F.lit(".example.com/p/")
+    )
+    html = (
+        F.when(
+            part < 3,
+            F.concat(
+                F.lit('<link rel="next" href="'),
+                base, (part + 1).cast("string"), F.lit('">'),
+            ),
+        )
+        .when(
+            sid % 25 == 0,
+            F.concat(
+                F.lit('<link rel="next" href="'), base, F.lit('0">'),
+            ),
+        )
+        .otherwise(F.lit("<html></html>"))
+    )
+    return t(spark, sf_dir, "documents").select(
+        F.concat(base, part.cast("string")).alias("url"),
+        html.alias("html"),
+    )
+
+
+@query(
+    "q_pagination_chains",
+    f"""
+    WITH RECURSIVE p AS ({_SQL_PAGED_PAGE}),
+    e AS (
+        SELECT url AS src,
+               regexp_extract(html, '<link rel="next" href="([^"]*)"', 1)
+                   AS dst
+        FROM p
+        WHERE regexp_extract(html,
+                  '<link rel="next" href="([^"]*)"', 1) <> ''
+    ),
+    m AS (
+        SELECT DISTINCT url FROM (
+            SELECT src AS url FROM e UNION ALL SELECT dst FROM e)
+    ),
+    heads AS (
+        SELECT url FROM m WHERE url NOT IN (SELECT dst FROM e)
+    ),
+    walk AS (
+        SELECT url AS head_url, url, 0 AS pos FROM heads
+        UNION ALL
+        SELECT w.head_url, e.dst, w.pos + 1
+        FROM walk w JOIN e ON e.src = w.url
+    ),
+    sizes AS (
+        SELECT head_url, COUNT(*) AS chain_len FROM walk GROUP BY 1
+    )
+    SELECT w.url, w.head_url,
+           CAST(w.pos AS BIGINT) AS pos,
+           CAST(s.chain_len AS BIGINT) AS chain_len,
+           TRUE AS resolved
+    FROM walk w JOIN sizes s USING (head_url)
+    UNION ALL
+    SELECT m.url, '' AS head_url,
+           CAST(-1 AS BIGINT) AS pos, CAST(-1 AS BIGINT) AS chain_len,
+           FALSE AS resolved
+    FROM m WHERE m.url NOT IN (SELECT url FROM walk)
+    """,
+    doc="rel=next pagination-chain assembly: multi-page articles must be "
+    "reassembled before curation (parts alone fail quality gates; the "
+    "chain head IS the document id). Inverted next edges give each "
+    "member one predecessor pointer; DISTANCE-carrying pointer doubling "
+    "(d += d[ptr] each round) resolves head + exact position in "
+    "O(log L) linear shuffles — the redirect resolver's trick extended "
+    "with offsets. Cycles (no head) normalize to ('', -1, -1, false), "
+    "the drop-don't-loop policy; oracle is the DuckDB recursive-CTE "
+    "walk from heads (operators/linkgraph.py paginate_chains).",
+)
+def q_pagination_chains(spark, sf_dir):
+    from corsearch_project_spark.operators.linkgraph import (
+        next_links, paginate_chains,
+    )
+
+    return paginate_chains(next_links(_paged_pages_df(spark, sf_dir)))

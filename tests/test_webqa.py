@@ -114,3 +114,96 @@ def test_image_assets_no_python_stage(spark):
     plan = _plan(S.image_assets(df))
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"):
         assert marker not in plan, plan
+
+
+# -------------------------------------------------------- publish dates
+
+def test_publish_date_priority_meta_over_jsonld_over_url(spark):
+    html = (
+        '<meta property="article:published_time" content="2024-05-06T10:00:00Z">'
+        '<script type="application/ld+json">'
+        '{"@type":"Article","datePublished":"2023-01-02"}</script>'
+    )
+    df = spark.createDataFrame(
+        [(f"https://h.com/2022/03/x", html)], "url string, html string")
+    r = df.select(M.publish_date(F.col("html"), F.col("url")).alias("p")
+                  ).head()["p"]
+    assert (r["date"], r["src"]) == ("2024-05-06", "meta")
+
+
+def test_publish_date_jsonld_first_dated_block(spark):
+    html = (
+        '<script type="application/ld+json">{"@type":"BreadcrumbList"}</script>'
+        '<script type="application/ld+json">'
+        '{"@type":"Article","datePublished":"2021-07-08T09:00:00+02:00"}'
+        "</script>"
+    )
+    df = spark.createDataFrame([("https://h.com/p", html)],
+                               "url string, html string")
+    r = df.select(M.publish_date(F.col("html"), F.col("url")).alias("p")
+                  ).head()["p"]
+    assert (r["date"], r["src"]) == ("2021-07-08", "jsonld")
+
+
+def test_publish_date_url_month_precision_and_none(spark):
+    df = spark.createDataFrame(
+        [("https://h.com/2019/11/post", "<html></html>"),
+         ("https://h.com/p/1", "<html></html>")],
+        "url string, html string")
+    got = {r["url"]: r["p"] for r in df.select(
+        "url", M.publish_date(F.col("html"), F.col("url")).alias("p")
+    ).collect()}
+    assert (got["https://h.com/2019/11/post"]["date"],
+            got["https://h.com/2019/11/post"]["src"]) == ("2019-11-01", "url")
+    assert (got["https://h.com/p/1"]["date"],
+            got["https://h.com/p/1"]["src"]) == ("", "none")
+
+
+def test_publish_date_projection_pure(spark):
+    df = spark.createDataFrame([("u", "h")], "url string, html string")
+    plan = _plan(df.select(M.publish_date(F.col("html"), F.col("url"))))
+    assert "Exchange" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"):
+        assert marker not in plan, plan
+
+
+# ----------------------------------------------------- pagination chains
+
+from corsearch_project_spark.operators import linkgraph as L
+
+
+def test_paginate_chains_positions_and_cycle(spark):
+    edges = spark.createDataFrame(
+        [("a1", "a2"), ("a2", "a3"), ("a3", "a4"),
+         ("b1", "b2"),
+         ("c1", "c2"), ("c2", "c1")],
+        "src string, dst string")
+    got = {r["url"]: (r["head_url"], r["pos"], r["chain_len"], r["resolved"])
+           for r in L.paginate_chains(edges).collect()}
+    assert got == {
+        "a1": ("a1", 0, 4, True), "a2": ("a1", 1, 4, True),
+        "a3": ("a1", 2, 4, True), "a4": ("a1", 3, 4, True),
+        "b1": ("b1", 0, 2, True), "b2": ("b1", 1, 2, True),
+        "c1": ("", -1, -1, False), "c2": ("", -1, -1, False),
+    }
+
+
+def test_paginate_chains_max_len_cap(spark):
+    """A chain longer than max_len hops stays unresolved past the cap:
+    after ceil(log2(4))=2 doubling rounds the pointer has jumped at most
+    4 hops, so the 6th page of a 6-chain cannot reach the head."""
+    edges = spark.createDataFrame(
+        [(f"a{i}", f"a{i+1}") for i in range(1, 6)],
+        "src string, dst string")
+    got = {r["url"]: r for r in L.paginate_chains(edges, max_len=4).collect()}
+    assert got["a5"]["resolved"] is True and got["a5"]["pos"] == 4
+    assert got["a6"]["resolved"] is False
+
+
+def test_next_links_extraction(spark):
+    df = spark.createDataFrame(
+        [("u1", '<link rel="next" href="u2"><link rel="stylesheet" href="c">'),
+         ("u2", "<html></html>")],
+        "url string, html string")
+    got = [(r["src"], r["dst"]) for r in L.next_links(df).collect()]
+    assert got == [("u1", "u2")]
