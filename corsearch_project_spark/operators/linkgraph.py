@@ -863,11 +863,15 @@ def paginate_chains(next_edges: DataFrame, max_len: int = 32) -> DataFrame:
         dst_urls.distinct(), "url", "left_anti"
     )
 
-    # prev relation: each dst's single predecessor, one hop away.
-    f = next_edges.select(
-        F.col("dst").alias("url"),
-        F.col("src").alias("ptr"),
-        F.lit(1).cast("long").alias("d"),
+    # prev relation: each dst's single predecessor, one hop away. Real
+    # markup yields one rel=next per page (src unique), but recrawl
+    # duplicates can point two pages at the same next — min(src) keeps
+    # the relation functional DETERMINISTICALLY rather than forking the
+    # doubling joins.
+    f = (
+        next_edges.groupBy(F.col("dst").alias("url"))
+        .agg(F.min("src").alias("ptr"))
+        .withColumn("d", F.lit(1).cast("long"))
     )
     for _ in range(max(1, math.ceil(math.log2(max_len)))):
         nxt = f.select(
