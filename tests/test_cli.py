@@ -129,3 +129,99 @@ def test_validate_table_pass_and_fail(spark, pages_src, tmp_path, capsys):
     assert "url_uniqueness" in checks
     assert "lineage_reconciliation" in checks
     assert "digest_integrity" in checks
+
+
+def test_audit_pages_cli(spark, pages_src, tmp_path, capsys):
+    """audit_pages: host-keyed QA census over a raw pages table.
+
+    Totals must reconcile with the per-host parquet, the html gate must
+    count every generated page (the fixture corpus is HTML+PDF mixed),
+    and a second run over the same input is deterministic."""
+    import audit_pages as A
+    from pyspark.sql import functions as F
+
+    out = os.path.join(str(tmp_path), "audit")
+    rc = A.main(["--input", pages_src, "--output", out])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # gen_pages(60) emits 63 raw rows: 60 urls + 3 re-crawl duplicates;
+    # the audit is over the RAW table, so it counts all 63
+    assert rep["pages"] == 63
+    assert 0 < rep["hosts"] <= 63
+    assert 0 <= rep["html_pages"] <= rep["pages"]
+    assert rep["soft404_pages"] <= rep["pages"]
+
+    hosts = spark.read.parquet(rep["audit_path"])
+    row = hosts.selectExpr(
+        "sum(n_pages) p", "sum(n_html) h", "sum(n_jsonld) j",
+        "sum(n_tables) t", "sum(n_img_refs) r"
+    ).head()
+    assert int(row["p"]) == rep["pages"]
+    assert int(row["h"]) == rep["html_pages"]
+    assert int(row["j"]) == rep["jsonld_blocks"]
+    assert int(row["t"]) == rep["tables"]
+    assert int(row["r"]) == rep["image_refs"]
+    # every host row is internally consistent
+    bad = hosts.filter(
+        (F.col("n_html") > F.col("n_pages"))
+        | (F.col("n_soft404") > F.col("n_pages"))
+        | (F.col("n_mojibake") > F.col("n_pages"))
+        | (F.col("n_dated") > F.col("n_pages"))
+        | (F.col("n_img_assets") > F.col("n_img_refs"))
+        | (F.col("n_img_offsite") > F.col("n_img_assets"))
+    ).count()
+    assert bad == 0
+
+    rc2 = A.main(["--input", pages_src, "--output", out + "2"])
+    assert rc2 == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rep.pop("audit_path"), rep2.pop("audit_path")
+    assert rep == rep2
+
+
+def test_audit_pages_nonzero_features(spark, tmp_path, capsys):
+    """gen_pages HTML carries no JSON-LD/tables/images, so the CLI test
+    above exercises only zero paths; this arm feeds hand-built pages and
+    pins every census column to its known value."""
+    import audit_pages as A
+
+    rows = [
+        # 2 jsonld blocks, 1 table (2 rows), 1 onsite + 1 offsite img, dated
+        ("https://a.example.com/2024/03/post",
+         '<html><head><script type="application/ld+json">'
+         '{"@type":"Article","datePublished":"2024-03-05"}</script>'
+         '<script type="application/ld+json">{"@type":"Org"}</script>'
+         '</head><body><table><tr><td>x</td></tr><tr><td>y</td></tr>'
+         '</table><img src="/i.png"><img src="https://cdn.other.com/j.png">'
+         "</body></html>",
+         "real body text " * 20),
+        # soft-404 page, no structure
+        ("https://a.example.com/gone",
+         "<html><body>404 page not found</body></html>", "404 not found"),
+        # PDF container: markup probes must be gated out
+        ("https://b.example.com/doc.pdf", "%PDF-1.4 fake", "pdf text"),
+    ]
+    src = os.path.join(str(tmp_path), "pages")
+    spark.createDataFrame(
+        [(u, h.encode(), t) for u, h, t in rows], "url string, html binary, text string"
+    ).write.parquet(src)
+
+    out = os.path.join(str(tmp_path), "audit")
+    rc = A.main(["--input", src, "--output", out])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["pages"] == 3 and rep["hosts"] == 2
+    assert rep["html_pages"] == 2          # the %PDF- row is gated out
+    assert rep["jsonld_blocks"] == 2
+    assert rep["tables"] == 1
+    assert rep["dated_pages"] == 1
+    assert rep["soft404_pages"] == 1
+    assert rep["image_refs"] == 2
+    assert rep["image_assets"] == 2
+
+    hosts = {r["host"]: r for r in spark.read.parquet(rep["audit_path"]).collect()}
+    a = hosts["a.example.com"]
+    assert a["n_table_rows"] == 2
+    assert a["n_img_offsite"] == 1
+    assert a["max_pub_date"] in ("2024-03-05", "2024-03-01")
