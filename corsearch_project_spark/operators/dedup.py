@@ -493,3 +493,74 @@ def substring_dup_stats(
             6,
         ).alias("dup_fraction"),
     )
+
+
+def mirror_hosts(
+    docs: DataFrame,
+    host_col: str = "host",
+    digest_col: str = "digest",
+    min_shared: int = 3,
+    max_hosts_per_digest: int = 8,
+) -> DataFrame:
+    """Mirror-host detection (Bharat & Broder WWW'99 shape): host pairs
+    that serve many byte-identical documents are the same site behind
+    two names — crawl one, skip the other, and collapse both out of the
+    training corpus before per-domain caps are applied (a mirrored site
+    otherwise gets 2x its cap).
+
+    -> (host_a, host_b, n_shared, overlap_permille), host_a < host_b,
+    n_shared >= min_shared. overlap_permille = shared digests * 1000 /
+    the SMALLER host's distinct-digest count (containment, not Jaccard:
+    a small mirror of a big site must still score ~1000).
+
+    Plan: one partial-agg distinct on (host, digest); per-digest host
+    counts ride the same keying, and digests on > max_hosts_per_digest
+    hosts are dropped BEFORE pairing — those are vendor default pages /
+    parked-domain shells whose pair fan-out is quadratic in host count
+    and which say nothing about mirroring (same cap discipline as the
+    LSH band caps). The self-join then fans out at most C(cap, 2) pairs
+    per digest — linear shuffle volume end-to-end — and the pair census
+    is one (host_a, host_b) partial agg. Per-host sizes broadcast back
+    onto the pair relation (#qualifying host pairs << corpus).
+    Integer permille keeps the oracle twin bit-exact across engines.
+    """
+    from pyspark.sql import Window
+
+    hd = docs.select(
+        F.col(host_col).alias("host"), F.col(digest_col).alias("digest")
+    ).distinct()
+    hd = hd.withColumn(
+        "n_hosts", F.count(F.lit(1)).over(Window.partitionBy("digest"))
+    ).where(F.col("n_hosts") <= max_hosts_per_digest).drop("n_hosts")
+    sizes = hd.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_digests")
+    )
+    a, b = hd.alias("a"), hd.alias("b")
+    pairs = (
+        a.join(b, "digest")
+        .where(F.col("a.host") < F.col("b.host"))
+        .groupBy(
+            F.col("a.host").alias("host_a"), F.col("b.host").alias("host_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    sa = F.broadcast(sizes.withColumnRenamed("n_digests", "na"))
+    sb = F.broadcast(
+        sizes.select(
+            F.col("host").alias("host_b"), F.col("n_digests").alias("nb")
+        )
+    )
+    return (
+        pairs.join(sa, pairs["host_a"] == sa["host"])
+        .drop("host")
+        .join(sb, "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            "n_shared",
+            F.expr("(n_shared * 1000) div least(na, nb)")
+            .cast("long")
+            .alias("overlap_permille"),
+        )
+    )

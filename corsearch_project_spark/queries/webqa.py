@@ -563,3 +563,107 @@ def q_pagination_chains(spark, sf_dir):
     )
 
     return paginate_chains(next_links(_paged_pages_df(spark, sf_dir)))
+
+
+# --------------------------------------------------- mirror-host census
+
+# Deterministic host/digest relation: every doc lives on h{doc_id%7};
+# doc_id%4==0 docs are mirrored onto m{doc_id%7} (the true-mirror arm,
+# ~18 shared digests per (h_k, m_k) pair), doc_id%4==1 docs give the m
+# hosts PRIVATE digests so containment lands mid-scale instead of a
+# constant 1000; doc_id%50==0 docs scatter onto x{doc_id%3} (sub-
+# threshold pairs, pinning the min_shared filter); and a 'common0'
+# digest lands on all seven h hosts (> cap 4), pinning the vendor-
+# default-page drop BEFORE pairing.
+_SQL_MIRROR_DOCS = """
+    SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+           'c' || CAST(doc_id AS VARCHAR) AS digest
+    FROM documents
+    UNION ALL
+    SELECT 'm' || CAST(doc_id % 7 AS VARCHAR),
+           'c' || CAST(doc_id AS VARCHAR)
+    FROM documents WHERE doc_id % 4 = 0
+    UNION ALL
+    SELECT 'm' || CAST(doc_id % 7 AS VARCHAR),
+           'priv' || CAST(doc_id AS VARCHAR)
+    FROM documents WHERE doc_id % 4 = 1
+    UNION ALL
+    SELECT 'x' || CAST(doc_id % 3 AS VARCHAR),
+           'c' || CAST(doc_id AS VARCHAR)
+    FROM documents WHERE doc_id % 50 = 0
+    UNION ALL
+    SELECT 'h' || CAST(doc_id % 7 AS VARCHAR), 'common0'
+    FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _mirror_docs_df(spark, sf_dir):
+    did = F.col("doc_id")
+    d = t(spark, sf_dir, "documents")
+    h = F.concat(F.lit("h"), (did % 7).cast("string"))
+    m = F.concat(F.lit("m"), (did % 7).cast("string"))
+    c = F.concat(F.lit("c"), did.cast("string"))
+    base = d.select(h.alias("host"), c.alias("digest"))
+    mirrored = d.where(did % 4 == 0).select(m.alias("host"), c.alias("digest"))
+    private = d.where(did % 4 == 1).select(
+        m.alias("host"),
+        F.concat(F.lit("priv"), did.cast("string")).alias("digest"),
+    )
+    scatter = d.where(did % 50 == 0).select(
+        F.concat(F.lit("x"), (did % 3).cast("string")).alias("host"),
+        c.alias("digest"),
+    )
+    common = d.where(did % 10 == 0).select(
+        h.alias("host"), F.lit("common0").alias("digest")
+    )
+    return base.unionAll(mirrored).unionAll(private).unionAll(scatter).unionAll(common)
+
+
+@query(
+    "q_mirror_hosts",
+    f"""
+    WITH p AS ({_SQL_MIRROR_DOCS}),
+    hd AS (SELECT DISTINCT host, digest FROM p),
+    capped AS (
+        SELECT host, digest FROM (
+            SELECT host, digest,
+                   COUNT(*) OVER (PARTITION BY digest) AS nh
+            FROM hd
+        ) WHERE nh <= 4
+    ),
+    sizes AS (SELECT host, COUNT(*) AS nd FROM capped GROUP BY host),
+    pairs AS (
+        SELECT a.host AS host_a, b.host AS host_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM capped a JOIN capped b
+          ON a.digest = b.digest AND a.host < b.host
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 3
+    )
+    SELECT host_a, host_b, n_shared,
+           CAST((n_shared * 1000) // least(sa.nd, sb.nd) AS BIGINT)
+               AS overlap_permille
+    FROM pairs
+    JOIN sizes sa ON pairs.host_a = sa.host
+    JOIN sizes sb ON pairs.host_b = sb.host
+    """,
+    doc="mirror-host detection (Bharat & Broder WWW'99 shape): host "
+    "pairs serving many byte-identical documents are one site behind "
+    "two names — crawl one, skip the other, and collapse both before "
+    "per-domain caps (a mirrored site otherwise gets 2x its cap). One "
+    "partial-agg distinct on (host, digest); per-digest host counts "
+    "ride the same keying and digests on > cap hosts (vendor default "
+    "pages — quadratic pair fan-out, zero mirroring signal) drop "
+    "BEFORE pairing, so the digest self-join fans out at most C(cap,2) "
+    "pairs per digest — linear shuffle volume. Containment permille "
+    "(shared * 1000 div smaller host's corpus) via integer div keeps "
+    "the oracle bit-exact (operators/dedup.py mirror_hosts).",
+)
+def q_mirror_hosts(spark, sf_dir):
+    from corsearch_project_spark.operators.dedup import mirror_hosts
+
+    return mirror_hosts(
+        _mirror_docs_df(spark, sf_dir),
+        min_shared=3,
+        max_hosts_per_digest=4,
+    )

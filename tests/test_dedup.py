@@ -22,3 +22,58 @@ def test_substring_dup_interval_union(spark):
     assert got[2]["dup_tokens"] == 0
     assert got[3]["dup_tokens"] == 0 and got[3]["dup_fraction"] == 0.0
     assert abs(got[0]["dup_fraction"] - round(10 / 13, 6)) < 1e-12
+
+
+def test_mirror_hosts_branches(spark):
+    """Hand corpus pinning every mirror_hosts branch: a true mirror pair
+    (containment 1000 despite the big host's larger corpus), a partial
+    mirror below full containment, a sub-threshold pair, and a vendor
+    default page shared by too many hosts (capped out BEFORE pairing —
+    it must neither create pairs nor count toward host sizes)."""
+    from corsearch_project_spark.operators.dedup import mirror_hosts
+
+    rows = (
+        # big.com: 6 docs; tiny-mirror.com serves 3 of them and nothing
+        # else -> containment = 3/3 = 1000 even though big has 6
+        [("big.com", f"d{i}") for i in range(6)]
+        + [("tiny-mirror.com", f"d{i}") for i in range(3)]
+        # partial.com shares 3 of its 6 docs with big.com
+        + [("partial.com", f"d{i}") for i in range(3, 6)]
+        + [("partial.com", f"p{i}") for i in range(3)]
+        # weak.com shares only 2 with big.com -> below min_shared=3
+        + [("weak.com", "d0"), ("weak.com", "d1"), ("weak.com", "w0")]
+        # 'apache-default' on 5 hosts > cap 4 -> dropped pre-pairing
+        + [(h, "apache-default")
+           for h in ("big.com", "tiny-mirror.com", "partial.com",
+                     "weak.com", "other.com")]
+        # duplicate (host, digest) rows must not inflate counts
+        + [("big.com", "d0"), ("tiny-mirror.com", "d0")]
+    )
+    df = spark.createDataFrame(rows, "host string, digest string")
+    got = {
+        (r["host_a"], r["host_b"]): r
+        for r in mirror_hosts(df, min_shared=3, max_hosts_per_digest=4).collect()
+    }
+    assert set(got) == {
+        ("big.com", "tiny-mirror.com"),
+        ("big.com", "partial.com"),
+    }
+    tiny = got[("big.com", "tiny-mirror.com")]
+    assert (tiny["n_shared"], tiny["overlap_permille"]) == (3, 1000)
+    part = got[("big.com", "partial.com")]
+    # partial has 6 digests (apache-default capped out), shares 3 -> 500
+    assert (part["n_shared"], part["overlap_permille"]) == (3, 500)
+
+
+def test_mirror_hosts_plan_no_cartesian(spark):
+    """The digest self-join must stay an equi-join (cap bounds fan-out);
+    a cartesian/BNLJ in this plan would be quadratic at corpus scale."""
+    from corsearch_project_spark.operators.dedup import mirror_hosts
+
+    df = spark.createDataFrame(
+        [("h%d" % (i % 5), "d%d" % (i % 20)) for i in range(100)],
+        "host string, digest string",
+    )
+    plan = mirror_hosts(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
