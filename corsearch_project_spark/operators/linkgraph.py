@@ -924,3 +924,74 @@ def next_links(pages: DataFrame, url_col: str = "url", html_col: str = "html") -
     return pages.select(
         F.col(url_col).alias("src"), dst.alias("dst")
     ).where(F.col("dst") != "")
+
+
+def link_spam_features(edges: DataFrame) -> DataFrame:
+    """Nepotistic-link features per source host (Fetterly et al. 2004 /
+    Davison 2000 'recognizing nepotistic links'): the cheap structural
+    signals that separate link farms from organic sites, feeding the
+    quality prior alongside C13's PageRank — a host whose outlinks are
+    mostly self-links, concentrated on one partner, or fully reciprocated
+    is linking for rank, not for readers.
+
+    edges (src_host, dst_host, n_links) ->
+      (host, n_out_links, out_hosts, self_permille, top_dst_permille,
+       recip_permille)
+    where self_permille = self-link anchors / all anchors,
+    top_dst_permille = largest single non-self destination's share of
+    non-self anchors (link concentration), recip_permille = fraction of
+    distinct non-self out-neighbors that link back (the mutual-admiration
+    signal). Integer permille (div) for bit-exact oracle twins.
+
+    Plan: three partial aggs keyed src_host over the (already host-level)
+    edge relation, plus ONE equi-semi-join of the non-self edges against
+    their own reversal on (dst_host, src_host) for reciprocity — linear
+    shuffle volume in |edges|; the per-host aggregates joined at the end
+    are #hosts-sized, orders smaller than the edge relation.
+    """
+    src, dst = F.col("src_host"), F.col("dst_host")
+    nonself = edges.where(src != dst)
+    tot = edges.groupBy(src.alias("host")).agg(
+        F.sum("n_links").cast("long").alias("n_out_links")
+    )
+    agg = nonself.groupBy(src.alias("host")).agg(
+        F.sum("n_links").cast("long").alias("total_out"),
+        F.count(F.lit(1)).cast("long").alias("out_hosts"),
+        F.max("n_links").cast("long").alias("top_dst"),
+    )
+    reversed_ = nonself.select(
+        dst.alias("src_host"), src.alias("dst_host")
+    )
+    rc = (
+        nonself.join(reversed_, ["src_host", "dst_host"], "left_semi")
+        .groupBy(src.alias("host"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_recip"))
+    )
+    j = (
+        tot.join(agg, "host", "left")
+        .join(rc, "host", "left")
+        .select(
+            "host",
+            "n_out_links",
+            F.coalesce("out_hosts", F.lit(0)).cast("long").alias("out_hosts"),
+            F.coalesce("total_out", F.lit(0)).alias("total_out"),
+            F.coalesce("top_dst", F.lit(0)).alias("top_dst"),
+            F.coalesce("n_recip", F.lit(0)).alias("n_recip"),
+        )
+    )
+    return j.select(
+        "host",
+        "n_out_links",
+        "out_hosts",
+        F.expr(
+            "((n_out_links - total_out) * 1000) div n_out_links"
+        ).cast("long").alias("self_permille"),
+        F.expr(
+            "CASE WHEN total_out > 0 THEN (top_dst * 1000) div total_out "
+            "ELSE 0 END"
+        ).cast("long").alias("top_dst_permille"),
+        F.expr(
+            "CASE WHEN out_hosts > 0 THEN (n_recip * 1000) div out_hosts "
+            "ELSE 0 END"
+        ).cast("long").alias("recip_permille"),
+    )

@@ -2409,3 +2409,57 @@ def q_crawl_traps(spark, sf_dir):
         )
     )
     return L.crawl_traps(d.select(url.alias("url")))
+
+
+@query(
+    "q_link_spam",
+    f"""
+    WITH {_sql_edges(_sql_page(external=True))},
+    ns AS (SELECT * FROM edges WHERE src_host <> dst_host),
+    tot AS (
+        SELECT src_host AS host, CAST(SUM(n_links) AS BIGINT) AS n_out_links
+        FROM edges GROUP BY 1
+    ),
+    agg AS (
+        SELECT src_host AS host, SUM(n_links) AS total_out,
+               COUNT(*) AS out_hosts, MAX(n_links) AS top_dst
+        FROM ns GROUP BY 1
+    ),
+    rc AS (
+        SELECT a.src_host AS host, COUNT(*) AS n_recip
+        FROM ns a
+        WHERE EXISTS (SELECT 1 FROM ns b
+                      WHERE b.src_host = a.dst_host
+                        AND b.dst_host = a.src_host)
+        GROUP BY a.src_host
+    )
+    SELECT t.host, t.n_out_links,
+           CAST(COALESCE(g.out_hosts, 0) AS BIGINT) AS out_hosts,
+           CAST((t.n_out_links - COALESCE(g.total_out, 0)) * 1000
+                // t.n_out_links AS BIGINT) AS self_permille,
+           CAST(CASE WHEN COALESCE(g.total_out, 0) > 0
+                     THEN g.top_dst * 1000 // g.total_out
+                     ELSE 0 END AS BIGINT) AS top_dst_permille,
+           CAST(CASE WHEN COALESCE(g.out_hosts, 0) > 0
+                     THEN COALESCE(r.n_recip, 0) * 1000 // g.out_hosts
+                     ELSE 0 END AS BIGINT) AS recip_permille
+    FROM tot t
+    LEFT JOIN agg g ON t.host = g.host
+    LEFT JOIN rc r ON t.host = r.host
+    """,
+    doc="nepotistic-link features per source host (Fetterly'04 / "
+    "Davison'00): self-link share, single-destination concentration, "
+    "reciprocated-neighbor fraction — the structural link-farm signals "
+    "feeding the quality prior beside C13's PageRank. Three partial "
+    "aggs keyed src_host + ONE equi-semi-join of non-self edges against "
+    "their reversal; per-host aggregates joined at the end are "
+    "#hosts-sized. External sink hosts exercise the zero-reciprocity "
+    "branch; '/about' self-links the self_permille branch "
+    "(operators/linkgraph.py link_spam_features).",
+)
+def q_link_spam(spark, sf_dir):
+    from corsearch_project_spark.operators import linkgraph as L
+
+    return L.link_spam_features(
+        L.host_edges(_pages_df(spark, sf_dir, external=True))
+    )

@@ -480,3 +480,48 @@ def test_url_template_and_crawl_traps(spark):
     assert stats["trap.com"]["top_template"] == "/cal/N/N"
     assert stats["ok.org"]["n_templates"] == 3
     assert stats["ok.org"]["urls_per_template"] == 1
+
+
+def test_link_spam_features_branches(spark):
+    """Hand graph pinning every link_spam_features branch: a link-farm
+    pair (full reciprocity + total concentration), an organic host
+    (spread links, partial reciprocity), a pure self-linker (zero
+    non-self out -> both ELSE-0 guards), and self-link share math."""
+    from corsearch_project_spark.operators.linkgraph import link_spam_features
+
+    edges = spark.createDataFrame(
+        [
+            # farm1 <-> farm2: all eggs in one basket, fully reciprocated
+            ("farm1", "farm2", 40), ("farm1", "farm1", 10),
+            ("farm2", "farm1", 40),
+            # organic: 4 destinations, one links back, some self links
+            ("organic", "a", 5), ("organic", "b", 3), ("organic", "c", 1),
+            ("organic", "farm1", 1), ("organic", "organic", 10),
+            ("a", "organic", 2),
+            # hermit: only self links
+            ("hermit", "hermit", 7),
+        ],
+        "src_host string, dst_host string, n_links long",
+    )
+    got = {r["host"]: r for r in link_spam_features(edges).collect()}
+
+    f1 = got["farm1"]
+    assert (f1["n_out_links"], f1["out_hosts"]) == (50, 1)
+    assert f1["self_permille"] == 200          # 10/50
+    assert f1["top_dst_permille"] == 1000      # all non-self to farm2
+    assert f1["recip_permille"] == 1000        # farm2 links back
+
+    org = got["organic"]
+    assert (org["n_out_links"], org["out_hosts"]) == (20, 4)
+    assert org["self_permille"] == 500         # 10/20
+    assert org["top_dst_permille"] == 500      # 5 of 10 non-self to 'a'
+    assert org["recip_permille"] == 250        # 1 of 4 neighbors (a) back
+
+    h = got["hermit"]
+    assert (h["n_out_links"], h["out_hosts"]) == (7, 0)
+    assert h["self_permille"] == 1000
+    assert h["top_dst_permille"] == 0 and h["recip_permille"] == 0
+
+    # 'a' links only to organic, reciprocated; 'farm2' fully reciprocated
+    assert got["a"]["recip_permille"] == 1000
+    assert got["farm2"]["recip_permille"] == 1000
