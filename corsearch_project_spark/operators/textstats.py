@@ -380,3 +380,68 @@ def mojibake_census(docs, host_col: str = "host", text_col: str = "text"):
             F.sum("hits").cast("long").alias("hits_total"),
         )
     )
+
+
+# ------------------------------------------------- wordlist blocklisting
+
+import re as _re
+
+
+def blocklist_hits(text: Column, terms: tuple[str, ...]) -> Column:
+    """Whole-word, case-insensitive hit count of ``terms`` in ``text`` —
+    the C4 "bad words" filter primitive (Raffel et al. 2020 drop any doc
+    containing a listed word; RefinedWeb keeps the same shape). The term
+    list is compiled into ONE alternation regex in the plan (pure
+    codegen, no broadcast, no Python): ``\\b(t1|t2|...)\\b`` over the
+    lowercased text. ``\\b`` and non-capturing alternation behave
+    identically in Java regex and RE2, so the DuckDB oracle twin counts
+    the same matches. Terms are regex-escaped; the deploy seam is the
+    caller's list — the repo ships NO embedded vocabulary (lists are
+    deployment policy, not engine code).
+    """
+    if not terms:
+        return F.lit(0).cast("long")
+    alt = "|".join(_re.escape(t.lower()) for t in sorted(terms))
+    return F.regexp_count(F.lower(text), F.lit(rf"\b(?:{alt})\b")).cast("long")
+
+
+def host_blocked(url: Column, domains: tuple[str, ...]) -> Column:
+    """TRUE when the url's host equals, or is a subdomain of, any entry
+    in ``domains`` (the RefinedWeb URL-blocklist arm). Same literal-
+    suffix-array discipline as functions/psl.py: the list compiles into
+    the plan as equality/endswith terms — no join, no Python. At deploy
+    scale (the public ~4.6M-domain UT1 list) swap this for a broadcast
+    semi-join on registrable domain; the seam is this function.
+    """
+    host = F.lower(F.regexp_extract(url, r"^https?://([^/?#]+)", 1))
+    host = F.regexp_replace(host, r":\d+$", "")
+    cond = F.lit(False)
+    for d in sorted(domains):
+        dl = d.lower()
+        cond = cond | (host == dl) | host.endswith("." + dl)
+    return cond
+
+
+def blocklist_census(
+    docs,
+    terms: tuple[str, ...],
+    domains: tuple[str, ...],
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    text_col: str = "text",
+):
+    """Per-doc blocklist verdict: (id, term_hits, url_blocked, keep)
+    where keep = zero term hits AND unblocked host — the C4 drop policy.
+    One pure-codegen projection; the downstream filter is a pushed
+    predicate, so at 10^12 docs the dropped rows never leave the scan
+    stage of whatever consumes this.
+    """
+    return docs.select(
+        id_col,
+        blocklist_hits(F.col(text_col), terms).alias("term_hits"),
+        host_blocked(F.col(url_col), domains).alias("url_blocked"),
+        (
+            (blocklist_hits(F.col(text_col), terms) == 0)
+            & ~host_blocked(F.col(url_col), domains)
+        ).alias("keep"),
+    )

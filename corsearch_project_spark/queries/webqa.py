@@ -667,3 +667,99 @@ def q_mirror_hosts(spark, sf_dir):
         min_shared=3,
         max_hosts_per_digest=4,
     )
+
+
+# ---------------------------------------------- wordlist blocklist census
+
+# Placeholder vocabulary: the engine ships NO embedded word list (lists
+# are deployment policy); the fixture exercises the machinery with two
+# invented tokens. Arms: single hit, mixed-case double hit, second term,
+# and a 'zorblaxes' near-miss pinning the \b whole-word boundary. URL
+# arms: exact blocked host, subdomain (blocked), 'notbad.' prefix that
+# must NOT match (suffix discipline), clean hosts.
+_BL_TERMS = ("zorblax", "quuxad")
+_BL_DOMAINS = ("bad.site.example",)
+
+_SQL_BLOCKLIST_DOCS = """
+    SELECT doc_id,
+           'https://' || CASE WHEN doc_id % 13 = 0 THEN 'bad.site.example'
+                WHEN doc_id % 13 = 1 THEN 'sub.bad.site.example'
+                WHEN doc_id % 13 = 2 THEN 'notbad.site.example'
+                ELSE 'ok' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                END || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+           CASE WHEN doc_id % 9 = 0 THEN text || ' zorblax'
+                WHEN doc_id % 9 = 3 THEN text || ' Zorblax noted zorblax.'
+                WHEN doc_id % 9 = 6 THEN text || ' quuxad'
+                WHEN doc_id % 9 = 1 THEN text || ' zorblaxes'
+                ELSE text END AS text
+    FROM documents
+"""
+
+
+def _blocklist_docs_df(spark, sf_dir):
+    did = F.col("doc_id")
+    host = (
+        F.when(did % 13 == 0, F.lit("bad.site.example"))
+        .when(did % 13 == 1, F.lit("sub.bad.site.example"))
+        .when(did % 13 == 2, F.lit("notbad.site.example"))
+        .otherwise(
+            F.concat(F.lit("ok"), (did % 7).cast("string"),
+                     F.lit(".example.com"))
+        )
+    )
+    text = (
+        F.when(did % 9 == 0, F.concat(F.col("text"), F.lit(" zorblax")))
+        .when(did % 9 == 3,
+              F.concat(F.col("text"), F.lit(" Zorblax noted zorblax.")))
+        .when(did % 9 == 6, F.concat(F.col("text"), F.lit(" quuxad")))
+        .when(did % 9 == 1, F.concat(F.col("text"), F.lit(" zorblaxes")))
+        .otherwise(F.col("text"))
+    )
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/p/"),
+                 did.cast("string")).alias("url"),
+        text.alias("text"),
+    )
+
+
+@query(
+    "q_blocklist",
+    f"""
+    WITH p AS ({_SQL_BLOCKLIST_DOCS}),
+    h AS (
+        SELECT doc_id,
+               regexp_replace(lower(regexp_extract(url,
+                   '^https?://([^/?#]+)', 1)), ':\\d+$', '') AS host,
+               text
+        FROM p
+    ),
+    v AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text),
+                   '\\b(?:quuxad|zorblax)\\b')) AS BIGINT) AS term_hits,
+               (host = 'bad.site.example'
+                OR ends_with(host, '.bad.site.example')) AS url_blocked
+        FROM h
+    )
+    SELECT doc_id, term_hits, url_blocked,
+           (term_hits = 0 AND NOT url_blocked) AS keep
+    FROM v
+    """,
+    doc="C4-style blocklist curation (Raffel et al. 2020 badwords drop "
+    "+ RefinedWeb URL blocklist): whole-word case-insensitive term "
+    "hits via ONE alternation regex compiled into the plan (no "
+    "broadcast, no Python), host-suffix domain blocking via the "
+    "literal-suffix discipline of functions/psl.py; keep = zero hits "
+    "AND unblocked host, a pushed predicate downstream. The engine "
+    "ships no embedded vocabulary — lists are deployment policy; the "
+    "fixture's invented tokens pin \\b boundaries (zorblaxes near-"
+    "miss), mixed case, and the notbad. suffix negative "
+    "(operators/textstats.py blocklist_census).",
+)
+def q_blocklist(spark, sf_dir):
+    from corsearch_project_spark.operators.textstats import blocklist_census
+
+    return blocklist_census(
+        _blocklist_docs_df(spark, sf_dir), _BL_TERMS, _BL_DOMAINS
+    )

@@ -207,3 +207,64 @@ def test_next_links_extraction(spark):
         "url string, html string")
     got = [(r["src"], r["dst"]) for r in L.next_links(df).collect()]
     assert got == [("u1", "u2")]
+
+
+# ----------------------------------------------------------- blocklist
+
+BL_CASES = [
+    # (url, text, term_hits, url_blocked)
+    ("https://ok.example.com/a", "clean prose here", 0, False),
+    ("https://ok.example.com/b", "has zorblax once", 1, False),
+    ("https://ok.example.com/c", "Zorblax, ZORBLAX and quuxad", 3, False),
+    ("https://ok.example.com/d", "zorblaxes quuxads", 0, False),  # \b
+    ("https://ok.example.com/e", "pre-zorblax hyphen", 1, False),
+    ("https://bad.site.example/x", "clean", 0, True),
+    ("https://deep.sub.bad.site.example/y", "clean", 0, True),
+    ("https://notbad.site.example/z", "clean", 0, False),
+    ("https://bad.site.example:8080/p", "clean", 0, True),  # port strip
+]
+
+
+def test_blocklist_census_matrix(spark):
+    from corsearch_project_spark.operators.textstats import blocklist_census
+
+    df = spark.createDataFrame(
+        [(i, u, t) for i, (u, t, _, _) in enumerate(BL_CASES)],
+        "doc_id long, url string, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in blocklist_census(
+            df, ("zorblax", "quuxad"), ("bad.site.example",)
+        ).collect()
+    }
+    for i, (_, _, hits, blocked) in enumerate(BL_CASES):
+        r = got[i]
+        assert (r["term_hits"], r["url_blocked"]) == (hits, blocked), i
+        assert r["keep"] == (hits == 0 and not blocked), i
+
+
+def test_blocklist_empty_terms_and_plan(spark):
+    """Empty term list -> zero hits everywhere; the census must stay a
+    pure projection (no Python stage, no exchange) — regex-escaping must
+    neutralize metacharacters in supplied terms."""
+    from corsearch_project_spark.operators.textstats import blocklist_census
+
+    df = spark.createDataFrame(
+        [(0, "https://a.example/x", "a.b matches nothing literal")],
+        "doc_id long, url string, text string",
+    )
+    row = blocklist_census(df, (), ()).head()
+    assert (row["term_hits"], row["url_blocked"], row["keep"]) == (0, False, True)
+
+    # 'a.b' as a term must match only the literal 'a.b', not 'aXb'
+    df2 = spark.createDataFrame(
+        [(0, "https://a.example/x", "a.b but not axb")],
+        "doc_id long, url string, text string",
+    )
+    assert blocklist_census(df2, ("a.b",), ()).head()["term_hits"] == 1
+
+    plan = _plan(blocklist_census(df, ("t1",), ("d.example",)))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow",
+                   "Exchange"):
+        assert marker not in plan
