@@ -4,7 +4,9 @@ pipeline a pretraining corpus runs (task-brief training-data mandate),
 composing the operators from ``operators/{textstats,dedup}.py``:
 
   extracted(url, extracted_text, ...) →
-    1. per-doc stats: tokens, chars, quality score, language ID, fingerprint
+    1. per-doc stats: tokens, chars, quality score, language ID,
+       fingerprint, blocklist verdicts (C4 badwords / URL blocklist via
+       --blocklist-json; empty lists compile to constant columns)
     2. exact dedup: sha-identical docs → canonical url (min) per group
     3. near-dup candidates: MinHash+LSH pairs over word shingles
     4. connected components over the near-dup graph (canonical per cluster)
@@ -51,16 +53,25 @@ def run_curation(
     output_path: str,
     min_quality: float = 0.3,
     max_substring_dup: float = 0.8,
+    blocklist: dict | None = None,
 ):
     ext = spark.read.parquet(input_path).select(
         "url", "extracted_text", "text_sha256", "url_bucket"
     )
+
+    # C4-style blocklist gate (deployment-policy lists; empty lists
+    # compile to constant-false/zero columns, so the schema is stable
+    # and the clause costs nothing when unused)
+    bl_terms = tuple((blocklist or {}).get("terms", ()))
+    bl_domains = tuple((blocklist or {}).get("domains", ()))
 
     text = F.col("extracted_text")
     stats = ext.select(
         "url",
         "text_sha256",
         "url_bucket",
+        X.blocklist_hits(text, bl_terms).alias("term_hits"),
+        X.host_blocked(F.col("url"), bl_domains).alias("url_blocked"),
         X.token_count(text).alias("n_tokens"),
         X.char_count(text).alias("n_chars"),
         X.quality_score(text).alias("quality"),
@@ -125,7 +136,9 @@ def run_curation(
             (~F.col("is_exact_dup"))
             & (~F.col("is_near_dup"))
             & (F.col("quality") >= min_quality)
-            & (F.col("n_tokens") >= 5),
+            & (F.col("n_tokens") >= 5)
+            & (F.col("term_hits") == 0)
+            & (~F.col("url_blocked")),
         )
     )
 
@@ -179,6 +192,7 @@ def run_curation(
         "substring_dup_dropped": out.where(
             f"substring_dup_fraction > {max_substring_dup}"
         ).count(),
+        "blocklist_dropped": out.where("term_hits > 0 OR url_blocked").count(),
         "curated_path": curated_path,
         "dup_pairs_path": pairs_path,
     }
@@ -190,14 +204,20 @@ def main(argv=None) -> int:
     ap.add_argument("--output", required=True)
     ap.add_argument("--min-quality", type=float, default=0.3)
     ap.add_argument("--max-substring-dup", type=float, default=0.8)
+    ap.add_argument("--blocklist-json", default=None,
+                    help='JSON file {"terms": [...], "domains": [...]}')
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
     if not os.path.exists(args.input):
         print(f"error: input path does not exist: {args.input}", file=sys.stderr)
         return 1
+    blocklist = None
+    if args.blocklist_json:
+        with open(args.blocklist_json) as f:
+            blocklist = json.load(f)
     spark = build_session("run_curation", master=args.master)
     report = run_curation(spark, args.input, args.output, args.min_quality,
-                          args.max_substring_dup)
+                          args.max_substring_dup, blocklist=blocklist)
     print(json.dumps(report, default=str))
     return 0
 

@@ -211,3 +211,52 @@ def test_boilerplate_segment_words_windows(spark):
     assert got[1] == ["a b c", "d e f", "g"]
     assert got[2] == ["x"]
     assert got[3] == [""]
+
+
+def test_curation_blocklist_gate(spark, tmp_path):
+    """--blocklist-json drops term-hit docs and blocked hosts from keep
+    (columns recorded for audit), and an absent blocklist leaves the
+    schema identical with constant-clean columns."""
+    rows = gen_pages(40, seed=31, dup_frac=0.0)
+    inp = os.path.join(str(tmp_path), "pages")
+    spark.createDataFrame(pages_to_pandas(rows)).write.parquet(inp)
+    out = os.path.join(str(tmp_path), "out")
+    cfg = ExtractConfig(input_path=inp, output_path=out, run_id="bl", buckets=4)
+    run_extract(spark, cfg, default_rules())
+
+    ext = spark.read.parquet(cfg.extracted_path)
+    donor = ext.orderBy(F.desc("n_chars")).first()
+    extra = spark.createDataFrame(
+        [
+            ("https://clean.test/a",
+             donor["extracted_text"] + " zorblax appended", "1" * 64, 0),
+            ("https://evil.blocked.example/b",
+             donor["extracted_text"] + " different tail entirely", "2" * 64, 1),
+        ],
+        "url string, extracted_text string, text_sha256 string, url_bucket int",
+    )
+    merged = ext.select(
+        "url", "extracted_text", "text_sha256", "url_bucket"
+    ).unionByName(extra)
+    merged_path = os.path.join(str(tmp_path), "merged")
+    merged.write.parquet(merged_path)
+
+    rep = run_curation(
+        spark, merged_path, os.path.join(str(tmp_path), "cur"),
+        blocklist={"terms": ["zorblax"], "domains": ["blocked.example"]},
+    )
+    assert rep["blocklist_dropped"] == 2
+    cur = spark.read.parquet(rep["curated_path"])
+    got = {r["url"]: r for r in cur.where(
+        F.col("url").rlike("clean.test|blocked.example")).collect()}
+    a = got["https://clean.test/a"]
+    assert a["term_hits"] == 1 and not a["url_blocked"] and not a["keep"]
+    b = got["https://evil.blocked.example/b"]
+    assert b["term_hits"] == 0 and b["url_blocked"] and not b["keep"]
+
+    # no blocklist: same schema, constant-clean verdicts, nothing dropped
+    rep2 = run_curation(spark, merged_path, os.path.join(str(tmp_path), "cur2"))
+    assert rep2["blocklist_dropped"] == 0
+    cur2 = spark.read.parquet(rep2["curated_path"])
+    assert cur2.where("term_hits != 0 OR url_blocked").count() == 0
+    assert sorted(cur.columns) == sorted(cur2.columns)
