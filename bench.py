@@ -98,6 +98,9 @@ BENCH_QUERIES = [
     "q_image_assets",  # round 4: srcset-aware asset footprint
     "q_publish_dates",  # round 4: freshness source-priority census
     "q_pagination_chains",  # round 4: distance-carrying pointer doubling
+    "q_mirror_hosts",  # round 4: capped digest self-join mirror census
+    "q_link_spam",  # round 4: nepotistic-link features + reciprocity
+    "q_blocklist",  # round 4: alternation-regex badwords + host suffix
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

@@ -593,3 +593,167 @@ def gen_mp4_fixture(spark, n: int = 30, seed: int = 67) -> DataFrame:
              f"https://media.example.com/mp4/{i}")
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ------------------------------------------------- image dHash near-dup
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), False),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("decoder", T.StringType(), False),
+    ]
+)
+
+
+def _luma(px: bytes, channels: int) -> bytes:
+    """8-bit luma plane from an interleaved surface (Rec.601 integer
+    weights for RGB(A); gray(+alpha) takes the gray channel)."""
+    if channels == 1:
+        return px
+    out = bytearray(len(px) // channels)
+    if channels == 2:
+        out[:] = px[0::2]
+        return bytes(out)
+    for i in range(len(out)):
+        o = i * channels
+        out[i] = (299 * px[o] + 587 * px[o + 1] + 114 * px[o + 2]) // 1000
+    return bytes(out)
+
+
+def _dhash_bits(gray: bytes, w: int, h: int) -> int:
+    """Row-wise gradient hash: bit (y*(w-1)+x) set iff g[y][x] > g[y][x+1].
+    Returned as a SIGNED 64-bit value (two's complement) so it lands in a
+    Spark LongType and XOR/bit_count distance math works unchanged."""
+    v = 0
+    for y in range(h):
+        row = y * w
+        for x in range(w - 1):
+            if gray[row + x] > gray[row + x + 1]:
+                v |= 1 << (y * (w - 1) + x)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_dhash(media: DataFrame, decoder: str = "auto") -> DataFrame:
+    """64-bit difference hash per image — the perceptual fingerprint for
+    image-level near-dup detection (Krawetz's dHash; the standard cheap
+    screen against resized/re-encoded duplicates in multimodal training
+    sets). Pipeline per payload: decode → luma → nearest-resample to 9×8
+    → row-wise gradient bits. The PNG arm is REAL (stdlib codec,
+    webextract/pngx.py); PIL covers other formats when installed; the
+    stub arm hashes payload bytes (decode_ok=false) so the plumbing runs
+    codec-less. Downstream, the (media_id, dhash) relation reuses
+    operators/dedup.simhash_pairs(bits=64) — pigeonhole chunk banding,
+    linear shuffle, no all-pairs — so image near-dup rides the exact
+    plan shape already proven for text SimHash."""
+    if decoder not in ("auto", "pil", "png", "stub"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    pil = _try_pil() if decoder in ("auto", "pil") else None
+    if decoder == "pil" and pil is None:
+        raise NotImplementedError("decoder='pil' requires PIL on executors")
+    mode = decoder
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from corsearch_project_spark.webextract import pngx
+
+        for pdf in batches:
+            out = {"media_id": [], "dhash": [], "decode_ok": [], "decoder": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload or b"")
+                if mode in ("png", "auto") and pngx.is_png(data):
+                    w0, h0, c0, px = pngx.decode_png(data)
+                    gray = _luma(px, c0)
+                    small = pngx.resize_nearest(gray, w0, h0, 1, 9, 8)
+                    hv, ok, dec = _dhash_bits(small, 9, 8), True, "png"
+                elif pil:
+                    import io
+
+                    with pil.open(io.BytesIO(data)) as im:
+                        g = im.convert("L").resize((9, 8))
+                        small = g.tobytes()
+                    hv, ok, dec = _dhash_bits(small, 9, 8), True, "pil"
+                else:
+                    d = hashlib.sha256(data).digest()[:8]
+                    raw = int.from_bytes(d, "big")
+                    hv = raw - (1 << 64) if raw >= (1 << 63) else raw
+                    ok, dec = False, "stub"
+                out["media_id"].append(mid)
+                out["dhash"].append(hv)
+                out["decode_ok"].append(ok)
+                out["decoder"].append(dec)
+            yield pd.DataFrame(out)
+
+    return (
+        media.where(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(run, DHASH_SCHEMA)
+    )
+
+
+def _staircase_row(bits_row: list[int]) -> bytes:
+    """9 luma values realizing the 8 requested gradient bits exactly:
+    bit=1 -> strictly descending step, bit=0 -> strictly ascending step
+    (never equal, so g[x] > g[x+1] is unambiguous). Start 128, step 8:
+    range stays within [64, 192]."""
+    g = [128]
+    for b in bits_row:
+        g.append(g[-1] - 8 if b else g[-1] + 8)
+    return bytes(g)
+
+
+def neardup_cluster_patterns(n_clusters: int, seed: int = 41):
+    """Deterministic 64-bit dhash bit patterns per cluster, pairwise far
+    apart (LCG-scrambled; any two differ in ~32 bits >> any sane
+    threshold), each given as 8 rows x 8 bits."""
+    pats = []
+    for k in range(n_clusters):
+        v = (seed * 2654435761 + k * 40503 + 12345) & ((1 << 64) - 1)
+        v = (v ^ (v >> 29)) * 0x9E3779B97F4A7C15 & ((1 << 64) - 1)
+        v ^= v >> 32
+        pats.append([[(v >> (y * 8 + x)) & 1 for x in range(8)] for y in range(8)])
+    return pats
+
+
+def gen_png_neardup_fixture(spark, n_clusters: int = 12, seed: int = 41):
+    """(media_id, kind, payload) of REAL 9x8 grayscale PNGs in known
+    near-dup clusters: member 0 = base pattern, member 1 = byte-identical
+    re-encode (distance 0), member 2 (even clusters only) = base with
+    TWO gradient bits flipped (distance exactly 2). Expected pair
+    relation is computable from the construction without running any
+    hash — see png_neardup_expected_pairs."""
+    from corsearch_project_spark.webextract.pngx import encode_png
+
+    rows = []
+    for k, pat in enumerate(neardup_cluster_patterns(n_clusters, seed)):
+        def img(p):
+            return encode_png(
+                b"".join(_staircase_row(r) for r in p), 9, 8, 1
+            )
+
+        base = img(pat)
+        rows.append((k * 10 + 0, "image", bytearray(base)))
+        rows.append((k * 10 + 1, "image", bytearray(base)))
+        if k % 2 == 0:
+            p2 = [list(r) for r in pat]
+            p2[1][3] ^= 1
+            p2[6][5] ^= 1
+            rows.append((k * 10 + 2, "image", bytearray(img(p2))))
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+
+
+def png_neardup_expected_pairs(n_clusters: int = 12):
+    """The by-construction truth for gen_png_neardup_fixture under
+    max_hamming >= 2: per cluster (a=k*10) pairs (a,a+1,0), and for even
+    k also (a,a+2,2) and (a+1,a+2,2). Cross-cluster patterns differ by
+    ~32 bits — never candidates."""
+    out = []
+    for k in range(n_clusters):
+        a = k * 10
+        out.append((a, a + 1, 0))
+        if k % 2 == 0:
+            out.append((a, a + 2, 2))
+            out.append((a + 1, a + 2, 2))
+    return out

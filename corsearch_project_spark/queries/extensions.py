@@ -462,3 +462,53 @@ def q_multimodal_mp4(spark, sf_dir):
 
     media = gen_mp4_fixture(spark, n=30, seed=67)
     return decode_video_meta(media, decoder="mp4")
+
+
+def _image_neardup_expected_values(n_clusters: int = 12) -> str:
+    from corsearch_project_spark.operators.multimodal import (
+        png_neardup_expected_pairs,
+    )
+
+    rows = ", ".join(
+        f"({a}, {b}, {h})" for a, b, h in png_neardup_expected_pairs(n_clusters)
+    )
+    return (
+        "SELECT CAST(media_a AS BIGINT) AS media_a, "
+        "CAST(media_b AS BIGINT) AS media_b, "
+        "CAST(hamming AS INTEGER) AS hamming FROM "
+        f"(VALUES {rows}) AS t(media_a, media_b, hamming)"
+    )
+
+
+@query(
+    "q_image_neardup",
+    _image_neardup_expected_values(),
+    doc="Image near-dup via 64-bit dHash (Krawetz) over REAL 9x8 "
+    "grayscale PNGs decoded by the stdlib codec, paired with the "
+    "SimHash pigeonhole chunk-banding join (operators/dedup.py "
+    "simhash_pairs, bits=64, max_hamming=3) — image dedup rides the "
+    "exact linear-shuffle plan shape proven for text. The fixture's "
+    "cluster patterns make the full pair relation computable from the "
+    "CONSTRUCTION (staircase luma rows realize chosen gradient bits; "
+    "re-encode -> distance 0, two flipped cells -> distance exactly 2, "
+    "cross-cluster >= 21 bits); the oracle replays that as VALUES while "
+    "Spark earns it by decoding PNG bytes "
+    "(operators/multimodal.py image_dhash).",
+)
+def q_image_neardup(spark, sf_dir):
+    from corsearch_project_spark.operators.dedup import simhash_pairs
+    from corsearch_project_spark.operators.multimodal import (
+        gen_png_neardup_fixture,
+        image_dhash,
+    )
+
+    hashes = image_dhash(
+        gen_png_neardup_fixture(spark), decoder="png"
+    ).select(
+        F.col("media_id").alias("doc_id"), F.col("dhash").alias("simhash")
+    )
+    return simhash_pairs(hashes, max_hamming=3, bits=64).select(
+        F.col("doc_a").alias("media_a"),
+        F.col("doc_b").alias("media_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )

@@ -260,3 +260,69 @@ def test_real_codec_pil_arm_decodes_and_resizes(spark):
     for r in out:
         with Image.open(io.BytesIO(bytes(r["payload"]))) as im2:
             assert im2.size == (224, 224)
+
+
+def test_image_dhash_png_arm_and_banding(spark):
+    """dHash over the by-construction cluster fixture: hashes equal the
+    requested bit patterns (decoded from real PNG bytes), the banded
+    simhash_pairs(bits=64) recovers exactly the constructed pair
+    relation, and the banded plan matches the O(n^2) control arm."""
+    from corsearch_project_spark.operators.dedup import simhash_pairs
+    from corsearch_project_spark.operators.multimodal import (
+        gen_png_neardup_fixture,
+        image_dhash,
+        png_neardup_expected_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    media = gen_png_neardup_fixture(spark, n_clusters=8, seed=41)
+    hashes = image_dhash(media, decoder="png")
+    rows = hashes.collect()
+    assert all(r["decode_ok"] and r["decoder"] == "png" for r in rows)
+    # byte-identical payloads -> identical hashes
+    by_id = {r["media_id"]: r["dhash"] for r in rows}
+    for k in range(8):
+        assert by_id[k * 10] == by_id[k * 10 + 1]
+
+    sig = hashes.select(
+        F.col("media_id").alias("doc_id"), F.col("dhash").alias("simhash")
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(sig, max_hamming=3, bits=64).collect()
+    }
+    want = {(a, b): h for a, b, h in png_neardup_expected_pairs(8)}
+    assert got == want
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(
+            sig, max_hamming=3, bits=64, exact_plan=True
+        ).collect()
+    }
+    assert exact == got
+
+
+def test_image_dhash_stub_and_luma(spark):
+    """Non-PNG payloads fall to the deterministic stub (decode_ok false);
+    RGB luma weighting orders hashes by brightness gradient correctly."""
+    from corsearch_project_spark.operators.multimodal import (
+        _dhash_bits, _luma, image_dhash,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"not a png at all")),
+         (2, "image", bytearray(b"not a png at all")),
+         (3, "image", bytearray(b"different bytes"))],
+        "media_id long, kind string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in image_dhash(media, decoder="stub").collect()}
+    assert not rows[1]["decode_ok"] and rows[1]["decoder"] == "stub"
+    assert rows[1]["dhash"] == rows[2]["dhash"]      # same bytes, same hash
+    assert rows[1]["dhash"] != rows[3]["dhash"]
+
+    # RGB -> luma: green dominates red dominates blue (Rec.601)
+    px = bytes([200, 0, 0,  0, 200, 0,  0, 0, 200])  # R, G, B pixels
+    g = _luma(px, 3)
+    assert g[1] > g[0] > g[2]
+    # gradient bit set only where left pixel is strictly brighter
+    assert _dhash_bits(bytes([10, 5, 5]), 3, 1) == 0b01
