@@ -61,8 +61,13 @@ def wet_record_bytes(url: str, ts: Optional[_dt.datetime], text: str) -> bytes:
     return headers + CRLF + payload + CRLF + CRLF
 
 
-def write_wet(df, out_dir: str, prefix: str = "part"):
-    """Extracted rows (url, warc_ts, text) -> per-partition WET files.
+def write_records(df, out_dir: str, prefix: str, suffix: str, cols, record_fn):
+    """Generic per-partition WARC-family record writer: ``df`` projected
+    to ``cols``, each row turned into record bytes by ``record_fn(*vals)``
+    and written as its own gzip member (splittable again by the member-
+    resync range scan). Shared by WET (``write_wet``) and WAT
+    (``sources/wat.py``) exports — identical idempotence (``.inprogress``
+    -> ``os.replace``), determinism (mtime 0), and manifest contract.
 
     Returns the manifest DataFrame (file, n_records, n_bytes), one row
     per non-empty partition. The write happens when the manifest is
@@ -86,18 +91,14 @@ def write_wet(df, out_dir: str, prefix: str = "part"):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        final = os.path.join(out_dir, f"{prefix}-{pid:05d}.warc.wet.gz")
+        final = os.path.join(out_dir, f"{prefix}-{pid:05d}{suffix}")
         tmp = final + ".inprogress"
         n = 0
         with open(tmp, "wb") as out:
             for rb in batches:
-                urls = rb.column(rb.schema.names.index("url"))
-                tss = rb.column(rb.schema.names.index("warc_ts"))
-                texts = rb.column(rb.schema.names.index("text"))
-                for u, ts, tx in zip(urls, tss, texts):
-                    rec = wet_record_bytes(
-                        u.as_py() or "", ts.as_py(), tx.as_py() or ""
-                    )
+                arrays = [rb.column(rb.schema.names.index(c)) for c in cols]
+                for vals in zip(*arrays):
+                    rec = record_fn(*[v.as_py() for v in vals])
                     # One gzip member per record: mtime pinned to 0 so the
                     # output is byte-deterministic across export reruns.
                     out.write(gzip.compress(rec, mtime=0))
@@ -116,14 +117,27 @@ def write_wet(df, out_dir: str, prefix: str = "part"):
             schema=schema,
         )
 
-    src = df.select("url", "warc_ts", "text")
-    return src.mapInArrow(
+    return df.select(*cols).mapInArrow(
         write_partition, "file string, n_records long, n_bytes long"
+    )
+
+
+def write_wet(df, out_dir: str, prefix: str = "part"):
+    """Extracted rows (url, warc_ts, text) -> per-partition WET files.
+    See ``write_records`` for the manifest/idempotence contract."""
+    return write_records(
+        df,
+        out_dir,
+        prefix,
+        ".warc.wet.gz",
+        ("url", "warc_ts", "text"),
+        lambda u, ts, tx: wet_record_bytes(u or "", ts, tx or ""),
     )
 
 
 def _iter_wet_plain(
     buf: bytes,
+    rec_type: str = "conversion",
 ) -> Iterator[Tuple[str, Optional[_dt.datetime], str]]:
     from corsearch_project_spark.sources.warc import (
         _parse_headers,
@@ -146,7 +160,7 @@ def _iter_wet_plain(
             continue
         payload = buf[hdr_end + 4 : hdr_end + 4 + length]
         i = hdr_end + 4 + length
-        if headers.get("warc-type") != "conversion":
+        if headers.get("warc-type") != rec_type:
             continue
         url = headers.get("warc-target-uri", "")
         if not url:
