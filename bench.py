@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "q_link_spam",  # round 4: nepotistic-link features + reciprocity
     "q_blocklist",  # round 4: alternation-regex badwords + host suffix
     "q_image_neardup",  # round 4: PNG dHash through the simhash banding
+    "q_script_census",  # round 4: nine-range Unicode script profile
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

@@ -445,3 +445,78 @@ def blocklist_census(
             & ~host_blocked(F.col(url_col), domains)
         ).alias("keep"),
     )
+
+
+# --------------------------------------------------- Unicode script profile
+
+# Explicit code-point ranges, NOT \p{Script} classes: Java regex spells
+# them \p{IsCyrillic} while RE2 uses \p{Cyrillic}, but raw ranges mean
+# the same thing in both engines — the portable-dialect discipline.
+# Han covers CJK ideographs; Kana and Hangul get their own rows because
+# the ja/ko split is exactly what a mixture sampler needs.
+SCRIPT_RANGES = (
+    ("latin", "A-Za-zÀ-ɏ"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("arabic", "؀-ۿݐ-ݿ"),
+    ("hebrew", "֐-׿"),
+    ("devanagari", "ऀ-ॿ"),
+    ("han", "一-鿿㐀-䶿"),
+    ("kana", "぀-ゟ゠-ヿ"),
+    ("hangul", "가-힯ᄀ-ᇿ"),
+)
+SCRIPT_ORDER = tuple(name for name, _ in SCRIPT_RANGES)
+
+
+def script_counts(text: Column) -> dict:
+    """Per-script character counts via the global-regexp_replace length
+    difference (same trick as punct_chars — one codegen expression per
+    script, no explode, no Python)."""
+    return {
+        name: (
+            F.length(text)
+            - F.length(F.regexp_replace(text, f"[{rng}]", ""))
+        ).cast("long")
+        for name, rng in SCRIPT_RANGES
+    }
+
+
+def script_census(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc writing-system census: (id, n_<script>..., scripted_chars,
+    dominant_script, dominant_permille) — the structural signal lang_id
+    (E-family stopword markers, Latin-alphabet only) cannot give: it
+    separates ru/el/ar/he/hi/zh/ja/ko text and catches mixed-script spam
+    (Latin prose stuffed with Han SEO tokens). dominant_permille is the
+    winner's share of SCRIPTED chars (integer div, bit-exact vs the SQL
+    twin; 0 with dominant 'none' when nothing scripted). Two stacked
+    projections that Catalyst collapses into the scan stage — no
+    shuffle, no Python; thresholds compose with mixture_keep and the
+    curation keep rule.
+    """
+    text = F.col(text_col)
+    counts = script_counts(text)
+    base = docs.select(
+        F.col(id_col),
+        *[counts[n].alias(f"n_{n}") for n in SCRIPT_ORDER],
+    )
+    total = F.col(f"n_{SCRIPT_ORDER[0]}")
+    for name in SCRIPT_ORDER[1:]:
+        total = total + F.col(f"n_{name}")
+    best = F.greatest(*[F.col(f"n_{n}") for n in SCRIPT_ORDER])
+    dom = F.lit("none")
+    for name in reversed(SCRIPT_ORDER):
+        dom = F.when(
+            (F.col(f"n_{name}") == best) & (best > 0), F.lit(name)
+        ).otherwise(dom)
+    names = ", ".join(f"n_{n}" for n in SCRIPT_ORDER)
+    permille = F.expr(
+        f"CASE WHEN {' + '.join(f'n_{n}' for n in SCRIPT_ORDER)} > 0 "
+        f"THEN (greatest({names}) * 1000) div "
+        f"({' + '.join(f'n_{n}' for n in SCRIPT_ORDER)}) ELSE 0 END"
+    )
+    return base.select(
+        "*",
+        total.cast("long").alias("scripted_chars"),
+        dom.alias("dominant_script"),
+        permille.cast("long").alias("dominant_permille"),
+    )

@@ -763,3 +763,109 @@ def q_blocklist(spark, sf_dir):
     return blocklist_census(
         _blocklist_docs_df(spark, sf_dir), _BL_TERMS, _BL_DOMAINS
     )
+
+
+# ------------------------------------------------ Unicode script census
+
+# Arms: Latin-dominant base text with appended foreign snippets (counts
+# populated, dominance unchanged), pure-script replacements (dominance
+# branches for han/kana/hangul), and a digits-only row (scripted 0 ->
+# 'none'). Ranges come from operators/textstats.SCRIPT_RANGES — the SQL
+# twin is GENERATED from the same tuple, so the two engines can never
+# drift on a range edit.
+_SCRIPT_ARMS = (
+    (0, " привет мир тест"),        # cyrillic counts
+    (1, " γειά σου κόσμος"),        # greek counts
+    (2, " مرحبا بالعالم"),          # arabic counts
+    (3, " שלום עולם"),              # hebrew counts
+    (4, " नमस्ते दुनिया"),            # devanagari counts
+    (5, " 你好世界测试文本"),        # han counts under latin dominance
+)
+_SCRIPT_REPLACE = (
+    (6, "完全是中文的文本内容这里没有拉丁字母"),   # dominant han
+    (7, "これはかなテキストです"),                # dominant kana
+    (8, "한국어 텍스트 문서입니다"),              # dominant hangul
+    (9, "1234567890 555 ---"),                    # scripted 0 -> none
+)
+
+
+def _script_docs_sql() -> str:
+    appended = " ".join(
+        f"WHEN doc_id % 11 = {m} THEN text || '{s}'" for m, s in _SCRIPT_ARMS
+    )
+    replaced = " ".join(
+        f"WHEN doc_id % 11 = {m} THEN '{s}'" for m, s in _SCRIPT_REPLACE
+    )
+    return (
+        "SELECT doc_id, CASE " + appended + " " + replaced
+        + " ELSE text END AS text FROM documents"
+    )
+
+
+def _script_count_sql(col: str, rng: str) -> str:
+    return (
+        f"CAST(length({col}) - length(regexp_replace({col}, '[{rng}]', '', 'g'))"
+        " AS BIGINT)"
+    )
+
+
+def _script_oracle_sql() -> str:
+    from corsearch_project_spark.operators.textstats import SCRIPT_ORDER, SCRIPT_RANGES
+
+    counts = ", ".join(
+        _script_count_sql("text", rng) + f" AS n_{name}"
+        for name, rng in SCRIPT_RANGES
+    )
+    names = ", ".join(f"n_{n}" for n in SCRIPT_ORDER)
+    total = " + ".join(f"n_{n}" for n in SCRIPT_ORDER)
+    # DuckDB greatest() + first-wins CASE chain replicates the Spark
+    # tie-break (earlier script in SCRIPT_ORDER wins ties)
+    dom = " ".join(
+        f"WHEN n_{n} = greatest({names}) AND greatest({names}) > 0 THEN '{n}'"
+        for n in SCRIPT_ORDER
+    )
+    return f"""
+    WITH p AS ({_script_docs_sql()}),
+    c AS (SELECT doc_id, {counts} FROM p)
+    SELECT doc_id, {names},
+           CAST({total} AS BIGINT) AS scripted_chars,
+           CASE {dom} ELSE 'none' END AS dominant_script,
+           CAST(CASE WHEN {total} > 0
+                THEN (greatest({names}) * 1000) // ({total})
+                ELSE 0 END AS BIGINT) AS dominant_permille
+    FROM c
+    """
+
+
+def _script_docs_df(spark, sf_dir):
+    did = F.col("doc_id")
+    expr = None
+    for m, s in _SCRIPT_ARMS:
+        clause = (did % 11 == m, F.concat(F.col("text"), F.lit(s)))
+        expr = F.when(*clause) if expr is None else expr.when(*clause)
+    for m, s in _SCRIPT_REPLACE:
+        expr = expr.when(did % 11 == m, F.lit(s))
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", expr.otherwise(F.col("text")).alias("text")
+    )
+
+
+@query(
+    "q_script_census",
+    _script_oracle_sql(),
+    doc="Unicode writing-system census: per-doc character counts over "
+    "nine explicit code-point ranges (raw ranges, NOT \\p{Script} — "
+    "Java regex and RE2 spell script classes differently, ranges mean "
+    "the same thing in both), dominant script by greatest() with "
+    "fixed-priority tie-break, winner share as integer permille of "
+    "scripted chars. The structural signal the stopword-marker lang_id "
+    "cannot give: separates ru/el/ar/he/hi vs zh/ja/ko text and flags "
+    "mixed-script SEO spam. Pure stacked projections, collapsed into "
+    "the scan by Catalyst — no shuffle, no Python; the oracle SQL is "
+    "GENERATED from the same SCRIPT_RANGES tuple "
+    "(operators/textstats.py script_census).",
+)
+def q_script_census(spark, sf_dir):
+    from corsearch_project_spark.operators.textstats import script_census
+
+    return script_census(_script_docs_df(spark, sf_dir))

@@ -268,3 +268,52 @@ def test_blocklist_empty_terms_and_plan(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow",
                    "Exchange"):
         assert marker not in plan
+
+
+# ------------------------------------------------------- script census
+
+def test_script_census_matrix(spark):
+    from corsearch_project_spark.operators.textstats import script_census
+
+    rows = [
+        (0, "pure latin text"),
+        (1, "привет"),                      # pure cyrillic
+        (2, "abc привет"),                  # latin 3 vs cyrillic 6
+        (3, "123 --- :::"),                 # nothing scripted
+        (4, "你好 hello 你好吗"),            # han 5 vs latin 5 -> tie
+        (5, "ひらがな"),                     # kana
+        (6, "한국어"),                       # hangul
+        (7, "مرحبا שלום"),                  # arabic 5 vs hebrew 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in script_census(df).collect()}
+
+    assert got[0]["dominant_script"] == "latin"
+    assert got[0]["dominant_permille"] == 1000
+    assert got[1]["dominant_script"] == "cyrillic"
+    r2 = got[2]
+    assert (r2["n_latin"], r2["n_cyrillic"]) == (3, 6)
+    assert r2["dominant_script"] == "cyrillic"
+    assert r2["dominant_permille"] == 666  # 6*1000 div 9
+    r3 = got[3]
+    assert (r3["scripted_chars"], r3["dominant_script"],
+            r3["dominant_permille"]) == (0, "none", 0)
+    # tie at 5-5: latin precedes han in SCRIPT_ORDER -> latin wins
+    r4 = got[4]
+    assert (r4["n_latin"], r4["n_han"]) == (5, 5)
+    assert r4["dominant_script"] == "latin"
+    assert got[5]["dominant_script"] == "kana"
+    assert got[6]["dominant_script"] == "hangul"
+    r7 = got[7]
+    assert (r7["n_arabic"], r7["n_hebrew"]) == (5, 4)
+    assert r7["dominant_script"] == "arabic"
+
+
+def test_script_census_plan_pure_projection(spark):
+    from corsearch_project_spark.operators.textstats import script_census
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    plan = _plan(script_census(df))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow",
+                   "Exchange"):
+        assert marker not in plan
