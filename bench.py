@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "q_blocklist",  # round 4: alternation-regex badwords + host suffix
     "q_image_neardup",  # round 4: PNG dHash through the simhash banding
     "q_script_census",  # round 4: nine-range Unicode script profile
+    "q_search_bm25",  # round 4: exact-integer BM25 disjunctive top-k
+    "q_search_phrase",  # round 4: positional anchor-group phrase search
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

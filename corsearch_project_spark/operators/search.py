@@ -200,3 +200,179 @@ def lookup_postings(
         .where(F.col("term").isin(list(terms)))
         .select("term", "doc_id", "tf")
     )
+
+
+# --------------------------------------------------------------- BM25
+
+
+def search_bm25(
+    docs: DataFrame,
+    terms: List[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """(doc_id, score) — top-k by exact-integer BM25 over ANY query term.
+
+    The disjunctive (OR) complement of :func:`search_conjunctive`, adding
+    the two signals rarity weighting alone lacks — term-frequency
+    SATURATION (the 40th repeat of a term is worth less than the 2nd;
+    Robertson et al., TREC-3 Okapi) and DOCUMENT-LENGTH normalization (a
+    hit in a 50-token page outranks the same hit diluted in a 5 000-token
+    one). Classic BM25 with k1 = 1.2, b = 0.75 is float arithmetic twice
+    over (log idf, avgdl division); this engine's ranking contract is
+    bit-determinism across engines and partition orders, so both factors
+    are restated exactly over integers:
+
+    - k1 = 6/5 and b = 3/4 clear to an integer ratio. Multiplying the
+      saturation term ``tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``
+      through by ``10*avgdl`` gives ``22*tf*avgdl / (10*avgdl*tf +
+      3*avgdl + 9*dl)`` — every quantity integral once ``avgdl`` is
+      pinned to milli-token precision: ``avgdl_milli = (1000*total_tokens)
+      DIV n_docs`` (one corpus-wide scalar, broadcast).
+    - the per-(doc, term) saturation becomes the fixed-point
+      ``sat = (scale * 22 * tf * avgdl_milli) DIV (10*avgdl_milli*tf +
+      3*avgdl_milli + 9000*dl)`` — integer DIV agrees between Spark and
+      any ANSI engine for the positive operands here; ``sat`` is bounded
+      by ``2.2 * scale`` regardless of corpus size.
+    - idf keeps the module's exact-rarity form ``(n_docs - df)``
+      (monotone in ``log(n/df)``), so ``score = sum_t (n_docs - df_t) *
+      sat_t`` with ``doc_id`` as the total-order tiebreak.
+
+    Overflow envelope: the widest intermediate is ``scale * 22 * tf *
+    avgdl_milli`` — at 10^6-token documents and milli-precision avgdl
+    that is ~2e19/tf-free, so keep ``scale`` at 1e6 and documents under
+    ~4e5 tokens (true of any curated web corpus; chunk first otherwise,
+    operators/textstats.chunk_sentences). ``n_docs - df`` times ``sat``
+    stays under 2^62 up to ~2e12 documents — the design point.
+
+    Plan shape (one corpus scan): ``dl`` is a pure codegen projection
+    (``size(filter(split(text), x -> x <> ''))``) that RIDES the posting
+    explode — no second scan, no doc-length join; the corpus scalars
+    (n_docs, total tokens) are one tiny agg broadcast; per-term df is
+    |terms| rows broadcast. Exactly the q_search_conjunctive topology
+    plus two broadcast scalars.
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != ""
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(toks).alias("term"),
+        F.size(toks).cast("long").alias("dl"),
+    )
+    post = (
+        base.where(F.col("term").isin(list(terms)))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = post.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    scalars = docs.select(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(toks).cast("long")).alias("total_tokens"),
+    ).select(
+        "n_docs",
+        F.expr("(1000 * total_tokens) DIV n_docs").alias("avgdl_milli"),
+    )
+    scored = (
+        post.join(F.broadcast(stats), "term")
+        .join(F.broadcast(scalars))
+        .select(
+            "doc_id",
+            (
+                (F.col("n_docs") - F.col("df"))
+                * F.expr(
+                    f"({scale}L * 22 * tf * avgdl_milli) DIV "
+                    "(10 * avgdl_milli * tf + 3 * avgdl_milli + 9000 * dl)"
+                )
+            ).cast("long").alias("part"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part").cast("long").alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    )
+
+
+# ------------------------------------------------------ phrase search
+
+
+def build_positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(term, doc_id, pos) positional posting relation; pos is 1-based
+    over the WHOLE token stream (empty tokens from space runs occupy no
+    position: they are filtered before numbering, so positions are dense
+    and adjacency means textual adjacency). Unlike the tf relation this
+    one does not aggregate — position lists are the rows themselves, and
+    the persisted form term-buckets exactly like write_postings.
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != ""
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks)
+    ).select(
+        F.col("col").alias("term"),
+        "doc_id",
+        (F.col("pos") + F.lit(1)).cast("long").alias("pos"),
+    )
+
+
+def search_phrase(
+    docs: DataFrame,
+    phrase: List[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_hits, first_pos) — documents containing the exact
+    token phrase, top-k by occurrence count (doc_id tiebreak).
+
+    The classic positional-index phrase query, shaped for a CONSTANT
+    two shuffles regardless of phrase length m (a naive m-way self-join
+    is m-1 shuffles and rescans the postings m times): every posting whose term
+    matches slot i of the phrase emits ``(doc_id, anchor = pos - i,
+    slot = i)`` — a term appearing at several slots ("buffalo buffalo")
+    emits one row per slot — and a phrase occurrence at position p is
+    exactly a ``(doc_id, anchor = p)`` group covering ALL m DISTINCT
+    slots. The slot fan-out is computed in the same codegen projection
+    as the posting filter (transform+filter over the literal phrase
+    array), so the whole query is: scan → posexplode → slot-project →
+    one groupBy(doc_id, anchor) → one groupBy(doc_id) → top-k. With a
+    persisted positional index the first scan is the term-bucket prune.
+    """
+    m = len(phrase)
+    post = build_positional_postings(docs, id_col=id_col, text_col=text_col)
+    lit_phrase = ", ".join("'" + t.replace("'", "\\'") + "'" for t in phrase)
+    slots = post.where(F.col("term").isin(list(phrase))).select(
+        "doc_id",
+        "pos",
+        F.explode(
+            F.expr(
+                f"filter(transform(array({lit_phrase}), "
+                "(t, i) -> IF(t = term, i, -1)), x -> x >= 0)"
+            )
+        ).alias("slot"),
+    ).select(
+        "doc_id", (F.col("pos") - F.col("slot")).alias("anchor"), "slot"
+    )
+    occurrences = (
+        slots.where(F.col("anchor") >= 1)
+        .groupBy("doc_id", "anchor")
+        .agg(F.countDistinct("slot").alias("n_slots"))
+        .where(F.col("n_slots") == m)
+    )
+    return (
+        occurrences.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.min("anchor").cast("long").alias("first_pos"),
+        )
+        .orderBy(F.desc("n_hits"), F.asc("doc_id"))
+        .limit(k)
+    )

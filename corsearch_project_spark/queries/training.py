@@ -1591,6 +1591,118 @@ def q_search_snippets(spark, sf_dir):
     )
 
 
+# ------------------------------------------------ BM25 ranked search
+
+@query(
+    "q_search_bm25",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS l
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, unnest(l) AS term, CAST(len(l) AS BIGINT) AS dl
+        FROM tok
+    ),
+    post AS (
+        SELECT term, doc_id, dl, COUNT(*) AS tf
+        FROM base WHERE term IN ('merge', 'window', 'scan')
+        GROUP BY 1, 2, 3
+    ),
+    stats AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM post GROUP BY 1),
+    scalars AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               (1000 * CAST(SUM(len(l)) AS BIGINT))
+                   // CAST(COUNT(*) AS BIGINT) AS avgdl_milli
+        FROM tok
+    ),
+    scored AS (
+        SELECT p.doc_id,
+               CAST(SUM((c.n_docs - s.df) *
+                   ((1000000 * 22 * p.tf * c.avgdl_milli) //
+                    (10 * c.avgdl_milli * p.tf + 3 * c.avgdl_milli
+                     + 9000 * p.dl))) AS BIGINT) AS score
+        FROM post p JOIN stats s ON p.term = s.term CROSS JOIN scalars c
+        GROUP BY p.doc_id
+    )
+    SELECT doc_id, score FROM scored
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    doc="Disjunctive BM25 top-k, exact over integers: tf saturation and "
+    "document-length normalization (the two signals rarity weighting "
+    "lacks; Robertson et al. TREC-3) with k1=6/5, b=3/4 cleared to the "
+    "integer ratio 22*tf*avgdl / (10*avgdl*tf + 3*avgdl + 9*dl), avgdl "
+    "pinned at milli-token precision and the per-term factor taken as a "
+    "scale-1e6 fixed point via integer DIV — bit-deterministic across "
+    "engines where float log-idf/avgdl BM25 is not. Doc length rides "
+    "the posting explode as a codegen projection (one corpus scan); "
+    "corpus scalars and per-term df broadcast "
+    "(operators/search.py search_bm25).",
+)
+def q_search_bm25(spark, sf_dir):
+    from corsearch_project_spark.operators.search import search_bm25
+
+    return search_bm25(t(spark, sf_dir, "documents"), _SEARCH_TERMS, k=10)
+
+
+# ------------------------------------------------------ phrase search
+
+# Two-term phrase chosen to actually OCCUR in the synthetic documents
+# table (~40 hits at sf0.01) so the driver hash checks a ranked top-10,
+# not an empty result; tests/test_search.py covers m=3 and the
+# repeated-term overlap arm on a purpose-built corpus.
+_PHRASE = ["value", "table"]
+
+
+@query(
+    "q_search_phrase",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS l
+        FROM documents
+    ),
+    post AS (
+        SELECT doc_id, unnest(l) AS term,
+               unnest(range(1, len(l) + 1)) AS pos
+        FROM tok
+    ),
+    slots AS (
+        SELECT doc_id, pos - 0 AS anchor, 0 AS slot
+        FROM post WHERE term = 'value'
+        UNION ALL
+        SELECT doc_id, pos - 1, 1 FROM post WHERE term = 'table'
+    ),
+    occ AS (
+        SELECT doc_id, anchor
+        FROM slots WHERE anchor >= 1
+        GROUP BY doc_id, anchor
+        HAVING COUNT(DISTINCT slot) = 2
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(MIN(anchor) AS BIGINT) AS first_pos
+    FROM occ GROUP BY doc_id
+    ORDER BY n_hits DESC, doc_id LIMIT 10
+    """,
+    doc="Exact-phrase search over a positional posting relation "
+    "(term, doc_id, pos): every posting matching slot i of the phrase "
+    "emits (doc_id, anchor = pos - i, slot) in the same codegen "
+    "projection as the term filter, and a phrase occurrence is an "
+    "anchor group covering all m DISTINCT slots — a constant two "
+    "shuffles regardless of phrase length, where the naive m-way positional "
+    "self-join is m-1 shuffles over m rescans "
+    "(operators/search.py search_phrase).",
+)
+def q_search_phrase(spark, sf_dir):
+    from corsearch_project_spark.operators.search import search_phrase
+
+    return search_phrase(t(spark, sf_dir, "documents"), _PHRASE, k=10)
+
+
 # ---------------------------------------------------------- HITS
 
 _HITS_ITERS = 3

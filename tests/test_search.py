@@ -158,3 +158,128 @@ def test_build_index_job_full_and_incremental(spark, tmp_path):
 
     got = lookup_postings(spark, idx2, ["gamma"], n_buckets=8).collect()
     assert {(r["doc_id"], r["tf"]) for r in got} == {("u2", 2)}
+
+
+# ------------------------------------------------------------- BM25
+
+
+def _bm25_ref(docs, terms, scale=1_000_000):
+    """Independent pure-Python reference of the exact-integer BM25
+    (same rational constants, recomputed from scratch — not the Spark
+    expression transcribed)."""
+    toks = {d: [w for w in t.split() if w] for d, t in docs}
+    n = len(docs)
+    total = sum(len(v) for v in toks.values())
+    avgdl_milli = (1000 * total) // n
+    df = {q: sum(1 for v in toks.values() if q in v) for q in terms}
+    scores = {}
+    for d, v in toks.items():
+        s = 0
+        for q in terms:
+            tf = v.count(q)
+            if not tf:
+                continue
+            sat = (scale * 22 * tf * avgdl_milli) // (
+                10 * avgdl_milli * tf + 3 * avgdl_milli + 9000 * len(v)
+            )
+            s += (n - df[q]) * sat
+        if s:
+            scores[d] = s
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def test_bm25_matches_reference_and_is_disjunctive(spark, corpus):
+    rows = S.search_bm25(corpus, ["alpha", "beta"], k=10).collect()
+    got = [(r["doc_id"], r["score"]) for r in rows]
+    docs = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+    assert got == _bm25_ref(docs, ["alpha", "beta"])
+    # OR semantics: doc3 has beta but no alpha and still scores
+    assert 3 in {d for d, _ in got}
+
+
+def test_bm25_length_norm_and_saturation(spark, corpus):
+    """The two signals rarity weighting lacks, observable in the tiny
+    corpus: (a) length norm — doc2 'alpha beta' (dl=2) outranks doc1
+    'alpha beta alpha gamma' (dl=4) even though doc1 holds alpha TWICE;
+    (b) saturation — doc1's tf=2 alpha term is worth less than two tf=1
+    alpha terms at equal length."""
+    rows = S.search_bm25(corpus, ["alpha", "beta"], k=10).collect()
+    score = {r["doc_id"]: r["score"] for r in rows}
+    assert score[2] > score[1] > score[3]          # length norm
+    docs = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+    ref = dict(_bm25_ref(docs, ["alpha"]))
+    sat2, sat1 = ref[1], ref[2]  # doc1 tf=2 dl=4; doc2 tf=1 dl=2
+    # compare at EQUAL dl via the raw formula instead: tf=2 vs 2*(tf=1)
+    n, avg = 4, (1000 * 10) // 4
+    one = (1_000_000 * 22 * 1 * avg) // (10 * avg * 1 + 3 * avg + 9000 * 4)
+    two = (1_000_000 * 22 * 2 * avg) // (10 * avg * 2 + 3 * avg + 9000 * 4)
+    assert two < 2 * one                           # saturation
+    assert sat2 and sat1                           # both ranked at all
+
+
+def test_bm25_plan_no_python_no_cartesian(spark, corpus):
+    out = S.search_bm25(corpus, ["alpha", "beta"], k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "Cartesian" not in plan  # scalar sides are broadcast
+    assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------- phrase search
+
+
+@pytest.fixture(scope="module")
+def phrase_corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a b c a b c a b"),        # [a,b,c] at 1 and 4; [a,b] x3
+            (2, "a  b c"),                 # empty token occupies no pos
+            (3, "a c b"),                  # partial orders never match
+            (4, "buffalo buffalo buffalo"),
+            (5, "c b a"),                  # reversed never matches
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_phrase_hits_and_first_pos(spark, phrase_corpus):
+    rows = S.search_phrase(phrase_corpus, ["a", "b", "c"], k=10).collect()
+    got = [(r["doc_id"], r["n_hits"], r["first_pos"]) for r in rows]
+    assert got == [(1, 2, 1), (2, 1, 1)]
+
+
+def test_phrase_two_term_and_boundary(spark, phrase_corpus):
+    rows = S.search_phrase(phrase_corpus, ["a", "b"], k=10).collect()
+    got = [(r["doc_id"], r["n_hits"], r["first_pos"]) for r in rows]
+    # doc1: anchors 1,4,7 (the pos-1 boundary anchor is legal);
+    # doc2's double space does not shift positions
+    assert got == [(1, 3, 1), (2, 1, 1)]
+
+
+def test_phrase_repeated_term_overlap(spark, phrase_corpus):
+    """'buffalo buffalo' in 'buffalo buffalo buffalo': a term matching
+    several slots fans out per slot, and the two OVERLAPPING occurrences
+    (anchors 1 and 2) both count."""
+    rows = S.search_phrase(
+        phrase_corpus, ["buffalo", "buffalo"], k=10
+    ).collect()
+    got = [(r["doc_id"], r["n_hits"], r["first_pos"]) for r in rows]
+    assert got == [(4, 2, 1)]
+
+
+def test_phrase_plan_no_python(spark, phrase_corpus):
+    out = S.search_phrase(phrase_corpus, ["a", "b", "c"], k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "Cartesian" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_positional_postings_dense_positions(spark, phrase_corpus):
+    got = sorted(
+        (r["doc_id"], r["pos"], r["term"])
+        for r in S.build_positional_postings(
+            phrase_corpus.where(F.col("doc_id") == 2)
+        ).collect()
+    )
+    assert got == [(2, 1, "a"), (2, 2, "b"), (2, 3, "c")]
