@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "q_script_census",  # round 4: nine-range Unicode script profile
     "q_search_bm25",  # round 4: exact-integer BM25 disjunctive top-k
     "q_search_phrase",  # round 4: positional anchor-group phrase search
+    "q_search_proximity",  # round 4: adjacent-pair min-distance window
+    "q_more_like_this",  # round 4: broadcast query-vector TF-IDF join
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

@@ -376,3 +376,129 @@ def search_phrase(
         .orderBy(F.desc("n_hits"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+# -------------------------------------------------- proximity search
+
+
+def search_proximity(
+    docs: DataFrame,
+    term_a: str,
+    term_b: str,
+    k: int = 10,
+    max_dist: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, min_dist, n_pairs) — documents where ``term_a`` and
+    ``term_b`` co-occur, top-k by smallest token distance (then more
+    co-occurrences, then doc_id): "near each other" beats "both present
+    somewhere", the relevance signal conjunctive AND cannot see.
+
+    The naive plan joins a's position list against b's per document —
+    |pos_a| x |pos_b| fan-out, quadratic on common terms. This one uses
+    the two-pointer fact that the minimum distance between elements of
+    two sorted lists is realized by a pair ADJACENT in the merged sort
+    order: filter positional postings to the two terms, one window over
+    (doc_id ORDER BY pos), keep rows whose lag-term differs, and the
+    per-doc min of (pos - lag_pos) IS min_dist. Linear rows, one shuffle
+    (the window repartitions by doc_id), no self-join. n_pairs counts
+    the adjacent different-term pairs at distance <= max_dist (all
+    co-occurring adjacencies when unset) as the density tiebreak.
+
+    Per-document position lists share a partition (window semantics);
+    a single document's postings always fit — positions are longs, the
+    widest real page is ~1e6 tokens (chunk first otherwise).
+    """
+    from pyspark.sql.window import Window
+
+    post = build_positional_postings(
+        docs, id_col=id_col, text_col=text_col
+    ).where(F.col("term").isin([term_a, term_b]))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    adj = (
+        post.select(
+            "doc_id",
+            "pos",
+            "term",
+            F.lag("term").over(w).alias("prev_term"),
+            F.lag("pos").over(w).alias("prev_pos"),
+        )
+        .where(
+            F.col("prev_term").isNotNull()
+            & (F.col("term") != F.col("prev_term"))
+        )
+        .select("doc_id", (F.col("pos") - F.col("prev_pos")).alias("dist"))
+    )
+    if max_dist is not None:
+        adj = adj.where(F.col("dist") <= max_dist)
+    return (
+        adj.groupBy("doc_id")
+        .agg(
+            F.min("dist").cast("long").alias("min_dist"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+        .orderBy(F.asc("min_dist"), F.desc("n_pairs"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+# --------------------------------------------------- more-like-this
+
+
+def more_like_this(
+    docs: DataFrame,
+    query_doc: str | int,
+    k: int = 10,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, score, n_shared) — top-k documents most similar to
+    ``query_doc`` by shared-term weighted dot product ("find me more
+    pages like this one" — the relevance-feedback primitive, and the
+    forensic follow-up to every dedup hit that ISN'T byte-identical).
+
+    Weighting is the module's exact-integer rarity form: term weight in
+    a document is ``tf * (n_docs - df)``, score is the dot product over
+    shared terms — all BIGINT, bit-deterministic, doc_id tiebreak.
+
+    Plan: the query document's posting vector is tiny (<= its distinct
+    terms) and is BROADCAST onto the corpus posting relation — an equi-
+    join on term, never a similarity self-join; then one groupBy(doc).
+    ``max_df`` drops terms with document frequency above the cap BEFORE
+    the join (df is computed on the |query terms|-sized slice): stop-
+    words pair the query doc with everything — quadratic fan-out, zero
+    signal — the same cap-the-hubs move as dedup.mirror_hosts. With the
+    persisted term-bucketed index the posting filter is the bucket
+    prune, so cost ~ |postings of the query's rare terms|.
+    """
+    post = build_postings(docs, id_col=id_col, text_col=text_col)
+    qvec = post.where(F.col("doc_id") == query_doc).select(
+        "term", F.col("tf").alias("q_tf")
+    )
+    # df over postings of the query's terms only (semi-join prune first)
+    cand = post.join(F.broadcast(qvec.select("term")), "term")
+    stats = cand.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    if max_df is not None:
+        stats = stats.where(F.col("df") <= max_df)
+    n_docs = docs.select(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        cand.where(F.col("doc_id") != query_doc)
+        .join(F.broadcast(qvec), "term")
+        .join(F.broadcast(stats), "term")
+        .join(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("q_tf") * F.col("tf")
+                * (F.col("n_docs") - F.col("df"))
+                * (F.col("n_docs") - F.col("df"))
+            ).cast("long").alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

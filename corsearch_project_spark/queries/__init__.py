@@ -30,7 +30,8 @@ from corsearch_project_spark.queries import webqa  # noqa: F401
 # q_crawl_traps, q_jsonld_types, q_nofollow_edges, q_html_tables,
 # q_mojibake, q_soft404, q_image_assets, q_publish_dates,
 # q_pagination_chains, q_mirror_hosts, q_link_spam, q_blocklist,
-# q_image_neardup, q_script_census, q_search_bm25, q_search_phrase;
+# q_image_neardup, q_script_census, q_search_bm25, q_search_phrase,
+# q_search_proximity, q_more_like_this;
 # all already exact-parity-green in pytest) — plus any round-5
 # registrations, so the two-round guarantee keeps holding by
 # construction.

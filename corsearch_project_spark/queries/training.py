@@ -1703,6 +1703,107 @@ def q_search_phrase(spark, sf_dir):
     return search_phrase(t(spark, sf_dir, "documents"), _PHRASE, k=10)
 
 
+# --------------------------------------------------- proximity search
+
+@query(
+    "q_search_proximity",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS l
+        FROM documents
+    ),
+    post AS (
+        SELECT doc_id, unnest(l) AS term,
+               unnest(range(1, len(l) + 1)) AS pos
+        FROM tok
+    ),
+    adj AS (
+        SELECT doc_id, term, pos,
+               lag(term) OVER w AS prev_term,
+               lag(pos)  OVER w AS prev_pos
+        FROM post WHERE term IN ('spark', 'merge')
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    d AS (
+        SELECT doc_id, pos - prev_pos AS dist
+        FROM adj WHERE prev_term IS NOT NULL AND term <> prev_term
+    )
+    SELECT doc_id, CAST(MIN(dist) AS BIGINT) AS min_dist,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM d GROUP BY doc_id
+    ORDER BY min_dist ASC, n_pairs DESC, doc_id LIMIT 10
+    """,
+    doc="Proximity search: documents where two terms co-occur, ranked by "
+    "smallest token distance — the relevance signal conjunctive AND "
+    "cannot see. Uses the two-pointer fact that the min distance between "
+    "two sorted position lists is realized by a pair ADJACENT in the "
+    "merged sort order: one window lag over (doc_id, pos), keep "
+    "different-term adjacencies, per-doc min — linear rows and ONE "
+    "shuffle where the naive position self-join is |pos_a| x |pos_b| "
+    "per document (operators/search.py search_proximity).",
+)
+def q_search_proximity(spark, sf_dir):
+    from corsearch_project_spark.operators.search import search_proximity
+
+    return search_proximity(
+        t(spark, sf_dir, "documents"), "spark", "merge", k=10
+    )
+
+
+# ---------------------------------------------------- more-like-this
+
+@query(
+    "q_more_like_this",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS l
+        FROM documents
+    ),
+    post AS (
+        SELECT doc_id, unnest(l) AS term FROM tok
+    ),
+    p AS (
+        SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM post GROUP BY 1, 2
+    ),
+    qvec AS (SELECT term, tf AS q_tf FROM p WHERE doc_id = 7),
+    cand AS (SELECT p.* FROM p JOIN qvec USING (term)),
+    stats AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM cand GROUP BY 1 HAVING COUNT(*) <= 390
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT c.doc_id,
+           CAST(SUM(q.q_tf * c.tf * (n.n_docs - s.df)
+                    * (n.n_docs - s.df)) AS BIGINT) AS score,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM cand c JOIN qvec q USING (term) JOIN stats s USING (term)
+         CROSS JOIN n
+    WHERE c.doc_id <> 7
+    GROUP BY c.doc_id
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    doc="More-like-this: top-k documents most similar to a query document "
+    "by shared-term exact-integer dot product (weight = tf * (n_docs - "
+    "df), all BIGINT — bit-deterministic). The query doc's posting "
+    "vector is tiny and BROADCAST onto the posting relation (equi-join "
+    "on term, never a similarity self-join); max_df=390 drops corpus-"
+    "universal terms BEFORE the join — stopwords pair the query with "
+    "everything, quadratic fan-out, zero signal: the cap-the-hubs move "
+    "(operators/search.py more_like_this).",
+)
+def q_more_like_this(spark, sf_dir):
+    from corsearch_project_spark.operators.search import more_like_this
+
+    return more_like_this(
+        t(spark, sf_dir, "documents"), 7, k=10, max_df=390
+    )
+
+
 # ---------------------------------------------------------- HITS
 
 _HITS_ITERS = 3

@@ -283,3 +283,119 @@ def test_positional_postings_dense_positions(spark, phrase_corpus):
         ).collect()
     )
     assert got == [(2, 1, "a"), (2, 2, "b"), (2, 3, "c")]
+
+
+# -------------------------------------------------- proximity search
+
+
+@pytest.fixture(scope="module")
+def prox_corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a x x x b a b"),     # pairs: (5,6)=1 via a@6,b@5? see test
+            (2, "a x b"),             # single pair at dist 2
+            (3, "b a"),               # order-agnostic: dist 1
+            (4, "a a a"),             # no b: never returned
+            (5, "x a b x a x x b"),   # dists 1 and 3
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_proximity_min_dist_and_order_agnostic(spark, prox_corpus):
+    rows = S.search_proximity(prox_corpus, "a", "b", k=10).collect()
+    got = [(r["doc_id"], r["min_dist"], r["n_pairs"]) for r in rows]
+    # doc1 positions a:[1,6] b:[5,7] -> adjacent diff pairs (1,5)=4,(5,6)=1,
+    # (6,7)=1 -> min 1, n_pairs 3; doc3 'b a' -> min 1 (order-agnostic);
+    # doc5 a:[2,5] b:[3,8] -> (2,3)=1,(3,5)=2,(5,8)=3 -> min 1, n 3;
+    # doc2 -> min 2; doc4 dropped (no b). Order: min_dist ASC, n_pairs
+    # DESC (density tiebreak), doc_id ASC.
+    assert got == [
+        (1, 1, 3), (5, 1, 3), (3, 1, 1), (2, 2, 1),
+    ]
+
+
+def test_proximity_matches_bruteforce_min(spark, prox_corpus):
+    """The adjacent-in-merged-order trick equals the true min over ALL
+    cross pairs (two-pointer fact), checked by brute force."""
+    rows = S.search_proximity(prox_corpus, "a", "b", k=10).collect()
+    got = {r["doc_id"]: r["min_dist"] for r in rows}
+    for d, text in [(r["doc_id"], r["text"])
+                    for r in prox_corpus.collect()]:
+        toks = [w for w in text.split() if w]
+        pa = [i + 1 for i, w in enumerate(toks) if w == "a"]
+        pb = [i + 1 for i, w in enumerate(toks) if w == "b"]
+        if pa and pb:
+            assert got[d] == min(abs(x - y) for x in pa for y in pb)
+        else:
+            assert d not in got
+
+
+def test_proximity_max_dist_gate(spark, prox_corpus):
+    rows = S.search_proximity(prox_corpus, "a", "b", k=10, max_dist=1)
+    got = [(r["doc_id"], r["min_dist"], r["n_pairs"]) for r in rows.collect()]
+    # only distance<=1 adjacencies count toward n_pairs AND qualification
+    assert got == [(1, 1, 2), (3, 1, 1), (5, 1, 1)]
+
+
+def test_proximity_plan_no_python_single_window(spark, prox_corpus):
+    out = S.search_proximity(prox_corpus, "a", "b", k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "CartesianProduct" not in plan and "Join" not in plan  # no self-join
+    assert "TakeOrderedAndProject" in plan
+
+
+# --------------------------------------------------- more-like-this
+
+
+def _mlt_ref(docs, qid, max_df=None):
+    toks = {d: [w for w in t.split() if w] for d, t in docs}
+    n = len(docs)
+    q = toks[qid]
+    df = {t: sum(1 for v in toks.values() if t in v) for t in set(q)}
+    out = {}
+    for d, v in toks.items():
+        if d == qid:
+            continue
+        s, shared = 0, 0
+        for term in set(q):
+            if max_df is not None and df[term] > max_df:
+                continue
+            tf = v.count(term)
+            if tf:
+                s += q.count(term) * tf * (n - df[term]) ** 2
+                shared += 1
+        if shared:
+            out[d] = (s, shared)
+    return sorted(
+        ((d, s, sh) for d, (s, sh) in out.items()),
+        key=lambda r: (-r[1], r[0]),
+    )
+
+
+def test_more_like_this_matches_reference(spark, corpus):
+    rows = S.more_like_this(corpus, 1, k=10).collect()
+    got = [(r["doc_id"], r["score"], r["n_shared"]) for r in rows]
+    docs = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+    assert got == _mlt_ref(docs, 1)
+    # doc4 shares nothing with doc1 -> absent; doc2 shares alpha+beta
+    assert {d for d, _, _ in got} == {2, 3}
+
+
+def test_more_like_this_max_df_cap(spark, corpus):
+    # beta has df 3: a cap of 2 removes it, leaving alpha+gamma signal
+    rows = S.more_like_this(corpus, 1, k=10, max_df=2).collect()
+    got = [(r["doc_id"], r["score"], r["n_shared"]) for r in rows]
+    docs = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+    assert got == _mlt_ref(docs, 1, max_df=2)
+    assert all(r[2] >= 1 for r in got)
+
+
+def test_more_like_this_plan_broadcast_only(spark, corpus):
+    out = S.more_like_this(corpus, 1, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "SortMergeJoin" not in plan          # all joins broadcast
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
