@@ -2676,3 +2676,97 @@ def q_link_spam(spark, sf_dir):
     return L.link_spam_features(
         L.host_edges(_pages_df(spark, sf_dir, external=True))
     )
+
+
+# ------------------------------------------------------------- BPE training
+
+
+def _bpe_oracle_cte(k: int) -> str:
+    """Chained-CTE DuckDB twin of ``operators/bpe.bpe_train``: d0 is the
+    word dict with 2-space symbol encoding; each round i is the pair
+    count (unnest over adjacent index pairs), the total-order argmax
+    (count DESC, left ASC, right ASC — binary order in both engines),
+    and the literal-string merge replace. K fixed rounds = K CTE blocks,
+    the exact SQL unrolling of the iterative Spark plan."""
+    parts = [
+        "WITH d0 AS (\n"
+        "    SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,\n"
+        "           ' ' || regexp_replace(word, '(.)', '\\1  ', 'g')"
+        " || '</w> ' AS seq\n"
+        "    FROM (SELECT unnest(string_split_regex(text, '\\s+'))"
+        " AS word FROM documents)\n"
+        "    WHERE word <> ''\n"
+        "    GROUP BY word\n"
+        ")"
+    ]
+    for i in range(k):
+        parts.append(
+            f",\nu{i} AS (SELECT cnt, syms,"
+            f" unnest(generate_series(1, len(syms) - 1)) AS gi\n"
+            f"          FROM (SELECT cnt, string_split(trim(seq), '  ')"
+            f" AS syms FROM d{i})),\n"
+            f"t{i} AS (SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS n\n"
+            f"         FROM (SELECT syms[gi] AS a, syms[gi + 1] AS b, cnt"
+            f" FROM u{i})\n"
+            f"         GROUP BY a, b ORDER BY n DESC, a ASC, b ASC"
+            f" LIMIT 1),\n"
+            f"d{i + 1} AS (SELECT word, cnt,\n"
+            f"           replace(seq, ' ' || a || '  ' || b || ' ',"
+            f" ' ' || a || b || ' ') AS seq\n"
+            f"           FROM d{i} CROSS JOIN t{i})"
+        )
+    return "".join(parts)
+
+
+_BPE_K = 6
+
+_BPE_MERGES_SQL = _bpe_oracle_cte(_BPE_K) + "\n" + "\nUNION ALL ".join(
+    f'SELECT CAST({i + 1} AS BIGINT) AS step, a AS "left", b AS "right",'
+    f" a || b AS merged, n AS pair_count FROM t{i}"
+    for i in range(_BPE_K)
+) + "\nORDER BY step"
+
+_BPE_CENSUS_SQL = _bpe_oracle_cte(_BPE_K) + f"""
+SELECT token, CAST(SUM(cnt) AS BIGINT) AS n
+FROM (SELECT cnt, unnest(string_split(trim(seq), '  ')) AS token
+      FROM d{_BPE_K})
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 30
+"""
+
+
+@query(
+    "q_bpe_merges",
+    _BPE_MERGES_SQL,
+    doc="corpus-scale BPE tokenizer training (Sennrich ACL'16): one corpus "
+    "scan reduces 10^12 docs to the vocab-sized word dict, then each merge "
+    "round is one explode+partial-agg shuffle over THAT dict plus a 1-row "
+    "argmax to the driver — the only driver data, bounded by construction. "
+    "Counts are exact BIGINTs and the argmax tie-break is total (count "
+    "DESC, left ASC, right ASC), so the learned merge table is "
+    "bit-identical across engines and partitionings; the oracle is the "
+    "K-round CTE unrolling (operators/bpe.py bpe_train).",
+)
+def q_bpe_merges(spark, sf_dir):
+    from corsearch_project_spark.operators import bpe as B
+
+    merges, dic = B.bpe_train(t(spark, sf_dir, "documents"), _BPE_K)
+    dic.unpersist()
+    return B.merges_df(spark, merges)
+
+
+@query(
+    "q_bpe_census",
+    _BPE_CENSUS_SQL,
+    doc="subword-token census after K BPE merges: the vocabulary coverage "
+    "/ fertility report that decides whether the merge budget sufficed. "
+    "Training as in q_bpe_merges; the census itself is one explode + one "
+    "shuffle over the vocab-sized dict, top-k via TakeOrderedAndProject "
+    "(operators/bpe.py token_census).",
+)
+def q_bpe_census(spark, sf_dir):
+    from corsearch_project_spark.operators import bpe as B
+
+    merges, dic = B.bpe_train(t(spark, sf_dir, "documents"), _BPE_K)
+    return B.token_census(dic, 30)
