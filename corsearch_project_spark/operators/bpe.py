@@ -120,11 +120,12 @@ def bpe_train(
     (input to vocabulary extraction / segmentation checks). Stops early
     if no pair is left (every word fully merged).
     """
-    dic = (
+    base = (
         bpe_word_dict(docs, text_col=text_col)
         .withColumn("seq", _initial_seq(F.col("word")))
         .persist()
     )
+    dic = base
     merges: List[Tuple[int, str, str, str, int]] = []
     for step in range(1, n_merges + 1):
         top = (
@@ -147,6 +148,12 @@ def bpe_train(
         )
         if step % checkpoint_every == 0:
             dic = dic.localCheckpoint()
+    # Materialize the final dict off the cached base, then release the
+    # cache: training persists exactly one vocab-sized relation and hands
+    # back a self-contained (checkpointed) one — repeated trains in a
+    # bench or job loop cannot accumulate cached partitions.
+    dic = dic.localCheckpoint()
+    base.unpersist()
     return merges, dic
 
 

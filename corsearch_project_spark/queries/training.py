@@ -2751,8 +2751,7 @@ LIMIT 30
 def q_bpe_merges(spark, sf_dir):
     from corsearch_project_spark.operators import bpe as B
 
-    merges, dic = B.bpe_train(t(spark, sf_dir, "documents"), _BPE_K)
-    dic.unpersist()
+    merges, _dic = B.bpe_train(t(spark, sf_dir, "documents"), _BPE_K)
     return B.merges_df(spark, merges)
 
 
