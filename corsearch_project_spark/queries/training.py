@@ -2769,3 +2769,70 @@ def q_bpe_census(spark, sf_dir):
 
     merges, dic = B.bpe_train(t(spark, sf_dir, "documents"), _BPE_K)
     return B.token_census(dic, 30)
+
+
+_BPE_FERTILITY_SQL = _bpe_oracle_cte(_BPE_K) + f""",
+w AS (
+    SELECT lang, word
+    FROM (SELECT lang, unnest(string_split_regex(text, '\\s+')) AS word
+          FROM documents)
+    WHERE word <> ''
+),
+seg AS (
+    SELECT word,
+           CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_toks
+    FROM d{_BPE_K}
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_toks) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fertility
+FROM w JOIN seg USING (word)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query(
+    "q_bpe_fertility",
+    _BPE_FERTILITY_SQL,
+    doc="per-language subword fertility (tokens per word, end-of-word "
+    "symbol included) under the learned BPE merges — THE tokenizer-QA "
+    "number that decides whether a merge budget under-serves a language "
+    "before any training run. Train as q_bpe_merges; then one words "
+    "explode keyed (lang, word), one join against the vocab-sized "
+    "segmented dict (broadcast-able: the dict is vocab-sized, not "
+    "corpus-sized), one partial agg by lang. The single double division "
+    "happens once per group in identical operand order on both engines "
+    "(operators/bpe.py bpe_train + token counts).",
+)
+def q_bpe_fertility(spark, sf_dir):
+    from corsearch_project_spark.operators import bpe as B
+
+    d = t(spark, sf_dir, "documents")
+    merges, dic = B.bpe_train(d, _BPE_K)
+    seg = dic.select(
+        "word",
+        F.size(F.split(F.trim(F.col("seq")), "  ")).cast("long").alias("n_toks"),
+    )
+    w = (
+        d.select(
+            "lang",
+            F.explode(F.split(F.col("text"), r"\s+")).alias("word"),
+        )
+        .where(F.col("word") != "")
+    )
+    return (
+        w.join(seg, "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "fertility",
+            F.col("n_tokens").cast("double") / F.col("n_words").cast("double"),
+        )
+        .select("lang", "n_words", "n_tokens", "fertility")
+        .orderBy("lang")
+    )
