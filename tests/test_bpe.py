@@ -193,3 +193,30 @@ def test_fuzz_random_corpora_match_reference(spark):
         want, _, _ = ref_train(texts, 6)
         assert merges == want, f"trial {trial}: {texts}"
         dic.unpersist()
+
+
+def test_bpe_round_plan_no_python_bounded_exchanges(spark):
+    """One training round's pair-count plan must stay pure-JVM (the bigram
+    fan-out is a codegen zip_with projection, never a Python stage) with
+    exactly the partial/final agg exchange, and the argmax must compile to
+    TakeOrderedAndProject — the 1-row driver collect the operator's scale
+    contract promises."""
+    docs = spark.range(60).selectExpr(
+        "concat('alpha beta gamma word', id % 9) AS text"
+    )
+    dic = B.bpe_word_dict(docs).withColumn(
+        "seq", B._initial_seq(F.col("word"))
+    )
+    top1 = (
+        B._pair_counts(B._with_syms(dic))
+        .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+        .limit(1)
+    )
+    plan = top1._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"):
+        assert marker not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # word-dict agg (1 exchange) + pair-count agg (1 exchange); the
+    # TakeOrderedAndProject limit is exchange-free.
+    assert plan.count("Exchange") <= 2, plan
