@@ -107,6 +107,9 @@ BENCH_QUERIES = [
     "q_search_phrase",  # round 4: positional anchor-group phrase search
     "q_search_proximity",  # round 4: adjacent-pair min-distance window
     "q_more_like_this",  # round 4: broadcast query-vector TF-IDF join
+    "q_bpe_merges",  # round 4: 6-round BPE merge training, 1-row argmax/round
+    "q_bpe_census",  # round 4: post-merge subword token census top-k
+    "q_bpe_fertility",  # round 4: per-lang tokens-per-word dict join
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

@@ -6,7 +6,7 @@ shard, and write parquet partitioned by split:
 
     spark-submit --py-files csp.zip jobs/export_corpus.py \
         --extracted /data/out/extracted --curated /data/cur/curated \
-        --output /data/shards [--pack-budget 4096]
+        --output /data/shards [--pack-budget 4096] [--bpe-merges K]
 
 Layout: <out>/split=train|valid|test/..., rows
 (url, extracted_text, n_tokens, quality, pred_lang, url_bucket, bin_id) —
@@ -15,6 +15,16 @@ their (split, url_bucket) shard, so a downstream packer streams one bin at
 a time. At 10^12 docs: the join is bucketed-key equi-join, the pack window
 is bounded per (split, bucket) shard (never a global sort), and the write
 partitions only by split (3 dirs) with bucket files inside.
+
+``--bpe-merges K`` (default off) denominates the pack budget in REAL
+subword tokens instead of whitespace words: K BPE merges are trained on
+the kept corpus (operators/bpe.py — one corpus scan to the vocab-sized
+word dict, K explode+partial-agg rounds over it), per-doc token counts
+come from one words explode joined against the vocab-sized segmented
+dict (broadcast-able) + one url-keyed partial agg, and the learned merge
+table — the tokenizer artifact downstream training needs — ships WITH
+the shards at ``<out>/_tokenizer/merges`` (underscore-prefixed, so shard
+readers' file discovery skips it).
 """
 
 from __future__ import annotations
@@ -38,6 +48,7 @@ def export_corpus(
     curated_path: str,
     output_path: str,
     pack_budget: int = 4096,
+    bpe_merges: int = 0,
 ):
     ext = spark.read.parquet(extracted_path).select(
         "url", "extracted_text", "url_bucket"
@@ -46,6 +57,40 @@ def export_corpus(
         "url", "n_tokens", "quality", "pred_lang", "split"
     )
     kept = ext.join(cur, "url")
+    bpe_report = None
+    if bpe_merges > 0:
+        from corsearch_project_spark.operators import bpe as B
+
+        merges, dic = B.bpe_train(
+            kept, bpe_merges, text_col="extracted_text"
+        )
+        seg = dic.select(
+            "word",
+            F.size(F.split(F.trim(F.col("seq")), "  "))
+            .cast("long")
+            .alias("n_toks"),
+        )
+        tok = (
+            kept.select(
+                "url",
+                F.explode(
+                    F.split(F.col("extracted_text"), r"\s+")
+                ).alias("word"),
+            )
+            .where(F.col("word") != "")
+            .join(seg, "word")
+            .groupBy("url")
+            .agg(F.sum("n_toks").cast("long").alias("n_bpe"))
+        )
+        kept = (
+            kept.drop("n_tokens")
+            .join(tok, "url", "left")
+            .withColumn(
+                "n_tokens", F.coalesce(F.col("n_bpe"), F.lit(0)).cast("long")
+            )
+            .drop("n_bpe")
+        )
+        bpe_report = {"n_merges": len(merges), "merges": merges}
     packed = kept.withColumn(
         "bin_id",
         X.pack_bins(
@@ -62,6 +107,17 @@ def export_corpus(
         .partitionBy("split")
         .parquet(output_path)
     )
+    if bpe_report is not None:
+        # After the shard overwrite (which truncates output_path), so the
+        # artifact survives; the _ prefix keeps it out of shard readers'
+        # file discovery.
+        from corsearch_project_spark.operators import bpe as B
+
+        merges_path = os.path.join(output_path, "_tokenizer", "merges")
+        B.merges_df(spark, bpe_report.pop("merges")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(merges_path)
+        bpe_report["merges_path"] = merges_path
     out = spark.read.parquet(output_path)
     per_split = {
         r["split"]: {"docs": r["docs"], "tokens": r["tokens"], "bins": r["bins"]}
@@ -73,12 +129,16 @@ def export_corpus(
         )
         .collect()
     }
-    return {
+    report = {
         "docs": out.count(),
         "pack_budget": pack_budget,
+        "token_unit": "bpe" if bpe_report is not None else "whitespace",
         "per_split": per_split,
         "output_path": output_path,
     }
+    if bpe_report is not None:
+        report["bpe"] = bpe_report
+    return report
 
 
 def main(argv=None) -> int:
@@ -87,6 +147,10 @@ def main(argv=None) -> int:
     ap.add_argument("--curated", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--pack-budget", type=int, default=4096)
+    ap.add_argument("--bpe-merges", type=int, default=0,
+                    help="train K BPE merges on the kept corpus and "
+                         "denominate the pack budget in subword tokens; "
+                         "the merge table ships at <out>/_tokenizer/merges")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
     for p in (args.extracted, args.curated):
@@ -95,7 +159,8 @@ def main(argv=None) -> int:
             return 1
     spark = build_session("export_corpus", master=args.master)
     report = export_corpus(
-        spark, args.extracted, args.curated, args.output, args.pack_budget
+        spark, args.extracted, args.curated, args.output, args.pack_budget,
+        bpe_merges=args.bpe_merges,
     )
     print(json.dumps(report, default=str))
     return 0

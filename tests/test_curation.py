@@ -260,3 +260,76 @@ def test_curation_blocklist_gate(spark, tmp_path):
     cur2 = spark.read.parquet(rep2["curated_path"])
     assert cur2.where("term_hits != 0 OR url_blocked").count() == 0
     assert sorted(cur.columns) == sorted(cur2.columns)
+
+
+def test_export_corpus_bpe_token_budget(spark, tmp_path):
+    """--bpe-merges denominates packing in learned subword tokens: the
+    merge table ships under <out>/_tokenizer (invisible to shard readers),
+    and every shard row's n_tokens equals an independent pure-Python
+    segmentation of its text under those merges, applied in merge order."""
+    import os
+    import re
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs"))
+    from export_corpus import export_corpus
+
+    rows = gen_pages(80, seed=89, dup_frac=0.1)
+    src = str(tmp_path / "p.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(pages_to_pandas(rows)), src,
+                   coerce_timestamps="us", allow_truncated_timestamps=True)
+    out = str(tmp_path / "o")
+    run_extract(spark, ExtractConfig(input_path=src, output_path=out,
+                                     run_id="E", buckets=8))
+    cur_out = str(tmp_path / "c")
+    run_curation(spark, os.path.join(out, "extracted"), cur_out)
+    shards = str(tmp_path / "shards")
+    rep = export_corpus(spark, os.path.join(out, "extracted"),
+                        os.path.join(cur_out, "curated"), shards,
+                        pack_budget=256, bpe_merges=4)
+    assert rep["token_unit"] == "bpe"
+    assert rep["bpe"]["n_merges"] == 4
+
+    mdf = spark.read.parquet(rep["bpe"]["merges_path"])
+    merges = [(r["left"], r["right"]) for r in mdf.orderBy("step").collect()]
+    assert [r["step"] for r in mdf.orderBy("step").collect()] == [1, 2, 3, 4]
+
+    # _tokenizer must not leak into the shard read (underscore convention)
+    df = spark.read.parquet(shards)
+    assert "step" not in df.columns and "merged" not in df.columns
+
+    def py_bpe_count(text):
+        # Java-regex \s+ word split (ASCII whitespace, like the engine)
+        n = 0
+        for w in re.split(r"[ \t\n\x0b\f\r]+", text):
+            if not w:
+                continue
+            syms = list(w) + ["</w>"]
+            for a, b in merges:
+                o, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        o.append(a + b)
+                        i += 2
+                    else:
+                        o.append(syms[i])
+                        i += 1
+                syms = o
+            n += len(syms)
+        return n
+
+    got = {r["url"]: (r["n_tokens"], r["extracted_text"])
+           for r in df.select("url", "n_tokens", "extracted_text").collect()}
+    assert got
+    for url, (n, text) in got.items():
+        assert n == py_bpe_count(text), url
+
+    # packing property still holds under the BPE denomination
+    bins = df.groupBy("split", "url_bucket", "bin_id").agg(
+        F.sum("n_tokens").alias("tok"), F.max("n_tokens").alias("mx")).collect()
+    for b in bins:
+        assert b["tok"] <= 256 + b["mx"], b
