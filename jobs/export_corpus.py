@@ -90,7 +90,7 @@ def export_corpus(
             )
             .drop("n_bpe")
         )
-        bpe_report = {"n_merges": len(merges), "merges": merges}
+        bpe_report = {"n_merges": len(merges), "merges": merges, "dic": dic}
     packed = kept.withColumn(
         "bin_id",
         X.pack_bins(
@@ -118,6 +118,14 @@ def export_corpus(
             "overwrite"
         ).parquet(merges_path)
         bpe_report["merges_path"] = merges_path
+        # Full subword-token census (token, n) — the vocabulary artifact +
+        # coverage report beside the merges; one explode + one partial agg
+        # over the vocab-sized dict.
+        vocab_path = os.path.join(output_path, "_tokenizer", "vocab")
+        B.token_census(bpe_report.pop("dic")).write.mode(
+            "overwrite"
+        ).parquet(vocab_path)
+        bpe_report["vocab_path"] = vocab_path
     out = spark.read.parquet(output_path)
     per_split = {
         r["split"]: {"docs": r["docs"], "tokens": r["tokens"], "bins": r["bins"]}

@@ -333,3 +333,10 @@ def test_export_corpus_bpe_token_budget(spark, tmp_path):
         F.sum("n_tokens").alias("tok"), F.max("n_tokens").alias("mx")).collect()
     for b in bins:
         assert b["tok"] <= 256 + b["mx"], b
+
+    # vocab artifact closure: the census's total token mass equals the sum
+    # of per-doc n_tokens over the kept corpus (same dict, same merges)
+    vocab = spark.read.parquet(rep["bpe"]["vocab_path"])
+    census_total = vocab.agg(F.sum("n")).collect()[0][0]
+    assert census_total == sum(n for n, _ in got.values())
+    assert vocab.where(F.col("token") == "</w>").count() <= 1
