@@ -207,3 +207,12 @@ def token_census(dic: DataFrame, k: Optional[int] = None) -> DataFrame:
     if k is not None:
         return out.orderBy(F.desc("n"), F.asc("token")).limit(k)
     return out
+
+
+def load_merges(spark, path: str) -> List[Tuple[str, str]]:
+    """Reload a shipped merge table (``jobs/export_corpus.py`` writes it
+    at ``<shards>/_tokenizer/merges``) as the ordered (left, right) list
+    ``bpe_apply`` consumes — K rows to the driver, bounded by the merge
+    budget by construction."""
+    rows = spark.read.parquet(path).orderBy("step").collect()
+    return [(r["left"], r["right"]) for r in rows]

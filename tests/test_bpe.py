@@ -220,3 +220,21 @@ def test_bpe_round_plan_no_python_bounded_exchanges(spark):
     # word-dict agg (1 exchange) + pair-count agg (1 exchange); the
     # TakeOrderedAndProject limit is exchange-free.
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_merge_table_round_trip_segments_identically(spark, tmp_path):
+    """train → persist merges → load_merges → bpe_apply must reproduce the
+    training dict's final symbol sequences exactly (the artifact lifecycle
+    export_corpus ships)."""
+    docs = spark.createDataFrame(
+        [("low lower lowest", ), ("new newer newest low", )], "text string"
+    )
+    merges, dic = B.bpe_train(docs, 5)
+    path = str(tmp_path / "merges")
+    B.merges_df(spark, merges).write.parquet(path)
+    loaded = B.load_merges(spark, path)
+    assert loaded == [(m[1], m[2]) for m in merges]
+    reseg = B.bpe_apply(docs, loaded)
+    a = {(r["word"], r["seq"]) for r in dic.collect()}
+    b = {(r["word"], r["seq"]) for r in reseg.collect()}
+    assert a == b
