@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "q_bpe_merges",  # round 4: 6-round BPE merge training, 1-row argmax/round
     "q_bpe_census",  # round 4: post-merge subword token census top-k
     "q_bpe_fertility",  # round 4: per-lang tokens-per-word dict join
+    "q_cms_heavy_hitters",  # round 4: count-min cells + min-estimate probe
+    "q_bloom_membership",  # round 4: bloom build + broadcast probe census
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

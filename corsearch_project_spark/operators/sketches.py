@@ -1,0 +1,169 @@
+"""Distributed probabilistic sketches with deterministic, portable hashing:
+Count-Min (heavy-hitter frequency estimation) and Bloom (set membership).
+
+Why a corpus engine ships these: at 10^12 documents the questions "roughly
+how often does this token/url/host occur" and "have we crawled this url"
+must be answerable from a structure that is (a) tiny enough to broadcast
+and (b) buildable in ONE linear pass with map-side combine — exactly what
+a sketch is. Spark's built-ins (approx_count_distinct, bloomFilter on the
+JVM) are opaque binaries; these are built as plain DataFrames of integer
+cells, so they are inspectable, mergeable (cell-wise SUM / bit OR — the
+partial-agg shuffle IS the merge), persistable as parquet beside the data,
+and — because the hash is the engine-wide portable md5 construction
+(functions/portable.phash) — bit-identical across Spark, DuckDB, and any
+other engine that can md5. Determinism is the contract: same input ->
+same cells, regardless of partitioning or row order.
+
+Count-Min (Cormode & Muthukrishnan, J.Alg 2005):
+  d independent rows of w counters; item x adds its weight to cell
+  (j, h_j(x) % w) for each row j; the estimate is min_j of its d cells —
+  never an underestimate, over by at most eps*N with prob 1-delta for
+  w=ceil(e/eps), d=ceil(ln 1/delta). Build shape: one explode of d row
+  indexes per item -> partial agg keyed (row, col). Map-side combine
+  collapses each task to <= d*w cells, so shuffle volume is
+  #tasks * d * w regardless of corpus size.
+
+Bloom (Bloom, CACM 1970): m bits as ceil(m/32) BIGINT words (32 low bits
+used per word — keeping the sign bit and bit-63 semantics out of the
+cross-engine contract); item x sets bit h_j(x) % m for j in 0..k-1. Build:
+explode k hashes -> (word_idx, OR of set bits) partial agg. Probe: an item
+is claimed present iff ALL k bits are set — no false negatives by
+construction; false positives at the documented (1-e^{-kn/m})^k rate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from corsearch_project_spark.functions.portable import phash
+
+BITS_PER_WORD = 32
+
+
+def _hash_j(col: Column, j: int | Column) -> Column:
+    """Row-j member of the portable hash family: md5 over 'j:value'.
+    Independent-enough rows for sketch guarantees, reproducible in any
+    engine with md5."""
+    jcol = F.lit(j) if isinstance(j, int) else j
+    return phash(F.concat(jcol.cast("string"), F.lit(":"), col.cast("string")))
+
+
+def cms_build(
+    items: DataFrame,
+    item_col: str = "item",
+    weight_col: str | None = None,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """-> sparse sketch cells (row, col, n) — at most depth*width rows.
+
+    One explode of ``depth`` row indexes per item, one partial-agg shuffle
+    keyed (row, col). Cells absent from the output are zero. Merging two
+    sketches of the same shape = union + re-agg (cell-wise sum).
+    """
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    return (
+        items.select(
+            F.col(item_col).alias("item"), w.alias("w"),
+            F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("row"),
+        )
+        .select(
+            "row",
+            (_hash_j(F.col("item"), F.col("row")) % F.lit(width)).alias("col"),
+            "w",
+        )
+        .groupBy("row", "col")
+        .agg(F.sum("w").alias("n"))
+    )
+
+
+def cms_estimate(
+    probes: DataFrame,
+    sketch: DataFrame,
+    item_col: str = "item",
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """-> (item, est) per probe row: min over the item's d cells.
+
+    The sketch is depth*width rows — broadcast-sized by construction; the
+    probe explode is d rows per probe. Cells the sketch never touched are
+    exact zeros (left join + coalesce), so unseen items estimate 0.
+    """
+    cells = (
+        probes.select(
+            F.col(item_col).alias("item"),
+            F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("row"),
+        )
+        .select(
+            "item", "row",
+            (_hash_j(F.col("item"), F.col("row")) % F.lit(width)).alias("col"),
+        )
+        .join(F.broadcast(sketch), ["row", "col"], "left")
+    )
+    return (
+        cells.groupBy("item")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias("est"))
+    )
+
+
+def bloom_build(
+    items: DataFrame,
+    item_col: str = "item",
+    n_bits: int = 512,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """-> (word_idx, bits) — the filter as ceil(n_bits/32) BIGINT words
+    (32 bits used per word). One explode of k hash indexes per item, one
+    partial-agg shuffle keyed word_idx; bit_or is the map-side combiner
+    AND the merge operator for unioning filters."""
+    pos = _hash_j(F.col(item_col), F.col("j")) % F.lit(n_bits)
+    return (
+        items.select(
+            F.col(item_col).alias("item"),
+            F.explode(F.array(*[F.lit(j) for j in range(n_hashes)])).alias("j"),
+        )
+        .select(pos.alias("pos"))
+        .select(
+            F.expr(f"pos div {BITS_PER_WORD}").alias("word_idx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS LONG), CAST(pos % {BITS_PER_WORD} AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bloom: DataFrame,
+    item_col: str = "item",
+    n_bits: int = 512,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """-> (item, claimed) per probe: claimed=true iff all k bits set.
+    The filter (<= n_bits/32 rows) broadcasts; absent words are all-zero."""
+    pos = _hash_j(F.col(item_col), F.col("j")) % F.lit(n_bits)
+    hits = (
+        probes.select(
+            F.col(item_col).alias("item"),
+            F.explode(F.array(*[F.lit(j) for j in range(n_hashes)])).alias("j"),
+        )
+        .select("item", pos.alias("pos"))
+        .select(
+            "item",
+            F.expr(f"pos div {BITS_PER_WORD}").alias("word_idx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS LONG), CAST(pos % {BITS_PER_WORD} AS INT))"
+            ).alias("bit"),
+        )
+        .join(F.broadcast(bloom), "word_idx", "left")
+        .withColumn(
+            "hit",
+            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bit")) != 0),
+        )
+    )
+    return hits.groupBy("item").agg(
+        F.min(F.col("hit").cast("int")).cast("boolean").alias("claimed")
+    )

@@ -2836,3 +2836,144 @@ def q_bpe_fertility(spark, sf_dir):
         .select("lang", "n_words", "n_tokens", "fertility")
         .orderBy("lang")
     )
+
+
+# ------------------------------------------------------- sketches (CMS/Bloom)
+
+_SQL_HJ = (
+    "CAST('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' ||"
+    " CAST({x} AS VARCHAR)), 1, 8) AS BIGINT)"
+)
+
+_CMS_SQL = f"""
+WITH w AS (
+    SELECT item
+    FROM (SELECT unnest(string_split(trim(text), ' ')) AS item
+          FROM documents)
+    WHERE item <> ''
+),
+rows_j AS (SELECT unnest([0, 1, 2, 3]) AS row_j),
+cells AS (
+    SELECT row_j, {_SQL_HJ.format(j="row_j", x="item")} % 64 AS col,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM w CROSS JOIN rows_j
+    GROUP BY row_j, col
+),
+probes AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS true_n
+           FROM w GROUP BY item),
+est AS (
+    SELECT p.item, CAST(MIN(COALESCE(c.n, 0)) AS BIGINT) AS est
+    FROM probes p CROSS JOIN rows_j r
+    LEFT JOIN cells c
+           ON c.row_j = r.row_j
+          AND c.col = {_SQL_HJ.format(j="r.row_j", x="p.item")} % 64
+    GROUP BY p.item
+)
+SELECT e.item, e.est, p.true_n
+FROM est e JOIN probes p USING (item)
+ORDER BY est DESC, item ASC
+LIMIT 20
+"""
+
+
+@query(
+    "q_cms_heavy_hitters",
+    _CMS_SQL,
+    doc="Count-Min sketch (Cormode-Muthukrishnan) heavy-hitter report over "
+    "corpus tokens: the sketch is a 4x64 integer cell relation built in ONE "
+    "explode + partial-agg pass — map-side combine collapses every task to "
+    "<= d*w cells, so shuffle volume is #tasks*d*w regardless of corpus "
+    "size — then every distinct token's estimate (min over its 4 cells, "
+    "never an underestimate) is joined against its true count, top-20. "
+    "Portable md5 hash family means the sketch is bit-identical across "
+    "engines; the oracle builds the SAME cells in SQL. 'row' deliberately "
+    "collides at this width — the over-estimate arm is populated "
+    "(operators/sketches.py cms_build/cms_estimate).",
+)
+def q_cms_heavy_hitters(spark, sf_dir):
+    from corsearch_project_spark.operators import sketches as SK
+
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("item")
+    ).where(F.col("item") != "")
+    sk = SK.cms_build(words, depth=4, width=64)
+    true = words.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("true_n")
+    )
+    return (
+        SK.cms_estimate(true.select("item"), sk, depth=4, width=64)
+        .join(true, "item")
+        .select("item", "est", "true_n")
+        .orderBy(F.desc("est"), F.asc("item"))
+        .limit(20)
+    )
+
+
+_BLOOM_SQL = f"""
+WITH k AS (
+    SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS item,
+           doc_id % 2 = 0 AS actual
+    FROM documents
+),
+hj AS (SELECT unnest([0, 1, 2]) AS j),
+bits AS (
+    SELECT pos // 32 AS word_idx,
+           bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+    FROM (SELECT {_SQL_HJ.format(j="j", x="item")} % 1024 AS pos
+          FROM k CROSS JOIN hj WHERE actual)
+    GROUP BY word_idx
+),
+probe AS (
+    SELECT item, actual, pos // 32 AS word_idx,
+           CAST(1 AS BIGINT) << CAST(pos % 32 AS INT) AS bit
+    FROM (SELECT item, actual, {_SQL_HJ.format(j="j", x="item")} % 1024 AS pos
+          FROM k CROSS JOIN hj)
+),
+claimed AS (
+    SELECT item, actual,
+           CAST(MIN(CASE WHEN (COALESCE(b.bits, 0) & probe.bit) <> 0
+                         THEN 1 ELSE 0 END) AS BOOLEAN) AS claimed
+    FROM probe LEFT JOIN bits b USING (word_idx)
+    GROUP BY item, actual
+)
+SELECT actual, claimed, CAST(COUNT(*) AS BIGINT) AS n
+FROM claimed
+GROUP BY actual, claimed
+ORDER BY actual, claimed
+"""
+
+
+@query(
+    "q_bloom_membership",
+    _BLOOM_SQL,
+    doc="Bloom-filter crawl-ledger membership census: build a 1024-bit / "
+    "3-hash filter over the even-doc_id half of the corpus (one explode + "
+    "bit_or partial agg — the OR is both the map-side combiner and the "
+    "filter-union merge operator), probe EVERY doc key against the "
+    "broadcast filter, and report the (actual, claimed) census. No false "
+    "negatives by construction — the (true, false) cell must be absent — "
+    "with the documented (1-e^(-kn/m))^k false-positive arm populated. "
+    "Portable md5 hash family; words as BIGINTs with 32 bits used, keeping "
+    "sign-bit semantics out of the cross-engine contract "
+    "(operators/sketches.py bloom_build/bloom_probe).",
+)
+def q_bloom_membership(spark, sf_dir):
+    from corsearch_project_spark.operators import sketches as SK
+
+    d = t(spark, sf_dir, "documents")
+    key = F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+    members = d.where(F.col("doc_id") % 2 == 0).select(key.alias("item"))
+    bl = SK.bloom_build(members, n_bits=1024, n_hashes=3)
+    probes = d.select(
+        key.alias("item"), (F.col("doc_id") % 2 == 0).alias("actual")
+    )
+    claimed = SK.bloom_probe(
+        probes.select("item"), bl, n_bits=1024, n_hashes=3
+    )
+    return (
+        claimed.join(probes, "item")
+        .groupBy("actual", "claimed")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("actual", "claimed")
+    )

@@ -1,0 +1,123 @@
+"""Count-Min / Bloom sketches — operators/sketches.py.
+
+Property oracles: CMS never underestimates and is exactly mergeable
+(cell-wise sum over a union == build over the concatenation); Bloom has
+zero false negatives and bit_or-merges exactly. Plan gates hold the build
+to one partial-agg shuffle with no Python stage, and the probe to a
+broadcast join.
+"""
+
+from pyspark.sql import functions as F
+
+from corsearch_project_spark.operators import sketches as SK
+
+
+def _items(spark, lo, hi, rep=3):
+    # value i appears (i % rep) + 1 times — known exact multiset
+    return spark.range(lo, hi).selectExpr(
+        f"explode(array_repeat(concat('it-', id), CAST(id % {rep} AS INT) + 1))"
+        " AS item"
+    )
+
+
+def test_cms_never_underestimates(spark):
+    items = _items(spark, 0, 200)
+    sk = SK.cms_build(items, depth=4, width=32)
+    true = items.groupBy("item").agg(F.count(F.lit(1)).alias("true_n"))
+    j = SK.cms_estimate(true.select("item"), sk, depth=4, width=32).join(
+        true, "item"
+    )
+    rows = j.collect()
+    assert rows
+    assert all(r["est"] >= r["true_n"] for r in rows)
+    # width 32 over 200 distinct items MUST collide somewhere
+    assert any(r["est"] > r["true_n"] for r in rows)
+
+
+def test_cms_unseen_item_estimates_from_cells_only(spark):
+    items = _items(spark, 0, 50)
+    sk = SK.cms_build(items, depth=4, width=64)
+    probe = spark.createDataFrame([("never-seen-token-xyzzy",)], "item string")
+    est = SK.cms_estimate(probe, sk, depth=4, width=64).collect()[0]["est"]
+    # not necessarily 0 (cells are shared), but bounded by the heaviest cell
+    mx = sk.agg(F.max("n")).collect()[0][0]
+    assert 0 <= est <= mx
+
+
+def test_cms_merge_is_cellwise_sum(spark):
+    a, b = _items(spark, 0, 80), _items(spark, 80, 160)
+    both = a.unionAll(b)
+    merged = (
+        SK.cms_build(a, depth=4, width=32)
+        .unionAll(SK.cms_build(b, depth=4, width=32))
+        .groupBy("row", "col")
+        .agg(F.sum("n").alias("n"))
+    )
+    full = SK.cms_build(both, depth=4, width=32)
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in full.collect()
+    }
+
+
+def test_cms_weighted_build(spark):
+    w = spark.createDataFrame(
+        [("x", 5), ("y", 7), ("x", 1)], "item string, wt int"
+    )
+    sk = SK.cms_build(w, weight_col="wt", depth=4, width=64)
+    est = {
+        r["item"]: r["est"]
+        for r in SK.cms_estimate(
+            w.select("item").distinct(), sk, depth=4, width=64
+        ).collect()
+    }
+    assert est["x"] >= 6 and est["y"] >= 7
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    members = _items(spark, 0, 120).distinct()
+    others = _items(spark, 120, 240).distinct()
+    bl = SK.bloom_build(members, n_bits=256, n_hashes=3)
+    claimed = SK.bloom_probe(members, bl, n_bits=256, n_hashes=3)
+    assert claimed.where(~F.col("claimed")).count() == 0
+    # dense 256-bit filter over 120 items: false positives must exist
+    fp = SK.bloom_probe(others, bl, n_bits=256, n_hashes=3)
+    assert fp.where(F.col("claimed")).count() > 0
+    # filter union == build over union (bit_or merge)
+    merged = (
+        bl.unionAll(SK.bloom_build(others, n_bits=256, n_hashes=3))
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    full = SK.bloom_build(members.unionAll(others), n_bits=256, n_hashes=3)
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in full.collect()
+    }
+    # only 32 low bits per word are ever used
+    assert full.where(
+        (F.col("bits") < 0) | (F.col("bits") >= F.lit(1 << 32))
+    ).count() == 0
+
+
+def test_sketch_plans_no_python_single_shuffle_broadcast_probe(spark):
+    items = _items(spark, 0, 100)
+    build = SK.cms_build(items, depth=4, width=32)
+    plan = build._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"):
+        assert marker not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+
+    probe = SK.cms_estimate(
+        items.select("item").distinct(), build, depth=4, width=32
+    )
+    pplan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in pplan, pplan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"):
+        assert marker not in pplan, pplan
+
+    bl = SK.bloom_build(items, n_bits=256, n_hashes=3)
+    bplan = bl._jdf.queryExecution().executedPlan().toString()
+    assert bplan.count("Exchange") <= 1, bplan
+    bprobe = SK.bloom_probe(items.select("item").distinct(), bl,
+                            n_bits=256, n_hashes=3)
+    bpplan = bprobe._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in bpplan, bpplan
