@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "q_bpe_fertility",  # round 4: per-lang tokens-per-word dict join
     "q_cms_heavy_hitters",  # round 4: count-min cells + min-estimate probe
     "q_bloom_membership",  # round 4: bloom build + broadcast probe census
+    "q_kmeans_cells",  # round 4: 3-round integer Lloyd over embeddings
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

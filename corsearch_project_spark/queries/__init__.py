@@ -32,7 +32,8 @@ from corsearch_project_spark.queries import webqa  # noqa: F401
 # q_pagination_chains, q_mirror_hosts, q_link_spam, q_blocklist,
 # q_image_neardup, q_script_census, q_search_bm25, q_search_phrase,
 # q_search_proximity, q_more_like_this, q_bpe_merges, q_bpe_census,
-# q_bpe_fertility, q_cms_heavy_hitters, q_bloom_membership;
+# q_bpe_fertility, q_cms_heavy_hitters, q_bloom_membership,
+# q_kmeans_cells;
 # all already exact-parity-green in pytest) — plus any round-5
 # registrations, so the two-round guarantee keeps holding by
 # construction.

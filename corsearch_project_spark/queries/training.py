@@ -2977,3 +2977,89 @@ def q_bloom_membership(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("actual", "claimed")
     )
+
+
+# ----------------------------------------------------- k-means clustering
+
+_KM_FD = (
+    "(SUM(v) - ((SUM(v) % COUNT(*)) + COUNT(*)) % COUNT(*)) // COUNT(*)"
+)
+
+
+def _km_assign_cte(r: int, cents: str) -> str:
+    return f"""
+d{r} AS (
+  SELECT vec_id, cent_id, SUM((a - b) * (a - b)) AS dist
+  FROM (SELECT q.vec_id, c.cent_id, unnest(q.qe) AS a, unnest(c.cqe) AS b
+        FROM q CROSS JOIN {cents} c)
+  GROUP BY vec_id, cent_id
+),
+p{r} AS (
+  SELECT vec_id, cent_id AS cell, dist FROM (
+    SELECT vec_id, cent_id, dist,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cent_id) AS rn
+    FROM d{r}) WHERE rn = 1
+)"""
+
+
+def _km_update_cte(r: int) -> str:
+    return f"""
+c{r + 1} AS (
+  SELECT cell AS cent_id, list(val ORDER BY dim) AS cqe FROM (
+    SELECT cell, dim, {_KM_FD} AS val
+    FROM (SELECT p.cell, unnest(generate_series(1, len(q.qe))) AS dim,
+                 unnest(q.qe) AS v
+          FROM p{r} p JOIN q USING (vec_id))
+    GROUP BY cell, dim
+  ) GROUP BY cell
+)"""
+
+
+_KM_ROUNDS = 3
+
+_KMEANS_SQL = (
+    """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT)) AS qe
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cent_id, qe AS cqe FROM q WHERE vec_id % 50 = 0),"""
+    + ",".join(
+        _km_assign_cte(r, f"c{r}")
+        + ("," + _km_update_cte(r) if r < _KM_ROUNDS - 1 else "")
+        for r in range(_KM_ROUNDS)
+    )
+    + f"""
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(dist) AS BIGINT) AS inertia
+FROM p{_KM_ROUNDS - 1}
+GROUP BY cell ORDER BY cell
+"""
+)
+
+
+@query(
+    "q_kmeans_cells",
+    _KMEANS_SQL,
+    doc="deterministic integer k-means (Lloyd, 3 assignment passes / 2 "
+    "centroid updates) over the embeddings table — the clustering that "
+    "feeds SemDeDup-style curation, data mixing, and the IVF index's "
+    "cells. Quantized vectors make squared-L2 exact BIGINT; the argmin is "
+    "total-ordered (dist, cent_id); the centroid mean is FLOOR division "
+    "via the portable remainder identity (Spark div truncates, DuckDB // "
+    "floors — the identity is floor in both), so centroids, cells and "
+    "inertias are bit-identical across engines. Per round: broadcast-K "
+    "assignment (partial min-struct argmin, one shuffle) + a (cell, dim) "
+    "partial agg whose map-side combine caps shuffle volume at "
+    "#tasks*K*D. Oracle = the K-round CTE unrolling "
+    "(operators/clustering.py kmeans/cluster_census).",
+)
+def q_kmeans_cells(spark, sf_dir):
+    from corsearch_project_spark.operators import clustering as C
+
+    e = t(spark, sf_dir, "embeddings")
+    _cents, assigned = C.kmeans(e, stride=50, rounds=_KM_ROUNDS)
+    return C.cluster_census(assigned).orderBy("cell")

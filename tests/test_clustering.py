@@ -1,0 +1,111 @@
+"""Integer Lloyd k-means — operators/clustering.py.
+
+Oracle: an independent pure-Python Lloyd implementation with the same
+determinism contract (quantized integers, total-ordered argmin, FLOOR
+division centroid means — Python's // floors, which is the portable
+semantics the engine's remainder identity reproduces). Negative
+coordinates are included on purpose: they are exactly the inputs where
+truncating division (Spark ``div``) and floor division (DuckDB ``//``)
+disagree, so a wrong centroid formula fails here.
+"""
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from corsearch_project_spark.operators import clustering as C
+
+
+def _vectors(n=60, d=4):
+    # whole-valued floats in [-5, 5]: qe = v*1000 is exact, sums go negative
+    return {
+        i: [float(((i * 7 + j * 13 + (i * j) % 11) % 11) - 5) for j in range(d)]
+        for i in range(n)
+    }
+
+
+def ref_kmeans(vecs, stride, rounds):
+    q = {i: [int(round(x * 1000)) for x in v] for i, v in vecs.items()}
+    cents = {i: list(q[i]) for i in q if i % stride == 0}
+    assign = {}
+    for r in range(rounds):
+        assign = {}
+        for i, v in q.items():
+            dist, cid = min(
+                (sum((a - b) ** 2 for a, b in zip(v, c)), cid)
+                for cid, c in cents.items()
+            )
+            assign[i] = (cid, dist)
+        if r < rounds - 1:
+            groups = defaultdict(list)
+            for i, (cell, _) in assign.items():
+                groups[cell].append(q[i])
+            cents = {
+                cell: [sum(col) // len(ms) for col in zip(*ms)]
+                for cell, ms in groups.items()
+            }
+    return cents, assign
+
+
+def _df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+
+
+def test_kmeans_matches_pure_python_lloyd(spark):
+    vecs = _vectors()
+    for rounds in (1, 2, 3):
+        cents, assigned = C.kmeans(_df(spark, vecs), stride=12, rounds=rounds)
+        ref_cents, ref_assign = ref_kmeans(vecs, stride=12, rounds=rounds)
+        got_assign = {
+            r["vec_id"]: (r["cell"], r["dist"]) for r in assigned.collect()
+        }
+        assert got_assign == ref_assign, f"rounds={rounds}"
+        got_cents = {r["cent_id"]: list(r["cqe"]) for r in cents.collect()}
+        assert got_cents == {k: list(v) for k, v in ref_cents.items()}
+
+
+def test_kmeans_inertia_non_increasing(spark):
+    df = _df(spark, _vectors(n=80))
+    inertias = []
+    for rounds in (1, 2, 3):
+        _, assigned = C.kmeans(df, stride=16, rounds=rounds)
+        inertias.append(
+            assigned.agg(F.sum("dist")).collect()[0][0]
+        )
+    assert inertias[0] >= inertias[1] >= inertias[2], inertias
+
+
+def test_kmeans_floor_div_on_negative_sums(spark):
+    df2 = spark.createDataFrame(
+        [(0, [-3.0]), (2, [-4.0])], "vec_id long, embedding array<float>"
+    )
+    cents2, _ = C.kmeans(df2, stride=10, rounds=2)  # only vec 0 seeds
+    got = {r["cent_id"]: list(r["cqe"]) for r in cents2.collect()}
+    assert got == {0: [(-3000 + -4000) // 2]}  # floor(-3500.0) == -3500
+    df3 = spark.createDataFrame(
+        [(0, [-3.0]), (2, [-4.0]), (4, [-5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cents3, _ = C.kmeans(df3, stride=10, rounds=2)
+    got3 = {r["cent_id"]: list(r["cqe"]) for r in cents3.collect()}
+    assert got3 == {0: [(-12000) // 3]}
+    # the discriminating case: sum not divisible, negative
+    df4 = spark.createDataFrame(
+        [(0, [-3.0]), (2, [-4.0]), (4, [-4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cents4, _ = C.kmeans(df4, stride=10, rounds=2)
+    got4 = {r["cent_id"]: list(r["cqe"]) for r in cents4.collect()}
+    assert got4 == {0: [(-11000) // 3]}  # -3667, truncation would give -3666
+
+
+def test_kmeans_assignment_plan_no_python_broadcast_only(spark):
+    df = _df(spark, _vectors())
+    _, assigned = C.kmeans(df, stride=12, rounds=2)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"):
+        assert marker not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
