@@ -118,3 +118,61 @@ def cluster_census(assigned: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("dist").cast("long").alias("inertia"),
     )
+
+
+def semdedup(
+    df: DataFrame,
+    stride: int = 50,
+    rounds: int = 3,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster, then near-dup ONLY within
+    cells — the clustering is what makes semantic dedup tractable at
+    10^12 docs, turning the corpus-wide pairwise problem into
+    sum-over-cells of bounded self-joins (fan-out <= max cell size per
+    row; AQE skew-split covers pathological mega-cells). The keep rule is
+    deterministic: a vector drops iff a SMALLER-id cell-mate sits within
+    cosine >= threshold (rounded to 6 dp — the engine-wide exact-compare
+    convention), so reruns and engines agree vector-by-vector.
+
+    -> (cell, n, n_dropped) per final cell, the curation census; pair the
+    kept set by anti-joining the dropped relation when materializing.
+    """
+    from corsearch_project_spark.operators.simsearch import cosine_q
+
+    _cents, assigned = kmeans(df, stride=stride, rounds=rounds, id_col=id_col)
+    vecs = with_quantized(df.withColumnRenamed(id_col, "vec_id")).select(
+        "vec_id", "qe"
+    )
+    m = assigned.select("vec_id", "cell").join(vecs, "vec_id")
+    a = m.select(
+        F.col("cell"), F.col("vec_id").alias("vec_a"), F.col("qe").alias("qa")
+    )
+    b = m.select(
+        F.col("cell"), F.col("vec_id").alias("vec_b"), F.col("qe").alias("qb")
+    )
+    dropped = (
+        a.join(b, ["cell"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(cosine_q(F.col("qa"), F.col("qb")) >= F.lit(threshold))
+        .select("vec_b")
+        .distinct()
+    )
+    flagged = m.join(
+        dropped.withColumnRenamed("vec_b", "vec_id").withColumn(
+            "is_dropped", F.lit(1)
+        ),
+        "vec_id",
+        "left",
+    )
+    return (
+        flagged.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.coalesce(F.col("is_dropped"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .orderBy("cell")
+    )

@@ -3063,3 +3063,44 @@ def q_kmeans_cells(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     _cents, assigned = C.kmeans(e, stride=50, rounds=_KM_ROUNDS)
     return C.cluster_census(assigned).orderBy("cell")
+
+
+_SEMDEDUP_SQL = (
+    _KMEANS_SQL.rsplit("SELECT cell,", 1)[0]
+    + """,
+m AS (SELECT p.vec_id, p.cell, q.qe FROM p2 p JOIN q USING (vec_id)),
+pr AS (
+    SELECT DISTINCT b.vec_id AS vec_id
+    FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE round(list_inner_product(a.qe, b.qe)
+                / sqrt(list_inner_product(a.qe, a.qe)
+                       * list_inner_product(b.qe, b.qe)), 6) >= 0.35
+)
+SELECT m.cell, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN pr.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped
+FROM m LEFT JOIN pr USING (vec_id)
+GROUP BY m.cell ORDER BY m.cell
+"""
+)
+
+
+@query(
+    "q_semdedup",
+    _SEMDEDUP_SQL,
+    doc="SemDeDup (Abbas et al. 2023) curation census: k-means cells "
+    "(q_kmeans_cells' exact 3-round Lloyd), then cosine near-dup pairs "
+    "ONLY within cells — clustering turns corpus-wide pairwise dedup into "
+    "sum-over-cells of bounded self-joins (fan-out <= max cell size; AQE "
+    "skew-split covers mega-cells). Deterministic keep rule: a vector "
+    "drops iff a smaller-id cell-mate is within cosine >= 0.35 (6-dp "
+    "rounded, the engine-wide exact-compare convention). Returns the "
+    "per-cell (n, n_dropped) census; every cell's dropped arm is "
+    "populated at this corpus (operators/clustering.py semdedup).",
+)
+def q_semdedup(spark, sf_dir):
+    from corsearch_project_spark.operators import clustering as C
+
+    return C.semdedup(
+        t(spark, sf_dir, "embeddings"), stride=50, rounds=3, threshold=0.35
+    )

@@ -109,3 +109,29 @@ def test_kmeans_assignment_plan_no_python_broadcast_only(spark):
         assert marker not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_semdedup_drops_exact_twins_keeps_cell_minimum(spark):
+    vecs = _vectors(n=60)
+    # ids 100..109 are exact copies of 0..9: same distances everywhere, so
+    # each twin lands in its original's cell and MUST drop (cos == 1.0)
+    twins = {100 + i: vecs[i] for i in range(10)}
+    allv = {**vecs, **twins}
+    df = _df(spark, allv)
+    census = C.semdedup(df, stride=12, rounds=3, threshold=0.999999)
+    rows = census.collect()
+    assert sum(r["n"] for r in rows) == 70
+    assert sum(r["n_dropped"] for r in rows) >= 10
+    assert all(r["n_dropped"] <= r["n"] - 1 for r in rows)
+
+    # reconstruct the dropped set at a looser threshold via the reference
+    _cents, ref_assign = ref_kmeans(allv, stride=12, rounds=3)
+    cells = defaultdict(list)
+    for i, (cell, _) in ref_assign.items():
+        cells[cell].append(i)
+    # the smallest id of every cell can never be dropped, so per-cell
+    # drops are bounded by the reference cell sizes minus one
+    by_cell = {r["cell"]: r for r in rows}
+    for cell, members in cells.items():
+        assert by_cell[cell]["n"] == len(members)
+        assert by_cell[cell]["n_dropped"] <= len(members) - 1
