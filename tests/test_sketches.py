@@ -121,3 +121,74 @@ def test_sketch_plans_no_python_single_shuffle_broadcast_probe(spark):
                             n_bits=256, n_hashes=3)
     bpplan = bprobe._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in bpplan, bpplan
+
+
+def test_streaming_sketch_maintenance_equals_batch(spark, tmp_path):
+    """Sketches maintained INCREMENTALLY over a stream equal the batch
+    build over the full corpus: each foreachBatch merges its micro-batch's
+    cells into the persisted sketch (bit_or for Bloom, cell-wise sum for
+    CMS) — the sketch merge operator IS the streaming increment, the same
+    batch-kernel-reuse pattern as the extraction and frontier streams."""
+    import os
+
+    src = os.path.join(str(tmp_path), "items_src")
+    bl_out = os.path.join(str(tmp_path), "bloom")
+    cm_out = os.path.join(str(tmp_path), "cms")
+
+    batches = [
+        [f"it-{i}" for i in range(0, 40)],
+        [f"it-{i}" for i in range(30, 80)],   # overlap re-adds (CMS weights)
+        [f"it-{i}" for i in range(80, 120)],
+    ]
+    for rows in batches:
+        spark.createDataFrame([(x,) for x in rows], "item string").write.mode(
+            "append"
+        ).parquet(src)
+
+    def handle(batch_df, batch_id):
+        bl = SK.bloom_build(batch_df, n_bits=256, n_hashes=3)
+        if os.path.isdir(bl_out) and any(
+            f.endswith(".parquet") for f in os.listdir(bl_out)
+        ):
+            bl = (
+                bl.unionByName(spark.read.parquet(bl_out))
+                .groupBy("word_idx")
+                .agg(F.expr("bit_or(bits)").alias("bits"))
+            )
+        bl.write.mode("overwrite").parquet(bl_out + ".tmp")
+        spark.read.parquet(bl_out + ".tmp").write.mode("overwrite").parquet(bl_out)
+        cm = SK.cms_build(batch_df, depth=4, width=32)
+        if os.path.isdir(cm_out) and any(
+            f.endswith(".parquet") for f in os.listdir(cm_out)
+        ):
+            cm = (
+                cm.unionByName(spark.read.parquet(cm_out))
+                .groupBy("row", "col")
+                .agg(F.sum("n").alias("n"))
+            )
+        cm.write.mode("overwrite").parquet(cm_out + ".tmp")
+        spark.read.parquet(cm_out + ".tmp").write.mode("overwrite").parquet(cm_out)
+
+    stream = spark.readStream.schema("item string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = stream.writeStream.foreachBatch(handle).trigger(
+        availableNow=True
+    ).option(
+        "checkpointLocation", os.path.join(str(tmp_path), "ckpt")
+    ).start()
+    q.awaitTermination(120)
+
+    allitems = spark.createDataFrame(
+        [(x,) for rows in batches for x in rows], "item string"
+    )
+    full_bl = SK.bloom_build(allitems, n_bits=256, n_hashes=3)
+    got_bl = spark.read.parquet(bl_out)
+    assert {tuple(r) for r in got_bl.collect()} == {
+        tuple(r) for r in full_bl.collect()
+    }
+    full_cm = SK.cms_build(allitems, depth=4, width=32)
+    got_cm = spark.read.parquet(cm_out)
+    assert {tuple(r) for r in got_cm.collect()} == {
+        tuple(r) for r in full_cm.collect()
+    }
