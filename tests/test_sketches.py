@@ -192,3 +192,60 @@ def test_streaming_sketch_maintenance_equals_batch(spark, tmp_path):
     assert {tuple(r) for r in got_cm.collect()} == {
         tuple(r) for r in full_cm.collect()
     }
+
+
+def test_build_ledger_cli_full_then_increment(spark, tmp_path):
+    """jobs/build_ledger.py: full build, then an --increment merge that
+    reads ONLY the increment — the result must equal the full build over
+    the union, probes must have zero false negatives, and the fp estimate
+    must come from the live filter's fill ratio."""
+    import os
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs"))
+    from build_ledger import build_ledger
+
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    spark.createDataFrame(
+        [(f"https://h{i % 7}.com/p{i}",) for i in range(150)], "url string"
+    ).write.parquet(a)
+    spark.createDataFrame(
+        [(f"https://h{i % 7}.com/p{i}",) for i in range(150, 300)],
+        "url string",
+    ).write.parquet(b)
+    out = str(tmp_path / "ledger")
+
+    rep = build_ledger(
+        spark, a, out, n_bits=2048, n_hashes=3,
+        probe="https://h0.com/p0,https://never.example/x",
+    )
+    assert rep["n_keys"] == 150 and rep["probes"]["https://h0.com/p0"]
+    assert 0 < rep["bits_set"] <= 450
+    assert 0 <= rep["fp_est"] < 0.05
+
+    rep2 = build_ledger(
+        spark, a, out, n_bits=2048, n_hashes=3, increment=b,
+        probe="https://h1.com/p211",
+    )
+    assert rep2["merged_increment"] and rep2["n_keys"] == 150
+    assert rep2["probes"]["https://h1.com/p211"]
+    assert rep2["bits_set"] >= rep["bits_set"]
+
+    # merged ledger == full build over the union
+    full = SK.bloom_build(
+        spark.read.parquet(a).unionByName(spark.read.parquet(b))
+        .select(F.col("url").alias("item")),
+        n_bits=2048, n_hashes=3,
+    )
+    got = spark.read.parquet(out)
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in full.collect()
+    }
+    # no false negatives over every key ever added
+    allk = spark.read.parquet(a).unionByName(spark.read.parquet(b)).select(
+        F.col("url").alias("item")
+    )
+    claims = SK.bloom_probe(allk, got, n_bits=2048, n_hashes=3)
+    assert claims.where(~F.col("claimed")).count() == 0
