@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "q_bloom_membership",  # round 4: bloom build + broadcast probe census
     "q_kmeans_cells",  # round 4: 3-round integer Lloyd over embeddings
     "q_semdedup",  # round 4: within-cell cosine dedup census
+    "q_passage_chunks",  # round 4: shuffle-free sliding RAG windows
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

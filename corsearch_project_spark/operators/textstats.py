@@ -520,3 +520,53 @@ def script_census(docs, id_col: str = "doc_id", text_col: str = "text"):
         dom.alias("dominant_script"),
         permille.cast("long").alias("dominant_permille"),
     )
+
+
+def sliding_passages(
+    df,
+    chunk: int = 64,
+    stride: int = 48,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Fixed-token sliding windows with overlap — the passage shape
+    retrieval/embedding pipelines index (chunk_sentences is the
+    sentence-aligned, non-overlapping converse). Chunk k covers tokens
+    [k*stride, k*stride + chunk); the last window clamps at the document
+    end; every token belongs to >= 1 window by construction when
+    stride <= chunk. Pure codegen: words split -> sequence + explode ->
+    slice + array_join; no shuffle at all — the explode fans out inside
+    the scan projection, so at 10^12 docs this is embarrassingly parallel
+    and the output inherits the input partitioning.
+
+    -> (doc, chunk_id, start_tok, n_tokens, passage).
+    """
+    if stride <= 0 or chunk <= 0 or stride > chunk:
+        raise ValueError("need 0 < stride <= chunk")
+    base = (
+        df.select(
+            F.col(doc_col).alias("doc"), words(F.col(text_col)).alias("ws")
+        )
+        .withColumn("n", F.size(F.col("ws")))
+        .where(F.col("n") > 0)
+    )
+    last_k = F.expr(
+        f"CASE WHEN n <= {chunk} THEN 0 "
+        f"ELSE (n - {chunk} + {stride} - 1) div {stride} END"
+    )
+    return (
+        base.withColumn("k", F.explode(F.sequence(F.lit(0), last_k)))
+        .select(
+            "doc",
+            F.col("k").cast("long").alias("chunk_id"),
+            (F.col("k") * stride).cast("long").alias("start_tok"),
+            F.expr(f"slice(ws, k * {stride} + 1, {chunk})").alias("toks"),
+        )
+        .select(
+            "doc",
+            "chunk_id",
+            "start_tok",
+            F.size(F.col("toks")).cast("long").alias("n_tokens"),
+            F.array_join(F.col("toks"), " ").alias("passage"),
+        )
+    )

@@ -33,7 +33,7 @@ from corsearch_project_spark.queries import webqa  # noqa: F401
 # q_image_neardup, q_script_census, q_search_bm25, q_search_phrase,
 # q_search_proximity, q_more_like_this, q_bpe_merges, q_bpe_census,
 # q_bpe_fertility, q_cms_heavy_hitters, q_bloom_membership,
-# q_kmeans_cells, q_semdedup;
+# q_kmeans_cells, q_semdedup, q_passage_chunks;
 # all already exact-parity-green in pytest) — plus any round-5
 # registrations, so the two-round guarantee keeps holding by
 # construction.

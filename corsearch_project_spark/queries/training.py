@@ -3104,3 +3104,43 @@ def q_semdedup(spark, sf_dir):
     return C.semdedup(
         t(spark, sf_dir, "embeddings"), stride=50, rounds=3, threshold=0.35
     )
+
+
+_PASSAGES_SQL = """
+WITH b AS (
+    SELECT doc_id AS doc, string_split(trim(text), ' ') AS ws,
+           len(string_split(trim(text), ' ')) AS n
+    FROM documents
+),
+k AS (
+    SELECT doc, ws,
+           unnest(generate_series(0,
+               CASE WHEN n <= 32 THEN 0
+                    ELSE (n - 32 + 24 - 1) // 24 END)) AS k
+    FROM b WHERE n > 0
+)
+SELECT doc, CAST(k AS BIGINT) AS chunk_id,
+       CAST(k * 24 AS BIGINT) AS start_tok,
+       CAST(len(ws[k * 24 + 1 : k * 24 + 32]) AS BIGINT) AS n_tokens,
+       array_to_string(ws[k * 24 + 1 : k * 24 + 32], ' ') AS passage
+FROM k
+"""
+
+
+@query(
+    "q_passage_chunks",
+    _PASSAGES_SQL,
+    doc="sliding passage windows (32 tokens, stride 24) over every "
+    "document — the overlapping chunk shape retrieval/embedding pipelines "
+    "index; chunk k covers [k*stride, k*stride+chunk), last window clamps "
+    "at the doc end, every token lands in >= 1 window. ZERO shuffles: the "
+    "sequence+explode fan-out and the slice/join projection both live "
+    "inside the scan, so the op inherits the input partitioning at any "
+    "scale (operators/textstats.py sliding_passages).",
+)
+def q_passage_chunks(spark, sf_dir):
+    from corsearch_project_spark.operators import textstats as X
+
+    return X.sliding_passages(
+        t(spark, sf_dir, "documents"), chunk=32, stride=24
+    )

@@ -135,3 +135,50 @@ def test_semdedup_drops_exact_twins_keeps_cell_minimum(spark):
     for cell, members in cells.items():
         assert by_cell[cell]["n"] == len(members)
         assert by_cell[cell]["n_dropped"] <= len(members) - 1
+
+
+def test_sliding_passages_coverage_and_plan(spark):
+    """Every token lands in >= 1 window, stride-aligned windows
+    reconstruct the document exactly, the last window clamps, and the
+    whole op compiles to a shuffle-free pure-JVM plan."""
+    from corsearch_project_spark.operators import textstats as X
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))),
+         (2, "a b c"),            # shorter than one chunk
+         (3, " ".join(f"t{i}" for i in range(9)))],  # exact multiple
+        "doc_id long, text string",
+    )
+    out = X.sliding_passages(docs, chunk=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc"], []).append(r)
+    # doc 2: single clamped window
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["passage"] == "a b c"
+    # doc 1 (10 tokens): last_k = ceil((10-4)/3) = 2 -> 3 windows
+    w1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["start_tok"] for r in w1] == [0, 3, 6]
+    assert w1[-1]["n_tokens"] == 4  # clamps at 10: tokens 6..9
+    # reconstruction: tokens at stride boundaries cover everything in order
+    toks = []
+    for r in w1:
+        toks.extend(r["passage"].split()[: 3 if r != w1[-1] else 4])
+    assert toks == [f"w{i}" for i in range(10)]
+    # doc 3 (9 tokens): (9-4+2)//3 = 2 -> windows at 0,3,6 (wait: last
+    # covers 6..8, 3 tokens)
+    w3 = sorted(by_doc[3], key=lambda r: r["chunk_id"])
+    assert [r["start_tok"] for r in w3] == [0, 3, 6]
+    assert w3[-1]["n_tokens"] == 3
+
+    plan = (
+        X.sliding_passages(docs, chunk=4, stride=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"):
+        assert marker not in plan, plan
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        X.sliding_passages(docs, chunk=4, stride=5)
