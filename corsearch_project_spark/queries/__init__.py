@@ -24,7 +24,7 @@ from corsearch_project_spark.queries import webqa  # noqa: F401
 # (computed by set difference), plus this round's new registrations.
 # ROUND 5 NOTE: recompute this list as (registry minus green rows in
 # CORRECTNESS_r04.json) — i.e. surface the r3-green queries this
-# round's window displaced PLUS the two late-round-4 registrations that
+# round's window displaced PLUS the late-round-4 registrations that
 # did not fit the 50-slot window (q_domain_quality, q_mixture_sample,
 # q_domain_cap, q_meta_robots, q_snapshot_diff, q_token_rarity,
 # q_crawl_traps, q_jsonld_types, q_nofollow_edges, q_html_tables,
