@@ -223,6 +223,24 @@ def credit_probe(docs: int = 8_000) -> float:
             pass
 
 
+def credit_probe_median(reps: int = 3, gap_s: float = 2.0) -> float:
+    """Median of ``reps`` credit probes, ``gap_s`` apart.
+
+    A single ~1 s probe on this burstable microVM carries ±30% noise
+    (BENCH/sentinel_log.jsonl shows adjacent idle-host probes of 9.1k and
+    16.9k docs/s), which round-4's single-probe brackets mistook for
+    throttling five times on runs whose measured efficiency was above
+    target. The throttle signature we guard against is a MONOTONE decay
+    over tens of minutes (BENCH/BASELINE.md §4.1), so a median over a few
+    seconds cannot mask it — it only rejects the single-probe jitter."""
+    vals = []
+    for i in range(reps):
+        if i:
+            time.sleep(gap_s)
+        vals.append(credit_probe())
+    return sorted(vals)[len(vals) // 2]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=250_000)
@@ -237,6 +255,13 @@ def main() -> int:
     ap.add_argument("--guard-drop", type=float, default=0.15,
                     help="abort when the interleaved credit probe drops more "
                          "than this fraction below the run-start probe")
+    ap.add_argument("--probe-reps", type=int, default=3,
+                    help="bracket probes are the median of this many ~1 s "
+                         "probes: single probes carry ±30%% jitter on this "
+                         "host (sentinel log) and falsely invalidated five "
+                         "round-4 runs; a genuine credit throttle is a "
+                         "monotone multi-minute decay a seconds-long median "
+                         "cannot hide")
     ap.add_argument("--order", choices=("given", "heavy-first"),
                     default="given",
                     help="heavy-first runs the larger-slot master first in "
@@ -296,7 +321,7 @@ def main() -> int:
             print(json.dumps({"resting_s": args.rest_after_gen}),
                   file=sys.stderr)
             time.sleep(args.rest_after_gen)
-        probes.append(credit_probe())
+        probes.append(credit_probe_median(args.probe_reps))
         print(json.dumps({"credit_probe": probes[-1]}), file=sys.stderr)
         runs = []
         for rep in range(args.reps):  # interleaved: decorrelates host-load drift
@@ -305,7 +330,7 @@ def main() -> int:
                 # >guard-drop fall from the run-start probe is the throttle
                 # signature, and medians over throttled reps describe the
                 # host, not the engine — abort and mark the artifact.
-                probes.append(credit_probe())
+                probes.append(credit_probe_median(args.probe_reps))
                 print(json.dumps({"credit_probe": probes[-1]}), file=sys.stderr)
                 if probes[-1] < probes[0] * (1.0 - args.guard_drop):
                     invalidated = (
@@ -323,7 +348,7 @@ def main() -> int:
                     # single-rep (probe, leg, probe, leg, probe) bracket is
                     # only honest evidence if throttle onset between the
                     # legs is observable
-                    probes.append(credit_probe())
+                    probes.append(credit_probe_median(args.probe_reps))
                     print(json.dumps({"credit_probe": probes[-1]}),
                           file=sys.stderr)
                 r = run_once(master, zip_path, input_path, workdir, rep,
@@ -334,7 +359,7 @@ def main() -> int:
             # closing probe: the final leg has no following rep-boundary
             # probe, so without this a throttle during the last leg would
             # go unrecorded
-            probes.append(credit_probe())
+            probes.append(credit_probe_median(args.probe_reps))
             print(json.dumps({"credit_probe": probes[-1]}), file=sys.stderr)
             if probes[-1] < probes[0] * (1.0 - args.guard_drop):
                 invalidated = (

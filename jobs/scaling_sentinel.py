@@ -63,7 +63,7 @@ def main() -> int:
                          "sensible when both legs are credit-sustainable)")
     args = ap.parse_args()
 
-    from jobs.bench_scaling import credit_probe
+    from jobs.bench_scaling import credit_probe_median
 
     t0 = time.time()
     pages = os.path.join(args.input_dir, "pages.parquet")
@@ -82,7 +82,7 @@ def main() -> int:
 
     prev = None
     while True:
-        p = credit_probe()
+        p = credit_probe_median()  # median-of-3: single probes jitter ±30%
         log({"event": "probe", "docs_per_sec": p})
         elapsed_min = (time.time() - t0) / 60
         # Plateau = non-decreasing AND risen <3% since the last probe. The
