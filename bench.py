@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "q_kmeans_cells",  # round 4: 3-round integer Lloyd over embeddings
     "q_semdedup",  # round 4: within-cell cosine dedup census
     "q_passage_chunks",  # round 4: shuffle-free sliding RAG windows
+    "q_token_drift",  # round 4: integer-exact chi-square snapshot drift
+    "q_length_hist",  # round 4: mergeable equi-width histogram sketch
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

@@ -167,3 +167,45 @@ def bloom_probe(
     return hits.groupBy("item").agg(
         F.min(F.col("hit").cast("int")).cast("boolean").alias("claimed")
     )
+
+
+def hist_build(
+    df: DataFrame,
+    value_col: str,
+    width: int,
+    n_bins: int,
+    keys: tuple = (),
+) -> DataFrame:
+    """Equi-width histogram relation (*keys, bin, n) over a BIGINT value.
+
+    bin = least(value div width, n_bins-1): a FIXED bin domain shared by
+    every build, which is what makes the relation a mergeable sketch —
+    merging two histograms is a groupBy-SUM over the union (the partial
+    agg IS the merge, exactly as with the Count-Min cells above). Values
+    past the last edge clamp into the overflow bin; empty bins are absent
+    rows (a census, not a dense vector — densify at read time if needed).
+    Shape: one partial-agg shuffle whose map-side combine caps each task's
+    output at |keys-domain| * n_bins rows regardless of corpus size. The
+    10^12-doc use: per-host doc-length / fetch-latency distributions kept
+    fresh by unioning each increment's build into the stored relation.
+    """
+    bin_ = F.least(
+        F.expr(f"CAST({value_col} AS BIGINT) div {width}"),
+        F.lit(n_bins - 1).cast("long"),
+    ).cast("int")
+    return (
+        df.select(*keys, bin_.alias("bin"))
+        .groupBy(*keys, "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def hist_merge(hists: list, keys: tuple = ()) -> DataFrame:
+    """Union-and-sum merge of histogram relations built with the SAME
+    (width, n_bins): exact — counts are associative BIGINT sums."""
+    merged = hists[0]
+    for h in hists[1:]:
+        merged = merged.unionByName(h)
+    return merged.groupBy(*keys, "bin").agg(
+        F.sum("n").cast("long").alias("n")
+    )

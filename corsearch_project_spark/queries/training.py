@@ -3144,3 +3144,92 @@ def q_passage_chunks(spark, sf_dir):
     return X.sliding_passages(
         t(spark, sf_dir, "documents"), chunk=32, stride=24
     )
+
+
+_DRIFT_SQL = """
+WITH toks AS (
+    SELECT doc_id % 2 = 0 AS in_a,
+           unnest(string_split(trim(text), ' ')) AS tok
+    FROM documents
+),
+tf AS (SELECT * FROM toks WHERE tok <> ''),
+a AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_a FROM tf WHERE in_a GROUP BY tok),
+b AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_b FROM tf WHERE NOT in_a GROUP BY tok),
+tot AS (SELECT (SELECT CAST(SUM(n_a) AS HUGEINT) FROM a) AS tot_a,
+               (SELECT CAST(SUM(n_b) AS HUGEINT) FROM b) AS tot_b),
+merged AS (
+    SELECT COALESCE(a.tok, b.tok) AS tok,
+           COALESCE(n_a, 0) AS n_a,
+           COALESCE(n_b, 0) AS n_b
+    FROM a FULL OUTER JOIN b ON a.tok = b.tok
+)
+SELECT tok, n_a, n_b,
+       CAST((1000000
+             * (CAST(n_a AS HUGEINT) * tot_b - CAST(n_b AS HUGEINT) * tot_a)
+             * (CAST(n_a AS HUGEINT) * tot_b - CAST(n_b AS HUGEINT) * tot_a))
+            // (CAST(n_a + n_b AS HUGEINT) * tot_a * tot_b)
+            AS BIGINT) AS chi2_scaled
+FROM merged CROSS JOIN tot
+ORDER BY chi2_scaled DESC, tok ASC
+LIMIT 20
+"""
+
+
+@query(
+    "q_token_drift",
+    _DRIFT_SQL,
+    doc="token-distribution drift between two crawl snapshots (simulated "
+    "as the doc_id-parity halves): per-token two-sample chi-square "
+    "contribution (a*Nb - b*Na)^2 / ((a+b)*Na*Nb) computed as an "
+    "integer-exact micro-scaled DECIMAL(38,0) DIV so the drift ranking is "
+    "bit-identical across engines — a float chi-square would tie-break on "
+    "ulps. Top-20 drifted tokens. Shape: two vocab-sized partial aggs, "
+    "one full-outer vocab join, scalar totals broadcast, "
+    "TakeOrderedAndProject; no Python. Overflow envelope + the "
+    "right-shift coarsening for 10^12-token snapshots documented in "
+    "operators/drift.py.",
+)
+def q_token_drift(spark, sf_dir):
+    from corsearch_project_spark.operators import drift as DR
+
+    d = t(spark, sf_dir, "documents")
+    ca = DR.token_counts(d.where(F.col("doc_id") % 2 == 0))
+    cb = DR.token_counts(d.where(F.col("doc_id") % 2 == 1))
+    return DR.drift_topk(DR.token_drift(ca, cb), k=20)
+
+
+_HIST_SQL = """
+SELECT source,
+       CAST(LEAST(n_chars // 512, 7) AS INT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents
+GROUP BY source, bin
+ORDER BY source, bin
+"""
+
+
+@query(
+    "q_length_hist",
+    _HIST_SQL,
+    doc="per-source doc-length histogram as a mergeable sketch relation "
+    "(operators/sketches.py hist_build): equi-width bins over a FIXED "
+    "domain (width 512, 8 bins, overflow clamps into the last) so merging "
+    "an increment's histogram into the stored one is a groupBy-SUM — the "
+    "partial agg IS the merge, same contract as the Count-Min cells. One "
+    "shuffle, map-side combine caps task output at |sources|*8 rows "
+    "regardless of corpus size; exact mergeability pinned by "
+    "tests/test_drift.py.",
+)
+def q_length_hist(spark, sf_dir):
+    from corsearch_project_spark.operators import sketches as SK
+
+    return (
+        SK.hist_build(
+            t(spark, sf_dir, "documents"),
+            "n_chars",
+            width=512,
+            n_bins=8,
+            keys=("source",),
+        )
+        .orderBy("source", "bin")
+    )
