@@ -33,7 +33,7 @@ from corsearch_project_spark.webextract.rules import (
 KERNEL_INPUT_COLS = ("url", "html", "text")
 
 
-def _safe_extract(url, data, fb, rule):
+def _safe_extract(url, data, fb, rule, extract_fn=None):
     """Poison-doc guard: the core is designed never to raise (fuzz-tested),
     but at 10^12 docs one pathological payload must not fail a multi-million
     -doc task and poison its bucket through every retry. A raising document
@@ -42,7 +42,7 @@ def _safe_extract(url, data, fb, rule):
     from corsearch_project_spark.webextract.extract import ExtractResult, _digest
 
     try:
-        return extract_document(url, data, fb, rule)
+        return (extract_fn or extract_document)(url, data, fb, rule)
     except Exception:
         return ExtractResult(
             url=url,
@@ -106,7 +106,7 @@ def make_kernel(rules_bc) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.Data
     return kernel
 
 
-def make_kernel_arrow(rules_bc):
+def make_kernel_arrow(rules_bc, extract_fn=None):
     """Arrow-native kernel: consumes/produces ``pyarrow.RecordBatch``
     directly (``mapInArrow``), skipping the pandas Series round-trip on both
     sides of the boundary — string/binary columns never materialize as
@@ -159,6 +159,7 @@ def make_kernel_arrow(rules_bc):
                     data if data is not None else b"",
                     fb,
                     rule_for_url(url, rules),
+                    extract_fn,
                 )
                 dt_us = int((time.perf_counter() - t0) * 1e6)
                 cols["url"].append(r.url)
@@ -189,3 +190,22 @@ def run_kernel(pages: DataFrame, rules_bc) -> DataFrame:
     stage runs the Arrow-native form."""
     inp = pages.select(*KERNEL_INPUT_COLS)
     return inp.mapInArrow(make_kernel_arrow(rules_bc), schema=EXTRACTED_KERNEL_SCHEMA)
+
+
+def run_markdown_kernel(pages: DataFrame, rules_bc) -> DataFrame:
+    """Markdown-arm kernel (same stage shape as ``run_kernel`` — ONE
+    mapInArrow Python stage, same input projection, same poison-doc guard)
+    whose ``extracted_text`` column holds the structure-preserving markdown
+    serialization (webextract/markdown.py) instead of the flat text. Run it
+    beside — not instead of — the text kernel: the text arm carries the
+    byte-identity contract, this arm feeds training-corpus exports that
+    want headings/lists/links preserved."""
+    from corsearch_project_spark.webextract.extract import (
+        extract_document_markdown,
+    )
+
+    inp = pages.select(*KERNEL_INPUT_COLS)
+    return inp.mapInArrow(
+        make_kernel_arrow(rules_bc, extract_document_markdown),
+        schema=EXTRACTED_KERNEL_SCHEMA,
+    )
