@@ -209,3 +209,107 @@ def run_markdown_kernel(pages: DataFrame, rules_bc) -> DataFrame:
         make_kernel_arrow(rules_bc, extract_document_markdown),
         schema=EXTRACTED_KERNEL_SCHEMA,
     )
+
+
+def make_dual_kernel_arrow(rules_bc):
+    """Fused dual-emit kernel: ONE tokenize+DOM per document feeds both
+    the plain-text and markdown serializations (extract_document_both), so
+    the markdown column costs one extra tree walk — not a second parse —
+    on top of the text arm. Same poison-doc guard; a raising document
+    degrades to the empty row in BOTH arms."""
+    import pyarrow as pa
+
+    from corsearch_project_spark.webextract.extract import (
+        ExtractResult,
+        _digest,
+        extract_document_both,
+    )
+
+    out_schema = pa.schema(
+        [
+            pa.field("url", pa.string()),
+            pa.field("doc_kind", pa.string()),
+            pa.field("extracted_text", pa.string()),
+            pa.field(
+                "spans",
+                pa.list_(
+                    pa.struct(
+                        [
+                            pa.field("start", pa.int64()),
+                            pa.field("end", pa.int64()),
+                            pa.field("kind", pa.string()),
+                        ]
+                    )
+                ),
+            ),
+            pa.field("text_sha256", pa.string()),
+            pa.field("n_blocks", pa.int64()),
+            pa.field("n_chars", pa.int64()),
+            pa.field("bytes_in", pa.int64()),
+            pa.field("extract_us", pa.int64()),
+            pa.field("extracted_md", pa.string()),
+            pa.field("md_sha256", pa.string()),
+        ]
+    )
+
+    def _safe_both(url, data, fb, rule):
+        try:
+            return extract_document_both(url, data, fb, rule)
+        except Exception:
+            r = ExtractResult(
+                url=url, doc_kind="error", text="", spans=[],
+                text_sha256=_digest(""), n_blocks=0, n_chars=0,
+                bytes_in=len(data or b""),
+            )
+            return r, "", _digest("")
+
+    def kernel(batches):
+        plain = rules_bc.value if hasattr(rules_bc, "value") else (rules_bc or {})
+        rules: Dict[str, Rule] = rules_from_plain(plain)
+        for rb in batches:
+            names = rb.schema.names
+            urls = rb.column(names.index("url")).to_pylist()
+            datas = rb.column(names.index("html")).to_pylist()
+            texts = (
+                rb.column(names.index("text")).to_pylist()
+                if "text" in names
+                else [None] * len(urls)
+            )
+            cols = {name: [] for name in out_schema.names}
+            for url, data, fb in zip(urls, datas, texts):
+                t0 = time.perf_counter()
+                r, md, md_sha = _safe_both(
+                    url,
+                    data if data is not None else b"",
+                    fb,
+                    rule_for_url(url, rules),
+                )
+                dt_us = int((time.perf_counter() - t0) * 1e6)
+                cols["url"].append(r.url)
+                cols["doc_kind"].append(r.doc_kind)
+                cols["extracted_text"].append(r.text)
+                cols["spans"].append(
+                    [{"start": int(s), "end": int(e), "kind": k} for (s, e, k) in r.spans]
+                )
+                cols["text_sha256"].append(r.text_sha256)
+                cols["n_blocks"].append(r.n_blocks)
+                cols["n_chars"].append(r.n_chars)
+                cols["bytes_in"].append(r.bytes_in)
+                cols["extract_us"].append(dt_us)
+                cols["extracted_md"].append(md)
+                cols["md_sha256"].append(md_sha)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], type=f.type) for f in out_schema],
+                schema=out_schema,
+            )
+
+    return kernel
+
+
+def run_dual_kernel(pages: DataFrame, rules_bc) -> DataFrame:
+    """pages -> plain kernel schema + (extracted_md, md_sha256) in ONE
+    mapInArrow stage; the pipeline's --with-markdown path."""
+    from corsearch_project_spark.sources.schemas import DUAL_KERNEL_SCHEMA
+
+    inp = pages.select(*KERNEL_INPUT_COLS)
+    return inp.mapInArrow(make_dual_kernel_arrow(rules_bc), schema=DUAL_KERNEL_SCHEMA)

@@ -52,6 +52,12 @@ class ExtractConfig:
     kernel_partitions: Optional[int] = None
     bucket_whitelist: Optional[Sequence[int]] = None  # test hook: simulate partial run
     max_records_per_file: int = 50_000
+    # Opt-in markdown column: the fused dual-emit kernel parses each HTML
+    # document ONCE and serializes twice, adding (extracted_md, md_sha256)
+    # to the same bucketed table — Parquet is columnar, so text-only
+    # readers prune the extra columns and pay nothing. Lineage/digest
+    # contracts are unchanged (they roll up text_sha256 either way).
+    with_markdown: bool = False
 
     def __post_init__(self):
         if not self.run_id:
@@ -172,7 +178,12 @@ def run_extract(
     rules_plain = rules_to_plain(rules or {})
     rules_bc = spark.sparkContext.broadcast(rules_plain)
 
-    extracted = run_kernel(shuffled, rules_bc)
+    if cfg.with_markdown:
+        from corsearch_project_spark.operators.kernel import run_dual_kernel
+
+        extracted = run_dual_kernel(shuffled, rules_bc)
+    else:
+        extracted = run_kernel(shuffled, rules_bc)
     extracted = with_url_bucket(extracted, cfg.buckets)  # re-derived JVM-side
 
     # Write-clustering exchange: the kernel ran on fine-grained (bucket,

@@ -61,3 +61,16 @@ LINEAGE_SCHEMA = T.StructType(
 PAGES_DDL = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
 )
+
+
+# Dual-emit kernel (opt-in --with-markdown): the plain schema plus the
+# markdown serialization and its own digest. Written into the SAME bucketed
+# table — Parquet is columnar, so text-only readers prune the md columns
+# and pay nothing for their presence.
+DUAL_KERNEL_SCHEMA = T.StructType(
+    list(EXTRACTED_KERNEL_SCHEMA.fields)
+    + [
+        T.StructField("extracted_md", T.StringType(), False),
+        T.StructField("md_sha256", T.StringType(), False),
+    ]
+)

@@ -141,3 +141,48 @@ def extract_document_markdown(
         n_chars=len(md),
         bytes_in=len(data),
     )
+
+
+def extract_document_both(
+    url: str,
+    data: Optional[bytes],
+    fallback_text: Optional[str],
+    rule: Rule = DEFAULT_RULE,
+) -> Tuple["ExtractResult", str, str]:
+    """Fused dual emit -> (plain ExtractResult, markdown, md_sha256).
+
+    For HTML the source is tokenized and the DOM built ONCE, then both
+    serializations walk the same tree (extract_html_from_dom /
+    markdown_from_dom) — enabling the markdown column costs one extra walk
+    per document, not a second parse (the parse dominates kernel time).
+    The plain result is byte-identical to ``extract_document``'s (pinned
+    by tests); non-HTML kinds reuse the plain text as the markdown arm,
+    same contract as ``extract_document_markdown``."""
+    data = data or b""
+    if len(data) <= rule.max_doc_bytes and sniff_kind(data) == "html":
+        from corsearch_project_spark.webextract.htmlx import (
+            build_dom,
+            extract_html_from_dom,
+            tokenize,
+        )
+        from corsearch_project_spark.webextract.markdown import (
+            markdown_from_dom,
+        )
+
+        src = decode_bytes(data, rule.charset_override)
+        dom = build_dom(tokenize(src))
+        text, spans = extract_html_from_dom(dom, rule)
+        md, _ = markdown_from_dom(dom, rule)
+        res = ExtractResult(
+            url=url,
+            doc_kind="html",
+            text=text,
+            spans=list(spans),
+            text_sha256=_digest(text),
+            n_blocks=len(spans),
+            n_chars=len(text),
+            bytes_in=len(data),
+        )
+        return res, md, _digest(md)
+    res = extract_document(url, data, fallback_text, rule)
+    return res, res.text, res.text_sha256

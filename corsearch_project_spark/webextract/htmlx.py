@@ -487,8 +487,12 @@ def extract_html(src: str, rule: Rule = DEFAULT_RULE):
 
     Blocks joined with a single "\\n"; no trailing newline (SURVEY §1.3).
     """
-    toks = tokenize(src)
-    dom = build_dom(toks)
+    return extract_html_from_dom(build_dom(tokenize(src)), rule)
+
+
+def extract_html_from_dom(dom: Node, rule: Rule = DEFAULT_RULE):
+    """Text arm over an already-built DOM — the seam the fused dual-emit
+    kernel uses to parse once and serialize twice (text + markdown)."""
     blocks = segment_blocks(dom, rule)
     scored = [sb for sb in (score_block(b) for b in blocks) if sb is not None]
     kept = select_blocks(scored, rule)

@@ -196,12 +196,10 @@ def extract_markdown(src: str, rule: Rule = DEFAULT_RULE):
     selection); consecutive list items join with one newline, everything
     else with a blank line; no trailing newline.
     """
-    walker = _Walker(rule)
-    dom = build_dom(tokenize(src))
-    last = walker.walk(dom, None, 0, False, False)
-    walker._flush(last)
-    pairs = walker.pairs
+    return markdown_from_dom(build_dom(tokenize(src)), rule)
 
+
+def _select_pairs(pairs: List[_Pair], rule: Rule):
     scored = []
     owner = {}
     for p in pairs:
@@ -209,8 +207,10 @@ def extract_markdown(src: str, rule: Rule = DEFAULT_RULE):
         if sb is not None:
             scored.append(sb)
             owner[id(sb)] = p
-    kept = select_blocks(scored, rule)
+    return select_blocks(scored, rule), owner
 
+
+def _emit(kept, owner) -> Tuple[str, list]:
     out: List[str] = []
     spans = []
     prev_list = -1
@@ -222,3 +222,15 @@ def extract_markdown(src: str, rule: Rule = DEFAULT_RULE):
         prev_list = list_id
         spans.append((sb.start, sb.end, sb.tag))
     return "".join(out), spans
+
+
+def markdown_from_dom(dom: Node, rule: Rule = DEFAULT_RULE):
+    """Markdown arm over an ALREADY-BUILT DOM — the fused dual-emit path:
+    the kernel tokenizes + builds the DOM once per document and feeds the
+    same tree to both serializations, so enabling the markdown column
+    costs one extra walk, not a second parse."""
+    walker = _Walker(rule)
+    last = walker.walk(dom, None, 0, False, False)
+    walker._flush(last)
+    kept, owner = _select_pairs(walker.pairs, rule)
+    return _emit(kept, owner)

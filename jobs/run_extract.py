@@ -35,6 +35,10 @@ def main(argv=None) -> int:
     ap.add_argument("--salt", type=int, default=8)
     ap.add_argument("--hot-frac", type=float, default=0.05)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--with-markdown", action="store_true",
+                    help="also emit (extracted_md, md_sha256) columns via "
+                         "the fused dual-emit kernel (one parse, two "
+                         "serializations); text columns stay byte-identical")
     ap.add_argument("--kernel-partitions", type=int, default=None)
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
@@ -63,6 +67,7 @@ def main(argv=None) -> int:
         hot_frac=args.hot_frac,
         resume=args.resume,
         kernel_partitions=args.kernel_partitions,
+        with_markdown=args.with_markdown,
     )
     import time
 

@@ -168,3 +168,48 @@ def test_markdown_kernel_spark_stage(spark):
             if any(tok in mr["extracted_text"] for tok in ("# ", "- ", "](")):
                 n_decorated += 1
     assert n_decorated > 5  # the synthetic corpus is heading/list/link-rich
+
+
+def test_pipeline_with_markdown_flag(spark, tmp_path):
+    """--with-markdown end-to-end: the bucketed table gains the
+    (extracted_md, md_sha256) columns, text columns are byte-identical to
+    the plain run, and the plan still has exactly one Python stage."""
+    import os
+
+    from corsearch_project_spark.fixtures.gen_pages import gen_pages, pages_to_pandas
+    from corsearch_project_spark.plans.extract_pipeline import (
+        ExtractConfig,
+        run_extract,
+    )
+
+    src = os.path.join(str(tmp_path), "pages.parquet")
+    spark.createDataFrame(pages_to_pandas(gen_pages(40, seed=8))).write.parquet(src)
+
+    out_md = os.path.join(str(tmp_path), "with_md")
+    out_plain = os.path.join(str(tmp_path), "plain")
+    run_extract(
+        spark,
+        ExtractConfig(src, out_md, run_id="MD1", buckets=4, salt=2,
+                      with_markdown=True),
+    )
+    run_extract(
+        spark,
+        ExtractConfig(src, out_plain, run_id="P1", buckets=4, salt=2),
+    )
+
+    dfm = spark.read.parquet(os.path.join(out_md, "extracted"))
+    dfp = spark.read.parquet(os.path.join(out_plain, "extracted"))
+    assert {"extracted_md", "md_sha256"} <= set(dfm.columns)
+    assert "extracted_md" not in dfp.columns
+
+    m = {r["url"]: r for r in dfm.collect()}
+    p = {r["url"]: r for r in dfp.collect()}
+    assert set(m) == set(p)
+    n_md_differs = 0
+    for url in m:
+        assert m[url]["extracted_text"] == p[url]["extracted_text"]
+        assert m[url]["text_sha256"] == p[url]["text_sha256"]
+        assert m[url]["md_sha256"]
+        if m[url]["extracted_md"] != m[url]["extracted_text"]:
+            n_md_differs += 1
+    assert n_md_differs > 5  # markdown actually decorates HTML rows
