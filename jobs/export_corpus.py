@@ -49,9 +49,14 @@ def export_corpus(
     output_path: str,
     pack_budget: int = 4096,
     bpe_merges: int = 0,
+    text_col: str = "extracted_text",
 ):
+    # text_col selects the serialization arm ("extracted_md" for tables
+    # written with --with-markdown); it is aliased to extracted_text HERE
+    # so the shard schema — and everything downstream of it — is identical
+    # regardless of arm. Token budgets then count the chosen arm's tokens.
     ext = spark.read.parquet(extracted_path).select(
-        "url", "extracted_text", "url_bucket"
+        "url", F.col(text_col).alias("extracted_text"), "url_bucket"
     )
     cur = spark.read.parquet(curated_path).where(F.col("keep")).select(
         "url", "n_tokens", "quality", "pred_lang", "split"
@@ -141,6 +146,7 @@ def export_corpus(
         "docs": out.count(),
         "pack_budget": pack_budget,
         "token_unit": "bpe" if bpe_report is not None else "whitespace",
+        "text_col": text_col,
         "per_split": per_split,
         "output_path": output_path,
     }
@@ -159,6 +165,10 @@ def main(argv=None) -> int:
                     help="train K BPE merges on the kept corpus and "
                          "denominate the pack budget in subword tokens; "
                          "the merge table ships at <out>/_tokenizer/merges")
+    ap.add_argument("--text-col", default="extracted_text",
+                    help="serialization arm to export (extracted_md for "
+                         "tables written with run_extract --with-markdown); "
+                         "shard schema is identical either way")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
     for p in (args.extracted, args.curated):
@@ -168,7 +178,7 @@ def main(argv=None) -> int:
     spark = build_session("export_corpus", master=args.master)
     report = export_corpus(
         spark, args.extracted, args.curated, args.output, args.pack_budget,
-        bpe_merges=args.bpe_merges,
+        bpe_merges=args.bpe_merges, text_col=args.text_col,
     )
     print(json.dumps(report, default=str))
     return 0

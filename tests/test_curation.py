@@ -340,3 +340,46 @@ def test_export_corpus_bpe_token_budget(spark, tmp_path):
     census_total = vocab.agg(F.sum("n")).collect()[0][0]
     assert census_total == sum(n for n, _ in got.values())
     assert vocab.where(F.col("token") == "</w>").count() <= 1
+
+
+def test_export_corpus_markdown_arm(spark, tmp_path):
+    """--text-col extracted_md: a --with-markdown table exports the
+    markdown serialization under the STABLE shard schema (column stays
+    named extracted_text), token budgets count the markdown arm's tokens,
+    and the report records which arm shipped."""
+    import os
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs"))
+    from export_corpus import export_corpus
+
+    rows = gen_pages(80, seed=21)
+    src = str(tmp_path / "p.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(pages_to_pandas(rows)), src,
+                   coerce_timestamps="us", allow_truncated_timestamps=True)
+    out = str(tmp_path / "o")
+    run_extract(spark, ExtractConfig(input_path=src, output_path=out,
+                                     run_id="E", buckets=8,
+                                     with_markdown=True))
+    cur_out = str(tmp_path / "c")
+    run_curation(spark, os.path.join(out, "extracted"), cur_out)
+    shards = str(tmp_path / "shards_md")
+    rep = export_corpus(spark, os.path.join(out, "extracted"),
+                        os.path.join(cur_out, "curated"), shards,
+                        pack_budget=256, text_col="extracted_md")
+    assert rep["text_col"] == "extracted_md"
+    df = spark.read.parquet(shards)
+    assert "extracted_text" in df.columns and "extracted_md" not in df.columns
+    # shard text equals the table's markdown arm per url
+    ext = spark.read.parquet(os.path.join(out, "extracted")).select(
+        "url", "extracted_md")
+    diff = df.join(ext, "url").where(
+        F.col("extracted_text") != F.col("extracted_md")).count()
+    assert diff == 0
+    # at least some shipped docs actually carry markdown decoration
+    dec = df.where(F.col("extracted_text").rlike(r"\]\(|^# |\n- ")).count()
+    assert dec > 0
