@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "q_passage_chunks",  # round 4: shuffle-free sliding RAG windows
     "q_token_drift",  # round 4: integer-exact chi-square snapshot drift
     "q_length_hist",  # round 4: mergeable equi-width histogram sketch
+    "q_zorder_key",  # round 4: Morton key projection for 2-D data skipping
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

@@ -3233,3 +3233,55 @@ def q_length_hist(spark, sf_dir):
         )
         .orderBy("source", "bin")
     )
+
+
+def _zorder_sqls():
+    """Both engines evaluate the SAME generated interleave expression —
+    only the integer-division spelling differs (Spark div, DuckDB //)."""
+    from corsearch_project_spark.operators.zorder import quantize_sql, z_key_sql
+
+    def build(div_op):
+        qs = [
+            quantize_sql("n_chars", 0, 4096, 12, div_op),
+            quantize_sql("doc_id", 0, 4096, 12, div_op),
+        ]
+        return z_key_sql(qs, 12)
+
+    return build("div"), build("//")
+
+
+_Z_SPARK, _Z_DUCK = _zorder_sqls()
+
+_ZORDER_SQL = f"""
+SELECT doc_id, n_chars, CAST({_Z_DUCK} AS BIGINT) AS zkey
+FROM documents
+ORDER BY zkey ASC, doc_id ASC
+LIMIT 64
+"""
+
+
+@query(
+    "q_zorder_key",
+    _ZORDER_SQL,
+    doc="Z-order (Morton) clustering key over (n_chars, doc_id): clamp + "
+    "integer-div quantization to 12 bits each, then an UNROLLED "
+    "shift/mask bit interleave generated ONCE and evaluated verbatim by "
+    "both engines (only the div spelling differs) — bit-identical keys, "
+    "no floats, no Python, a single codegen projection. The layout "
+    "operator behind multi-column data skipping: files sorted by this "
+    "key carry tight min/max manifest bounds in EVERY interleaved column "
+    "(Delta OPTIMIZE ZORDER BY / Iceberg z-transform analogue); the "
+    "measured pruning win is pinned in tests/test_zorder.py "
+    "(operators/zorder.py).",
+)
+def q_zorder_key(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.expr(f"CAST({_Z_SPARK} AS BIGINT)").alias("zkey"),
+        )
+        .orderBy(F.asc("zkey"), F.asc("doc_id"))
+        .limit(64)
+    )
