@@ -36,21 +36,46 @@ def compact_extracted(
     path: str,
     buckets: int,
     target_records_per_file: int = 1_000_000,
+    zorder: tuple = (),
 ) -> dict:
     """Rewrite the extracted table to ~one file per bucket (bounded by
     target_records_per_file) and swap directories. Returns before/after
     file stats. The swap keeps the old layout until the rewrite is fully
-    committed (crash before the final rename leaves the table intact)."""
+    committed (crash before the final rename leaves the table intact).
+
+    ``zorder``: optional ((col, lo, hi), ...) spec — when given, rows
+    within each bucket sort by the Morton interleave of the quantized
+    columns instead of by url (Delta OPTIMIZE ZORDER BY as a compaction
+    option), so per-file min/max bounds stay tight in EVERY listed column
+    and the S15 manifest can prune multi-column probes. Bounds are the
+    caller's deployment metadata (lineage ledger min/max); url lookups
+    then go through the manifest rather than file-internal url order."""
     before = table_file_stats(path)
     tmp = path.rstrip("/") + "__compacting"
     old = path.rstrip("/") + "__precompact"
     shutil.rmtree(tmp, ignore_errors=True)
 
+    df = spark.read.parquet(path).repartition(buckets, "url_bucket")
+    if zorder:
+        from corsearch_project_spark.operators.zorder import z_key
+
+        cols = [c for c, _, _ in zorder]
+        bounds = [(lo, hi) for _, lo, hi in zorder]
+        # Lead the sort with url_bucket: the partitionBy writer requires
+        # rows ordered by the partition column and would otherwise insert
+        # its own sort AFTER ours, discarding the Morton order whenever a
+        # task holds more than one bucket (hash collisions in the
+        # repartition make that routine). With url_bucket first, the
+        # writer sees its required ordering already satisfied.
+        df = (
+            df.withColumn("__z", z_key(cols, bounds))
+            .sortWithinPartitions("url_bucket", "__z")
+            .drop("__z")
+        )
+    else:
+        df = df.sortWithinPartitions("url")
     (
-        spark.read.parquet(path)
-        .repartition(buckets, "url_bucket")
-        .sortWithinPartitions("url")
-        .write.mode("overwrite")
+        df.write.mode("overwrite")
         .option("maxRecordsPerFile", target_records_per_file)
         .partitionBy("url_bucket")
         .parquet(tmp)

@@ -54,8 +54,14 @@ class ParquetBucketedFormat:
         .partitionBy(...) clears the whole table root, so calling run_merge
         from a default-conf SparkSession would silently delete every
         untouched bucket (round-2 ADVICE — data loss, not an error)."""
+        # url_bucket leads the sort so the partitionBy writer's required
+        # ordering is already satisfied — otherwise it inserts its own
+        # url_bucket sort AFTER this one and the per-file url clustering
+        # (which the S15 manifest's min/max bounds rely on for tightness)
+        # survives only by sort-stability luck whenever a task holds more
+        # than one bucket.
         (
-            df.sortWithinPartitions("url")
+            df.sortWithinPartitions("url_bucket", "url")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .option("maxRecordsPerFile", self.max_records_per_file)
