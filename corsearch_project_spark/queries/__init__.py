@@ -15,9 +15,9 @@ from corsearch_project_spark.queries import webqa  # noqa: F401
 
 
 # The driver sweep caps at ~50 queries per round while the registry holds
-# 132, so coverage rotates on one rule: queries with NO driver-green row
+# 135, so coverage rotates on one rule: queries with NO driver-green row
 # in ANY CORRECTNESS_r{N}.json surface first (oldest-evidence-first after
-# that). With 132 queries and a 50-slot window, full rotation takes three
+# that). With 135 queries and a 50-slot window, full rotation takes three
 # rounds; every displaced query carries exact pytest parity (stricter
 # than the driver's hash) each round regardless.
 # ROUND 5 NOTE: recompute the window as (registry minus the union of
