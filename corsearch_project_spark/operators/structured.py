@@ -242,3 +242,151 @@ def image_asset_census(
             ).cast("long").alias("n_offsite"),
         )
     )
+
+
+# ------------------------------------------------ RSS/Atom feed surface
+#
+# Feeds are the OTHER discovery channel beside sitemaps (C16): a site's
+# <link rel="alternate" type="application/rss+xml"> head tag advertises a
+# change stream the re-crawl scheduler (C33) can poll far cheaper than
+# re-fetching pages. Discovery reads the already-crawled HTML (zero extra
+# IO); entry parsing reads the fetched feed payloads. Both stay in the
+# same pure-codegen regime as the JSON-LD/table extractors: full-tag /
+# full-block pulls with per-element re-extract inside array lambdas
+# (regexp_extract_all is single-group, same two-step as
+# linkgraph.anchor_pairs), so Catalyst fuses them into the scan — no
+# Python, no shuffle until a census aggregates.
+#
+# Subset contract (test-pinned, same policy as the rest of this module):
+# conventional attribute order `rel` then `type` then optional extras
+# then `href`, double-quoted values; RSS 2.0 <item> children and Atom
+# <entry> children as flat tags without nested markup (<title>, <link>/
+# <link href=".."/>, <pubDate>/<updated>). Exotic layouts belong in a
+# Python-kernel parser, not the codegen fast path.
+#
+# Reference basis: BASELINE.json:6 (config-driven typed-content
+# extraction); RSS 2.0 (Harvard Berkman spec) and Atom (RFC 4287) are
+# public formats.
+
+FEED_LINK_TAG_PATTERN = (
+    r'<link rel="alternate" type="application/(?:rss|atom)\+xml"[^>]*>'
+)
+FEED_TYPE_PATTERN = r"application/(rss|atom)\+xml"
+RSS_ITEM_PATTERN = r"(?s)<item>(.*?)</item>"
+ATOM_ENTRY_PATTERN = r"(?s)<entry>(.*?)</entry>"
+
+
+def feed_links(html: Column) -> Column:
+    """array<struct<ftype,href>> of advertised feeds — pure codegen.
+
+    ``ftype`` is 'rss' | 'atom' from the MIME type; ``href`` '' when the
+    tag omits it (dropped by ``feed_targets``). Stylesheet/canonical
+    <link> tags never match (rel="alternate" + feed MIME required)."""
+    tags = F.regexp_extract_all(html, F.lit(FEED_LINK_TAG_PATTERN), F.lit(0))
+    return F.transform(
+        tags,
+        lambda tg: F.struct(
+            F.regexp_extract(tg, FEED_TYPE_PATTERN, 1).alias("ftype"),
+            F.regexp_extract(tg, r'href="([^"]*)"', 1).alias("href"),
+        ),
+    )
+
+
+def feed_targets(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, ftype, feed_url) — one row per advertised feed.
+
+    The discovery relation: DISTINCT feed_url anti-joined against the
+    fetched set is the feed fetch plan (same frontier shape as C16/C23
+    over the feed asset class). Explode of an empty array drops the
+    page — feed-less pages cost nothing downstream."""
+    f = pages.select(
+        F.col(url_col).alias("url"),
+        F.explode(feed_links(F.col(html_col))).alias("f"),
+    )
+    return f.select(
+        "url", F.col("f.ftype").alias("ftype"), F.col("f.href").alias("feed_url")
+    ).where(F.col("feed_url") != "")
+
+
+def feed_census(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(host, ftype, n_pages, n_feeds) — per-host feed advertisement census.
+
+    n_pages counts advertising pages, n_feeds distinct feed urls (the
+    poll workload — many pages advertise the same site feed). One
+    partial-agg shuffle on (host, ftype)."""
+    tgt = feed_targets(pages, url_col, html_col)
+    return (
+        tgt.select(url_host(F.col("url")).alias("host"), "ftype", "feed_url")
+        .groupBy("host", "ftype")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.countDistinct("feed_url").cast("long").alias("n_feeds"),
+        )
+    )
+
+
+def feed_kind(xml: Column) -> Column:
+    """'rss' | 'atom' | '' root sniff — '' (not an error) for non-feeds."""
+    return (
+        F.when(xml.contains("<rss"), F.lit("rss"))
+        .when(xml.contains("<feed"), F.lit("atom"))
+        .otherwise(F.lit(""))
+    )
+
+
+def feed_entries(
+    feeds: DataFrame, feed_col: str = "feed_url", xml_col: str = "xml"
+) -> DataFrame:
+    """(feed_url, kind, title, link, published) — one row per item/entry.
+
+    RSS items carry <link>text</link> + <pubDate>; Atom entries
+    <link href=".."/> + <updated> — the per-kind shapes are resolved by
+    CASE over the same exploded block column, so both formats parse in
+    ONE projection (no union, one pass over the payload column).
+    Non-feed payloads sniff to kind '' with zero blocks — a broken fetch
+    yields zero rows, never a task failure. Channel/feed-level <title>
+    tags live OUTSIDE the item/entry blocks and are never matched.
+
+    Scale shape: pure projection + explode (fan-out = entries per feed,
+    bounded by feed size); a census downstream is one partial-agg
+    shuffle. 10^12 feed fetches stream through the scan stage."""
+    xml = F.col(xml_col)
+    kind = feed_kind(xml)
+    blocks = (
+        F.when(
+            kind == "rss",
+            F.regexp_extract_all(xml, F.lit(RSS_ITEM_PATTERN), F.lit(1)),
+        )
+        .when(
+            kind == "atom",
+            F.regexp_extract_all(xml, F.lit(ATOM_ENTRY_PATTERN), F.lit(1)),
+        )
+        .otherwise(F.expr("CAST(array() AS array<string>)"))
+    )
+    e = feeds.select(
+        F.col(feed_col).alias("feed_url"),
+        kind.alias("kind"),
+        F.explode(blocks).alias("b"),
+    )
+    b = F.col("b")
+    return e.select(
+        "feed_url",
+        "kind",
+        F.regexp_extract(b, r"<title>([^<]*)</title>", 1).alias("title"),
+        F.when(
+            F.col("kind") == "rss",
+            F.regexp_extract(b, r"<link>([^<]*)</link>", 1),
+        )
+        .otherwise(F.regexp_extract(b, r'<link href="([^"]*)"', 1))
+        .alias("link"),
+        F.when(
+            F.col("kind") == "rss",
+            F.regexp_extract(b, r"<pubDate>([^<]*)</pubDate>", 1),
+        )
+        .otherwise(F.regexp_extract(b, r"<updated>([^<]*)</updated>", 1))
+        .alias("published"),
+    )

@@ -56,6 +56,9 @@ _SWEEP_FIRST = [
 # They queue immediately after the window so any widening of the driver
 # cap — or the round-5 sweep — picks them up next.
 _SWEEP_OVERFLOW = [
+    # newest registrations (never driver-swept) queue at the head so the
+    # round-5 window recompute picks them up first
+    "q_feed_discovery", "q_feed_entries",
     "q_token_drift", "q_length_hist", "q_zorder_key",
     "q_search_phrase", "q_search_proximity", "q_more_like_this",
     "q_bpe_census", "q_bpe_fertility", "q_cms_heavy_hitters",

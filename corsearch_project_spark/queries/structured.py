@@ -346,3 +346,265 @@ def q_html_tables(spark, sf_dir):
     from corsearch_project_spark.operators.structured import table_stats
 
     return table_stats(_table_pages_df(spark, sf_dir))
+
+
+# ------------------------------------------------ RSS/Atom feed surface
+
+# doc_id%5 picks the advertisement: 0 -> RSS (with a title attribute
+# between type and href, exercising the [^>]* extras slot), 1 -> Atom,
+# 2 -> BOTH tags, 3/4 -> none. Every page also carries a stylesheet
+# <link> decoy that must never match. Pages on the same host advertise
+# the SAME site feed url, so n_feeds < n_pages exercises the distinct.
+_SQL_FEED_PAGE = """
+    SELECT doc_id,
+           'https://h' || CAST(doc_id % 37 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+           '<html><head><link rel="stylesheet" href="/s.css">'
+               || CASE WHEN doc_id % 5 IN (0, 2)
+                  THEN '<link rel="alternate" type="application/rss+xml"'
+                       || ' title="RSS" href="https://h'
+                       || CAST(doc_id % 37 AS VARCHAR)
+                       || '.example.com/feed.xml">'
+                  ELSE '' END
+               || CASE WHEN doc_id % 5 IN (1, 2)
+                  THEN '<link rel="alternate" type="application/atom+xml"'
+                       || ' href="https://h' || CAST(doc_id % 37 AS VARCHAR)
+                       || '.example.com/atom.xml">'
+                  ELSE '' END
+               || '</head><body>x</body></html>' AS html
+    FROM documents
+"""
+
+
+def _feed_pages_df(spark, sf_dir):
+    """Spark twin of _SQL_FEED_PAGE."""
+    did = F.col("doc_id")
+    host = (did % 37).cast("string")
+    rss = F.when(
+        (did % 5).isin(0, 2),
+        F.concat(
+            F.lit('<link rel="alternate" type="application/rss+xml"'
+                  ' title="RSS" href="https://h'),
+            host, F.lit(".example.com/feed.xml\">"),
+        ),
+    ).otherwise(F.lit(""))
+    atom = F.when(
+        (did % 5).isin(1, 2),
+        F.concat(
+            F.lit('<link rel="alternate" type="application/atom+xml"'
+                  ' href="https://h'),
+            host, F.lit(".example.com/atom.xml\">"),
+        ),
+    ).otherwise(F.lit(""))
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), host, F.lit(".example.com/p/"),
+            did.cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit('<html><head><link rel="stylesheet" href="/s.css">'),
+            rss, atom, F.lit("</head><body>x</body></html>"),
+        ).alias("html"),
+    )
+
+
+@query(
+    "q_feed_discovery",
+    f"""
+    WITH p AS ({_SQL_FEED_PAGE}),
+    tags AS (
+        SELECT url,
+               unnest(regexp_extract_all(html,
+                   '<link rel="alternate"'
+                   || ' type="application/(?:rss|atom)\\+xml"[^>]*>',
+                   0)) AS tg
+        FROM p
+    ),
+    f AS (
+        SELECT {_SQL_HOST.format(u='url')} AS host,
+               regexp_extract(tg, 'application/(rss|atom)\\+xml', 1)
+                   AS ftype,
+               regexp_extract(tg, 'href="([^"]*)"', 1) AS feed_url
+        FROM tags
+    )
+    SELECT host, ftype,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(COUNT(DISTINCT feed_url) AS BIGINT) AS n_feeds
+    FROM f WHERE feed_url <> ''
+    GROUP BY host, ftype
+    """,
+    doc="RSS/Atom feed discovery census: advertised-feed <link> tags "
+    "pulled from crawled HTML heads (full-tag pull + per-tag re-extract "
+    "inside array lambdas — pure codegen, fused into the scan), exploded "
+    "to (url, ftype, feed_url), one partial-agg shuffle on (host, ftype). "
+    "n_feeds counts DISTINCT feed urls — the poll workload the re-crawl "
+    "scheduler (C33) budgets, far smaller than advertising-page count. "
+    "Stylesheet <link> decoys on every page pin selectivity; both-tags "
+    "pages populate rss and atom rows; feed-less pages cost nothing "
+    "(operators/structured.py feed_links/feed_census).",
+)
+def q_feed_discovery(spark, sf_dir):
+    from corsearch_project_spark.operators.structured import feed_census
+
+    return feed_census(_feed_pages_df(spark, sf_dir))
+
+
+# doc_id%3 picks the payload: 0 -> RSS 2.0 (1 item, +1 when doc_id%2=0;
+# channel-level <title> outside the items must never match), 1 -> Atom
+# (1 entry, +1 when doc_id%4=1), 2 -> an HTML non-feed (kind '' -> zero
+# rows, the broken-fetch robustness branch).
+_SQL_FEED_XML = """
+    SELECT doc_id,
+           'https://h' || CAST(doc_id % 37 AS VARCHAR)
+               || '.example.com/feed/' || CAST(doc_id AS VARCHAR)
+               AS feed_url,
+           CASE doc_id % 3
+           WHEN 0 THEN
+               '<rss version="2.0"><channel><title>Site '
+               || CAST(doc_id % 37 AS VARCHAR) || '</title>'
+               || '<item><title>Post ' || CAST(doc_id AS VARCHAR)
+               || '-1</title><link>https://h'
+               || CAST(doc_id % 37 AS VARCHAR) || '.example.com/p/'
+               || CAST(doc_id AS VARCHAR) || '/1</link>'
+               || '<pubDate>2026-01-'
+               || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+               || '</pubDate></item>'
+               || CASE WHEN doc_id % 2 = 0 THEN
+                   '<item><title>Post ' || CAST(doc_id AS VARCHAR)
+                   || '-2</title><link>https://h'
+                   || CAST(doc_id % 37 AS VARCHAR) || '.example.com/p/'
+                   || CAST(doc_id AS VARCHAR) || '/2</link>'
+                   || '<pubDate>2026-01-'
+                   || lpad(CAST(doc_id % 27 + 2 AS VARCHAR), 2, '0')
+                   || '</pubDate></item>'
+                  ELSE '' END
+               || '</channel></rss>'
+           WHEN 1 THEN
+               '<feed xmlns="http://www.w3.org/2005/Atom"><title>F'
+               || CAST(doc_id % 37 AS VARCHAR) || '</title>'
+               || '<entry><title>E ' || CAST(doc_id AS VARCHAR)
+               || '-1</title><link href="https://h'
+               || CAST(doc_id % 37 AS VARCHAR) || '.example.com/a/'
+               || CAST(doc_id AS VARCHAR) || '/1"/>'
+               || '<updated>2026-02-'
+               || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+               || '</updated></entry>'
+               || CASE WHEN doc_id % 4 = 1 THEN
+                   '<entry><title>E ' || CAST(doc_id AS VARCHAR)
+                   || '-2</title><link href="https://h'
+                   || CAST(doc_id % 37 AS VARCHAR) || '.example.com/a/'
+                   || CAST(doc_id AS VARCHAR) || '/2"/>'
+                   || '<updated>2026-02-'
+                   || lpad(CAST(doc_id % 27 + 2 AS VARCHAR), 2, '0')
+                   || '</updated></entry>'
+                  ELSE '' END
+               || '</feed>'
+           ELSE '<html><body>not a feed</body></html>'
+           END AS xml
+    FROM documents
+"""
+
+
+def _feed_xml_df(spark, sf_dir):
+    """Spark twin of _SQL_FEED_XML."""
+    did = F.col("doc_id")
+    host = (did % 37).cast("string")
+    ds = did.cast("string")
+
+    def rss_item(k, day):
+        return F.concat(
+            F.lit("<item><title>Post "), ds, F.lit(f"-{k}</title>"),
+            F.lit("<link>https://h"), host, F.lit(".example.com/p/"),
+            ds, F.lit(f"/{k}</link><pubDate>2026-01-"),
+            F.lpad(day.cast("string"), 2, "0"),
+            F.lit("</pubDate></item>"),
+        )
+
+    def atom_entry(k, day):
+        return F.concat(
+            F.lit("<entry><title>E "), ds, F.lit(f"-{k}</title>"),
+            F.lit('<link href="https://h'), host, F.lit(".example.com/a/"),
+            ds, F.lit(f'/{k}"/><updated>2026-02-'),
+            F.lpad(day.cast("string"), 2, "0"),
+            F.lit("</updated></entry>"),
+        )
+
+    rss = F.concat(
+        F.lit('<rss version="2.0"><channel><title>Site '), host,
+        F.lit("</title>"),
+        rss_item(1, did % 28 + 1),
+        F.when(did % 2 == 0, rss_item(2, did % 27 + 2)).otherwise(F.lit("")),
+        F.lit("</channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom"><title>F'), host,
+        F.lit("</title>"),
+        atom_entry(1, did % 28 + 1),
+        F.when(did % 4 == 1, atom_entry(2, did % 27 + 2)).otherwise(
+            F.lit("")
+        ),
+        F.lit("</feed>"),
+    )
+    xml = (
+        F.when(did % 3 == 0, rss)
+        .when(did % 3 == 1, atom)
+        .otherwise(F.lit("<html><body>not a feed</body></html>"))
+    )
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), host, F.lit(".example.com/feed/"), ds
+        ).alias("feed_url"),
+        xml.alias("xml"),
+    )
+
+
+@query(
+    "q_feed_entries",
+    f"""
+    WITH fx AS ({_SQL_FEED_XML}),
+    k AS (
+        SELECT feed_url, xml,
+               CASE WHEN contains(xml, '<rss') THEN 'rss'
+                    WHEN contains(xml, '<feed') THEN 'atom'
+                    ELSE '' END AS kind
+        FROM fx
+    ),
+    b AS (
+        SELECT feed_url, kind,
+               unnest(regexp_extract_all(xml, '(?s)<item>(.*?)</item>', 1))
+                   AS blk
+        FROM k WHERE kind = 'rss'
+        UNION ALL
+        SELECT feed_url, kind,
+               unnest(regexp_extract_all(xml, '(?s)<entry>(.*?)</entry>', 1))
+                   AS blk
+        FROM k WHERE kind = 'atom'
+    )
+    SELECT feed_url, kind,
+           regexp_extract(blk, '<title>([^<]*)</title>', 1) AS title,
+           CASE WHEN kind = 'rss'
+                THEN regexp_extract(blk, '<link>([^<]*)</link>', 1)
+                ELSE regexp_extract(blk, 'link href="([^"]*)"', 1)
+           END AS link,
+           CASE WHEN kind = 'rss'
+                THEN regexp_extract(blk, '<pubDate>([^<]*)</pubDate>', 1)
+                ELSE regexp_extract(blk, '<updated>([^<]*)</updated>', 1)
+           END AS published
+    FROM b
+    """,
+    doc="RSS/Atom feed-entry parsing: root sniff to kind, per-kind block "
+    "pull (RSS <item> / Atom <entry>), per-block title/link/published "
+    "re-extract resolved by CASE over ONE exploded projection — both "
+    "formats parse in a single pass, pure codegen, no Python. "
+    "Channel-level <title> tags sit outside the blocks and never match; "
+    "non-feed payloads sniff to '' and yield zero rows (broken fetches "
+    "are data, not task failures). Multi-item, single-item, and "
+    "non-feed branches all populated "
+    "(operators/structured.py feed_kind/feed_entries).",
+)
+def q_feed_entries(spark, sf_dir):
+    from corsearch_project_spark.operators.structured import feed_entries
+
+    return feed_entries(_feed_xml_df(spark, sf_dir))

@@ -164,3 +164,97 @@ def test_table_stats_projection_pure(spark):
     assert "Exchange" not in plan, plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"):
         assert marker not in plan, plan
+
+
+# ------------------------------------------------------ RSS/Atom feeds
+
+FEED_HTML = (
+    '<html><head>'
+    '<link rel="stylesheet" href="/s.css">'
+    '<link rel="alternate" type="application/rss+xml" title="R"'
+    ' href="https://a.com/feed.xml">'
+    '<link rel="alternate" type="application/atom+xml"'
+    ' href="https://a.com/atom.xml">'
+    '<link rel="canonical" href="https://a.com/p">'
+    "</head></html>"
+)
+
+
+def test_feed_targets_discovers_both_kinds_skips_decoys(spark):
+    rows = sorted(
+        (r["ftype"], r["feed_url"])
+        for r in S.feed_targets(_pages(spark, FEED_HTML)).collect()
+    )
+    assert rows == [
+        ("atom", "https://a.com/atom.xml"),
+        ("rss", "https://a.com/feed.xml"),
+    ]
+
+
+def test_feed_targets_hrefless_tag_dropped(spark):
+    html = '<link rel="alternate" type="application/rss+xml">'
+    assert S.feed_targets(_pages(spark, html)).count() == 0
+
+
+def test_feed_census_distinct_feed_urls(spark):
+    tag = (
+        '<link rel="alternate" type="application/rss+xml"'
+        ' href="https://a.com/feed.xml">'
+    )
+    pages = spark.createDataFrame(
+        [(f"https://a.com/p{i}", tag) for i in range(3)],
+        "url string, html string",
+    )
+    row = S.feed_census(pages).collect()[0]
+    assert (row["host"], row["ftype"], row["n_pages"], row["n_feeds"]) == (
+        "a.com", "rss", 3, 1
+    )
+
+
+RSS_XML = (
+    '<rss version="2.0"><channel><title>Chan</title>'
+    "<item><title>P1</title><link>https://a.com/1</link>"
+    "<pubDate>2026-01-05</pubDate></item>"
+    "<item><title>P2</title><link>https://a.com/2</link>"
+    "<pubDate>2026-01-06</pubDate></item>"
+    "</channel></rss>"
+)
+ATOM_XML = (
+    '<feed xmlns="http://www.w3.org/2005/Atom"><title>F</title>'
+    '<entry><title>E1</title><link href="https://a.com/a/1"/>'
+    "<updated>2026-02-03</updated></entry></feed>"
+)
+
+
+def _feeds(spark, rows):
+    return spark.createDataFrame(rows, "feed_url string, xml string")
+
+
+def test_feed_entries_rss_and_atom_shapes(spark):
+    df = S.feed_entries(
+        _feeds(spark, [("f1", RSS_XML), ("f2", ATOM_XML)])
+    )
+    rows = sorted(tuple(r) for r in df.collect())
+    assert rows == [
+        ("f1", "rss", "P1", "https://a.com/1", "2026-01-05"),
+        ("f1", "rss", "P2", "https://a.com/2", "2026-01-06"),
+        ("f2", "atom", "E1", "https://a.com/a/1", "2026-02-03"),
+    ]
+    # channel/feed-level <title> never leaks into entry titles
+    assert not any("Chan" in r[2] or r[2] == "F" for r in rows)
+
+
+def test_feed_entries_nonfeed_yields_no_rows(spark):
+    assert S.feed_entries(
+        _feeds(spark, [("f", "<html><body>not a feed</body></html>")])
+    ).count() == 0
+
+
+def test_feed_projections_pure(spark):
+    tgt = S.feed_targets(_pages(spark, FEED_HTML))
+    ent = S.feed_entries(_feeds(spark, [("f", RSS_XML)]))
+    for df in (tgt, ent):
+        plan = _plan(df)
+        assert "Exchange" not in plan, plan
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"):
+            assert marker not in plan, plan
