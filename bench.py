@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "q_token_drift",  # round 4: integer-exact chi-square snapshot drift
     "q_length_hist",  # round 4: mergeable equi-width histogram sketch
     "q_zorder_key",  # round 4: Morton key projection for 2-D data skipping
+    "q_feed_discovery",  # round 4: advertised-feed head-tag census
+    "q_feed_entries",  # round 4: RSS/Atom block parse, one projection
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
