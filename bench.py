@@ -120,6 +120,9 @@ BENCH_QUERIES = [
     "q_zorder_key",  # round 4: Morton key projection for 2-D data skipping
     "q_feed_discovery",  # round 4: advertised-feed head-tag census
     "q_feed_entries",  # round 4: RSS/Atom block parse, one projection
+    "q_filter_cascade",  # round 4: rule-cascade verdict, pure projection
+    "q_lm_perplexity",  # round 4: bigram-LM NLL scoring + terciles
+    "q_bitext_mine",  # round 4: margin-based mutual-NN pair mining
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

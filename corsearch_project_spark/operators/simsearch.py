@@ -443,3 +443,88 @@ def ivf_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ------------------------------------------------- bitext margin mining
+
+
+def bitext_margin_pairs(
+    emb: DataFrame, k: int = 4, id_col: str = "vec_id", dim: int | None = DIM
+) -> DataFrame:
+    """Margin-based mutual-nearest-neighbor pair mining across two vector
+    pools — the CCMatrix/WikiMatrix bitext-mining criterion (Artetxe &
+    Schwenk, "Margin-based Parallel Corpus Mining with Multilingual
+    Sentence Embeddings", ACL 2019): a pair (a, b) is mined when each is
+    the other's nearest neighbor AND the 'ratio' margin
+
+        margin(a, b) = cos(a, b) / mean(top-k cos of a  ∪  top-k cos of b)
+
+    exceeds what generic hubness predicts — raw cosine alone over-selects
+    hub vectors; the margin normalizes by each side's local similarity
+    scale.
+
+    The two pools here are the label-parity halves of the contract
+    embeddings table (a deterministic stand-in for source/target language
+    pools, which this sandbox's tables do not carry). The test-scale plan
+    is the exact control arm: one ``crossJoin`` with the smaller pool
+    broadcast, two window passes for per-side ranks, and an equi-join for
+    mutuality — every cosine is the quantized-integer form (module
+    docstring), and the top-k means are sums of 6-dp DECIMALs (associative,
+    so Spark's partial aggregation and DuckDB's sequential scan agree
+    bit-for-bit; the final double division happens once, same operand
+    order both engines).
+
+    At 10^12 rows the cross join is replaced by the existing LSH/IVF
+    candidate generation (``lsh_topk``/``ivf_topk``) feeding the SAME
+    rank + margin tail — the margin only needs each vector's top-k
+    *candidates*, never the full pairwise matrix.
+    """
+    e = with_qnorm(with_quantized(emb))
+    a = e.where(F.col("label") % 2 == 0).select(
+        F.col(id_col).alias("src"), F.col("qe").alias("qa"), F.col("qn").alias("na")
+    )
+    b = e.where(F.col("label") % 2 == 1).select(
+        F.col(id_col).alias("dst"), F.col("qe").alias("qb"), F.col("qn").alias("nb")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).select(
+        "src",
+        "dst",
+        cosine_qn(
+            F.col("qa"), F.col("qb"), F.col("na"), F.col("nb"), dim=dim
+        ).alias("cos"),
+    )
+    from pyspark.sql import Window
+
+    cos_d = F.col("cos").cast("decimal(18,6)")
+    fwd = pairs.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst")))
+    )
+    fa = fwd.groupBy("src").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("dst"))).alias("nn_dst"),
+        F.max(F.when(F.col("rn") == 1, F.col("cos"))).alias("nn_cos"),
+        F.sum(F.when(F.col("rn") <= k, cos_d)).alias("sk_a"),
+        F.count(F.when(F.col("rn") <= k, F.lit(1))).alias("k_a"),
+    )
+    rev = pairs.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("dst").orderBy(F.desc("cos"), F.asc("src")))
+    )
+    ra = rev.groupBy("dst").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("src"))).alias("nn_src"),
+        F.sum(F.when(F.col("rn") <= k, cos_d)).alias("sk_b"),
+        F.count(F.when(F.col("rn") <= k, F.lit(1))).alias("k_b"),
+    )
+    denom = (F.col("sk_a") + F.col("sk_b")).cast("double") / (
+        F.col("k_a") + F.col("k_b")
+    ).cast("double")
+    return (
+        fa.join(
+            ra,
+            (fa["nn_dst"] == ra["dst"]) & (ra["nn_src"] == fa["src"]),
+        )
+        .select(
+            "src",
+            F.col("dst"),
+            F.col("nn_cos").alias("cos"),
+            F.round(F.col("nn_cos") / denom, 6).alias("margin"),
+        )
+    )

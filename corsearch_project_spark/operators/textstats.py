@@ -570,3 +570,62 @@ def sliding_passages(
             F.array_join(F.col("toks"), " ").alias("passage"),
         )
     )
+
+
+# ---------------------------------------------------- filter cascade
+
+# Stopword probe set for the cascade's lexical-sanity rule (wider than
+# LANG_MARKERS["en"]: function words the contract corpus actually emits,
+# so the rule discriminates instead of failing everything).
+CASCADE_STOPWORDS = ("a", "the", "and", "of", "to", "in", "is")
+
+
+def cascade_verdict(
+    text: Column,
+    min_tokens: int = 20,
+    max_tokens: int = 80,
+    mwl_low_x10: int = 40,
+    mwl_high_x10: int = 52,
+    rep_pct: int = 60,
+) -> Column:
+    """Sequenced keep/drop verdict with first-failing-reason attribution —
+    the C4/Gopher/RefinedWeb rule-cascade shape (Raffel et al. 2020 §2.2;
+    Rae et al. 2021 appendix A): cheap lexical gates applied in a fixed
+    order, emitting WHY a document was dropped, not just that it was.
+    Reason attribution is what makes corpus filtering auditable (per-rule
+    removal censuses, threshold tuning) — the Dolma/RefinedWeb 'attributes'
+    pattern.
+
+    Rules, in order (first failure wins):
+      too_short / too_long   — token-count band
+      word_len_low/_high     — mean word length outside
+                               [mwl_low_x10, mwl_high_x10]/10, compared by
+                               integer cross-multiplication (letters*10 vs
+                               n*bound — no division, exact)
+      repetitive             — duplicate-token fraction > rep_pct/100,
+                               again cross-multiplied: 100*(n-distinct) >
+                               rep_pct*n
+      no_stopwords           — zero hits from CASCADE_STOPWORDS (the
+                               Gopher 'must contain 2 of 5 stop words'
+                               lexical-sanity gate, zero-threshold form)
+      keep                   — survived everything
+
+    One narrow JVM projection per row: split once, a handful of integer
+    comparisons — no explode, no shuffle, no Python. The word-character
+    count derives from the single-spaced contract text as
+    len(trim(text)) - (n-1), avoiding a per-word aggregate.
+    """
+    w = words(text)
+    n = F.size(w).cast("long")
+    d = F.size(F.array_distinct(w)).cast("long")
+    letters = F.length(F.trim(text)).cast("long") - (n - F.lit(1))
+    stop = stopword_hits(text, CASCADE_STOPWORDS)
+    return (
+        F.when(n < min_tokens, F.lit("too_short"))
+        .when(n > max_tokens, F.lit("too_long"))
+        .when(letters * 10 < n * mwl_low_x10, F.lit("word_len_low"))
+        .when(letters * 10 > n * mwl_high_x10, F.lit("word_len_high"))
+        .when((n - d) * 100 > n * rep_pct, F.lit("repetitive"))
+        .when(stop == 0, F.lit("no_stopwords"))
+        .otherwise(F.lit("keep"))
+    )

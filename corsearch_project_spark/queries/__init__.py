@@ -12,6 +12,7 @@ from corsearch_project_spark.queries import analytics  # noqa: F401
 from corsearch_project_spark.queries import training  # noqa: F401
 from corsearch_project_spark.queries import structured  # noqa: F401
 from corsearch_project_spark.queries import webqa  # noqa: F401
+from corsearch_project_spark.queries import curation  # noqa: F401
 
 
 # The driver sweep caps at ~50 queries per round while the registry holds
@@ -58,6 +59,7 @@ _SWEEP_FIRST = [
 _SWEEP_OVERFLOW = [
     # newest registrations (never driver-swept) queue at the head so the
     # round-5 window recompute picks them up first
+    "q_filter_cascade", "q_lm_perplexity", "q_bitext_mine",
     "q_feed_discovery", "q_feed_entries",
     "q_token_drift", "q_length_hist", "q_zorder_key",
     "q_search_phrase", "q_search_proximity", "q_more_like_this",

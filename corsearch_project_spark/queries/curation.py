@@ -1,0 +1,184 @@
+"""Corpus-curation decision queries: the rule cascade, the LM perplexity
+filter, and margin-based bitext mining — the three canonical *selection*
+stages of a web-scale training pipeline (heuristic gate → LM score →
+cross-lingual pairing), each with an exact DuckDB oracle twin.
+
+All three follow the house exactness rules (queries/base.py): integer
+cross-multiplication instead of ratio comparisons, integer micro-nat
+quantization immediately after the single ``ln``, DECIMAL(18,6) sums for
+top-k cosine means, and the one double division per query performed with
+identical operand order on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from corsearch_project_spark.operators import textstats as X
+from corsearch_project_spark.operators.lm import lm_perplexity
+from corsearch_project_spark.operators.simsearch import bitext_margin_pairs
+from corsearch_project_spark.queries.base import query, t
+from corsearch_project_spark.queries.textsim import SQL_PHASH, SQL_QUANT, SQL_WORDS, _sql_shingles
+
+
+# ---------------------------------------------------------- filter cascade
+
+_SQL_STOP = "('" + "', '".join(X.CASCADE_STOPWORDS) + "')"
+
+@query(
+    "q_filter_cascade",
+    f"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(len({SQL_WORDS}) AS BIGINT) AS n,
+               CAST(len(list_distinct({SQL_WORDS})) AS BIGINT) AS d,
+               CAST(len(trim(text)) - (len({SQL_WORDS}) - 1) AS BIGINT)
+                   AS letters,
+               CAST(len(list_filter({SQL_WORDS}, x -> x IN {_SQL_STOP}))
+                    AS BIGINT) AS stop
+        FROM documents
+    )
+    SELECT doc_id, n AS n_tokens,
+           CASE WHEN n < 20 THEN 'too_short'
+                WHEN n > 80 THEN 'too_long'
+                WHEN letters * 10 < n * 40 THEN 'word_len_low'
+                WHEN letters * 10 > n * 52 THEN 'word_len_high'
+                WHEN (n - d) * 100 > n * 60 THEN 'repetitive'
+                WHEN stop = 0 THEN 'no_stopwords'
+                ELSE 'keep' END AS verdict
+    FROM s
+    """,
+    doc="C4/Gopher-style rule cascade with first-failing-reason attribution "
+    "(token band, mean-word-length band by integer cross-multiplication, "
+    "duplicate-token fraction, stopword sanity) — the auditable keep/drop "
+    "decision stage; one narrow JVM projection per row, no explode, no "
+    "shuffle, no Python (operators/textstats.py cascade_verdict).",
+)
+def q_filter_cascade(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), " ")).cast("long").alias("n_tokens"),
+        X.cascade_verdict(F.col("text")).alias("verdict"),
+    )
+
+
+# ------------------------------------------------------- LM perplexity
+
+_SQL_TRAIN = SQL_PHASH.format(s="CAST(doc_id AS VARCHAR)") + " % 100 < 80"
+
+@query(
+    "q_lm_perplexity",
+    f"""
+    WITH wt AS (SELECT doc_id, {SQL_WORDS} AS w FROM documents),
+    train AS (SELECT * FROM wt WHERE {_SQL_TRAIN}),
+    tg AS (SELECT unnest({_sql_shingles(2)}) AS g FROM train),
+    c12 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c12 FROM tg GROUP BY 1),
+    c1 AS (SELECT string_split(g, ' ')[1] AS h,
+                  CAST(COUNT(*) AS BIGINT) AS c1
+           FROM tg GROUP BY 1),
+    vocab AS (SELECT CAST(COUNT(DISTINCT u.w1) AS BIGINT) AS v
+              FROM (SELECT unnest(w) AS w1 FROM train) u),
+    dg AS (
+        SELECT doc_id, g, string_split(g, ' ')[1] AS h
+        FROM (SELECT doc_id, unnest({_sql_shingles(2)}) AS g FROM wt)
+    ),
+    terms AS (
+        SELECT dg.doc_id,
+               CAST(round(-ln(CAST(COALESCE(c12.c12, 0) + 1 AS DOUBLE)
+                              / CAST(COALESCE(c1.c1, 0) + vocab.v AS DOUBLE))
+                          * 1000000, 0) AS BIGINT) AS term_u
+        FROM dg LEFT JOIN c12 ON dg.g = c12.g
+                LEFT JOIN c1 ON dg.h = c1.h
+                CROSS JOIN vocab
+    ),
+    scored AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(term_u) AS BIGINT) AS nll_micro
+        FROM terms GROUP BY 1
+    ),
+    avgd AS (
+        SELECT doc_id, n_bigrams, nll_micro,
+               round(CAST(nll_micro AS DOUBLE)
+                     / (CAST(n_bigrams AS DOUBLE) * 1000000.0), 6) AS avg_nll
+        FROM scored
+    )
+    SELECT doc_id, n_bigrams, nll_micro, avg_nll,
+           CASE ntile(3) OVER (ORDER BY avg_nll, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM avgd
+    """,
+    doc="CCNet-style perplexity filter (Wenzek et al., LREC 2020): add-one "
+    "bigram LM trained on the deterministic hash-split slice, every doc "
+    "scored by per-token NLL, corpus bucketed into head/middle/tail "
+    "terciles. Counts are one explode + two partial-agg groupBys; scoring "
+    "is two left joins (sort-merge on the bigram string at scale) + one "
+    "per-doc agg; surprisal is quantized to integer micro-nats right after "
+    "the single ln, so all sums are exact integers. The ntile tercile is "
+    "the oracle surface; the 10^12-doc seam swaps it for two broadcast "
+    "percentile_approx thresholds, no global sort (operators/lm.py).",
+)
+def q_lm_perplexity(spark, sf_dir):
+    return lm_perplexity(t(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------- bitext mining
+
+@query(
+    "q_bitext_mine",
+    f"""
+    WITH e AS (
+        SELECT vec_id, label, {SQL_QUANT} AS qe,
+               list_inner_product({SQL_QUANT}, {SQL_QUANT}) AS nrm
+        FROM embeddings
+    ),
+    a AS (SELECT vec_id AS src, qe AS qa, nrm AS na FROM e WHERE label % 2 = 0),
+    b AS (SELECT vec_id AS dst, qe AS qb, nrm AS nb FROM e WHERE label % 2 = 1),
+    p AS (
+        SELECT src, dst,
+               round(list_inner_product(qa, qb)
+                     / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cos
+        FROM a CROSS JOIN b
+    ),
+    f AS (SELECT src, dst, cos,
+                 row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst)
+                     AS rn
+          FROM p),
+    fa AS (
+        SELECT src,
+               max(CASE WHEN rn = 1 THEN dst END) AS nn_dst,
+               max(CASE WHEN rn = 1 THEN cos END) AS nn_cos,
+               sum(CASE WHEN rn <= 4 THEN CAST(cos AS DECIMAL(18,6)) END)
+                   AS sk_a,
+               CAST(count(*) FILTER (WHERE rn <= 4) AS BIGINT) AS k_a
+        FROM f GROUP BY 1
+    ),
+    r AS (SELECT src, dst, cos,
+                 row_number() OVER (PARTITION BY dst ORDER BY cos DESC, src)
+                     AS rn
+          FROM p),
+    ra AS (
+        SELECT dst,
+               max(CASE WHEN rn = 1 THEN src END) AS nn_src,
+               sum(CASE WHEN rn <= 4 THEN CAST(cos AS DECIMAL(18,6)) END)
+                   AS sk_b,
+               CAST(count(*) FILTER (WHERE rn <= 4) AS BIGINT) AS k_b
+        FROM r GROUP BY 1
+    )
+    SELECT fa.src, ra.dst, fa.nn_cos AS cos,
+           round(fa.nn_cos / (CAST(fa.sk_a + ra.sk_b AS DOUBLE)
+                              / CAST(fa.k_a + ra.k_b AS DOUBLE)), 6) AS margin
+    FROM fa JOIN ra ON fa.nn_dst = ra.dst AND ra.nn_src = fa.src
+    """,
+    doc="CCMatrix/WikiMatrix margin-based bitext mining (Artetxe & Schwenk, "
+    "ACL 2019): mutual nearest neighbors across the label-parity vector "
+    "pools, scored by the ratio margin cos(a,b) / mean(top-4 cos of both "
+    "sides) — hubness-normalized pairing. Exact control arm: one cross "
+    "join with the smaller pool broadcast + two window ranks; top-4 means "
+    "are DECIMAL sums of the quantized cosines. At 10^12 rows the cross "
+    "join is replaced by LSH/IVF candidate generation feeding the same "
+    "rank + margin tail (operators/simsearch.py bitext_margin_pairs).",
+)
+def q_bitext_mine(spark, sf_dir):
+    return bitext_margin_pairs(t(spark, sf_dir, "embeddings"))

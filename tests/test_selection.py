@@ -1,0 +1,179 @@
+"""Unit + plan gates for the corpus-selection operators (queries/curation.py
+registrations): rule cascade, bigram-LM perplexity, bitext margin mining.
+Parity vs DuckDB is covered by tests/test_queries.py over REGISTRY; these
+tests pin the semantics on crafted rows and the physical-plan invariants."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from corsearch_project_spark.operators import textstats as X
+from corsearch_project_spark.operators.lm import (
+    bigram_counts,
+    lm_perplexity,
+    score_nll,
+)
+from corsearch_project_spark.operators.simsearch import bitext_margin_pairs
+from conftest import SF_SMOKE
+
+
+# ------------------------------------------------------------- cascade
+
+
+def _verdicts(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        r["doc_id"]: r["v"]
+        for r in df.select(
+            "doc_id", X.cascade_verdict(F.col("text")).alias("v")
+        ).collect()
+    }
+
+
+def test_cascade_each_rule_fires_and_order_wins(spark):
+    long_word = "x" * 9
+    rows = [
+        (1, "the quick dog"),                                   # too_short
+        (2, " ".join(f"w{i%7}ord the" for i in range(60))),      # too_long (120 tokens)
+        (3, " ".join(["a the of to"] * 6)),                      # word_len_low (mwl 2.0, 24 tokens)
+        (4, " ".join([long_word] * 10 + ["the of and stopword padding here now ok yes more"])),  # word_len_high
+        (5, " ".join(["house"] * 30)),                           # repetitive (mwl 5.0 in band, 1 distinct token)
+        (6, " ".join(f"tok{i}word" for i in range(30))),         # no_stopwords (distinct, mwl ok?)
+        (7, " ".join(f"the tok{i}b" for i in range(15))),        # keep
+    ]
+    v = _verdicts(spark, rows)
+    assert v[1] == "too_short"
+    assert v[2] == "too_long"
+    assert v[3] == "word_len_low"
+    assert v[5] == "repetitive"  # fires before the stopword rule gets a say
+    assert v[7] == "keep"
+
+
+def test_cascade_word_len_high_and_no_stopwords(spark):
+    # 25 distinct 9-char words -> mwl 9.0 > 5.2 -> word_len_high
+    rows = [(1, " ".join(f"abcdefgh{chr(97 + i)}" for i in range(25)))]
+    assert _verdicts(spark, rows)[1] == "word_len_high"
+    # distinct short-ish words, no stopword from the probe set
+    rows = [(2, " ".join(f"tk{i:02d}" for i in range(25)))]
+    assert _verdicts(spark, rows)[2] == "no_stopwords"
+
+
+def test_cascade_plan_is_pure_projection(spark):
+    df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", X.cascade_verdict(F.col("text")).alias("v")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"):
+        assert marker not in plan, plan
+
+
+# ------------------------------------------------------- LM perplexity
+
+
+def test_lm_counts_and_nll_tiny_corpus(spark):
+    # doc 100 trains (any doc_id hashing to 'train' would; we force the
+    # slice by calling the count/score stages directly).
+    train = spark.createDataFrame(
+        [(1, "a b a b c")], "doc_id long, text string"
+    )
+    c12, c1, vocab = bigram_counts(train)
+    counts = {r["g"]: r["c12"] for r in c12.collect()}
+    # bigrams: a b, b a, a b, b c
+    assert counts == {"a b": 2, "b a": 1, "b c": 1}
+    heads = {r["h"]: r["c1"] for r in c1.collect()}
+    assert heads == {"a": 2, "b": 2}
+    assert vocab.first()["v"] == 3
+
+    # score a doc: 'a b c' -> terms: p(b|a)=(2+1)/(2+3), p(c|b)=(1+1)/(2+3)
+    doc = spark.createDataFrame([(7, "a b c")], "doc_id long, text string")
+    scored = score_nll(doc, c12, c1, vocab).collect()[0]
+    expect = round(-math.log(3 / 5) * 1e6) + round(-math.log(2 / 5) * 1e6)
+    assert scored["n_bigrams"] == 2
+    assert scored["nll_micro"] == expect
+
+
+def test_lm_unseen_bigram_gets_add_one_mass(spark):
+    train = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    c12, c1, vocab = bigram_counts(train)
+    doc = spark.createDataFrame([(9, "z q")], "doc_id long, text string")
+    scored = score_nll(doc, c12, c1, vocab).collect()[0]
+    # unseen head: p = (0+1)/(0+2) = 1/2
+    assert scored["nll_micro"] == round(-math.log(0.5) * 1e6)
+
+
+def test_lm_buckets_are_terciles(spark):
+    out = lm_perplexity(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    )
+    sizes = {r["ppl_bucket"]: r["n"] for r in out.groupBy("ppl_bucket").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(sizes) == {"head", "middle", "tail"}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # head tercile has strictly lower mean NLL than tail
+    m = {
+        r["ppl_bucket"]: r["m"]
+        for r in out.groupBy("ppl_bucket").agg(F.avg("avg_nll").alias("m")).collect()
+    }
+    assert m["head"] < m["middle"] < m["tail"]
+
+
+def test_lm_scoring_has_no_python_stage(spark):
+    out = lm_perplexity(spark.read.parquet(f"{SF_SMOKE}/documents.parquet"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"):
+        assert marker not in plan, plan
+
+
+# ------------------------------------------------------- bitext mining
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_bitext_mutual_nn_and_margin(spark):
+    # pool A (label 0): 1, 3; pool B (label 1): 2, 4.
+    # vec 1 ~ vec 2 (aligned), vec 3 ~ vec 4 (aligned), cross pairs weak.
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.1], 0),
+        (3, [0.0, 1.0, 0.1, 0.0], 0),
+        (2, [1.0, 0.05, 0.0, 0.1], 1),
+        (4, [0.05, 1.0, 0.1, 0.0], 1),
+    ]
+    got = {
+        (r["src"], r["dst"]): r
+        for r in bitext_margin_pairs(_emb(spark, rows), k=2, dim=4).collect()
+    }
+    assert set(got) == {(1, 2), (3, 4)}
+    for r in got.values():
+        assert r["cos"] > 0.9
+        assert r["margin"] > 1.0  # NN cosine above the local top-k mean
+
+
+def test_bitext_non_mutual_pair_excluded(spark):
+    # B vector 2 is everyone's NN, but 2's own NN is vec 1 — so only
+    # (1, 2) is mined; A vector 3 gets nothing.
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (3, [0.9, 0.1, 0.0, 0.0], 0),
+        (2, [1.0, 0.01, 0.0, 0.0], 1),
+        (4, [0.0, 0.0, 1.0, 0.0], 1),
+    ]
+    got = {
+        (r["src"], r["dst"])
+        for r in bitext_margin_pairs(_emb(spark, rows), k=2, dim=4).collect()
+    }
+    assert got == {(1, 2)}
+
+
+def test_bitext_plan_broadcasts_small_pool(spark):
+    out = bitext_margin_pairs(
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"):
+        assert marker not in plan, plan
