@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "q_filter_cascade",  # round 4: rule-cascade verdict, pure projection
     "q_lm_perplexity",  # round 4: bigram-LM NLL scoring + terciles
     "q_bitext_mine",  # round 4: margin-based mutual-NN pair mining
+    "q_dsir_weights",  # round 4: hashed-ngram importance-ratio selection
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

@@ -134,3 +134,108 @@ def lm_perplexity(
     return perplexity_buckets(scored, id_col).select(
         id_col, "n_bigrams", "nll_micro", "avg_nll", "ppl_bucket"
     )
+
+
+# ----------------------------------------- DSIR importance resampling
+
+DSIR_BUCKETS = 4096  # hashed n-gram feature space (paper uses 10k)
+
+
+def hashed_features(text_col, m: int = DSIR_BUCKETS):
+    """Array of hashed unigram+bigram feature bucket ids — the DSIR
+    feature space (Xie et al., "Data Selection for Language Models via
+    Importance Resampling", NeurIPS 2023): the hashing trick makes the
+    bag-of-ngrams models vocabulary-free and the per-bucket tables
+    broadcastable (m rows, never corpus-sized)."""
+    from pyspark.sql import functions as F
+    from corsearch_project_spark.functions.portable import phash
+
+    feats = F.concat(words(text_col), word_shingles(text_col, 2))
+    return F.transform(feats, lambda g: phash(g) % m)
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred,
+    m: int = DSIR_BUCKETS,
+    top_k: int = 125,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc DSIR log importance weights + top-k selection flag.
+
+    Fits two add-one-smoothed bag-of-hashed-ngrams models — the target
+    slice (``target_pred`` rows) and the full raw corpus — and scores every
+    document by
+
+        log w(x) = Σ_f  [ ln p̂_target(f) − ln p̂_raw(f) ]
+
+    the log importance ratio under the bucket unigram models. Spark shape:
+    two explode→partial-agg bucket counts (each ≤ m rows after the map-side
+    combine, so shuffle volume is #tasks·m regardless of corpus size), the
+    λ table joined bucket-wise and BROADCAST onto the corpus's exploded
+    features (no shuffle to score), one per-doc agg. Per-bucket λ is
+    quantized to integer micro-nats immediately after the two lns, so doc
+    sums are exact order-free BIGINTs (same discipline as score_nll).
+
+    ``selected`` marks the top_k docs by mean per-feature weight (length
+    normalization — raw Σ rewards long docs); the oracle surface is an
+    exact row_number, the 10^12-doc seam is a broadcast quantile threshold,
+    same column.
+    """
+    from pyspark.sql import Window
+
+    feats = docs.select(
+        F.col(id_col), F.explode(hashed_features(F.col(text_col), m)).alias("b")
+    )
+    tgt = docs.where(target_pred).select(
+        F.explode(hashed_features(F.col(text_col), m)).alias("b")
+    )
+    t_counts = tgt.groupBy("b").agg(F.count(F.lit(1)).alias("t_b"))
+    r_counts = feats.groupBy("b").agg(F.count(F.lit(1)).alias("r_b"))
+    totals = r_counts.agg(F.sum("r_b").alias("r_tot")).crossJoin(
+        t_counts.agg(F.sum("t_b").alias("t_tot"))
+    )
+    lam = (
+        r_counts.join(t_counts, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("t_b"), F.lit(0)) + F.lit(1)).cast("double")
+                        / (F.col("t_tot") + F.lit(m)).cast("double")
+                    )
+                    - F.log(
+                        (F.col("r_b") + F.lit(1)).cast("double")
+                        / (F.col("r_tot") + F.lit(m)).cast("double")
+                    )
+                )
+                * F.lit(MICRO),
+                0,
+            )
+            .cast("long")
+            .alias("lam_u"),
+        )
+    )
+    scored = (
+        feats.join(F.broadcast(lam), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("lam_u").alias("logw_micro"),
+        )
+        .withColumn(
+            "avg_logw",
+            F.round(
+                F.col("logw_micro").cast("double")
+                / (F.col("n_feats").cast("double") * F.lit(MICRO)),
+                6,
+            ),
+        )
+    )
+    rn = F.row_number().over(
+        Window.orderBy(F.desc("avg_logw"), F.col(id_col))
+    )
+    return scored.withColumn("selected", rn <= top_k)

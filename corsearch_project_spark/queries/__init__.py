@@ -60,6 +60,7 @@ _SWEEP_OVERFLOW = [
     # newest registrations (never driver-swept) queue at the head so the
     # round-5 window recompute picks them up first
     "q_filter_cascade", "q_lm_perplexity", "q_bitext_mine",
+    "q_dsir_weights",
     "q_feed_discovery", "q_feed_entries",
     "q_token_drift", "q_length_hist", "q_zorder_key",
     "q_search_phrase", "q_search_proximity", "q_more_like_this",

@@ -182,3 +182,65 @@ def q_lm_perplexity(spark, sf_dir):
 )
 def q_bitext_mine(spark, sf_dir):
     return bitext_margin_pairs(t(spark, sf_dir, "embeddings"))
+
+
+# ------------------------------------------------- DSIR data selection
+
+@query(
+    "q_dsir_weights",
+    f"""
+    WITH wt AS (SELECT doc_id, lang, {SQL_WORDS} AS w FROM documents),
+    fx AS (SELECT doc_id, lang,
+                  list_concat(w, {_sql_shingles(2)}) AS feats
+           FROM wt),
+    f AS (
+        SELECT doc_id, {SQL_PHASH.format(s="g")} % 4096 AS b
+        FROM (SELECT doc_id, unnest(feats) AS g FROM fx)
+    ),
+    tf AS (
+        SELECT {SQL_PHASH.format(s="g")} % 4096 AS b
+        FROM (SELECT unnest(feats) AS g FROM fx WHERE lang = 'en')
+    ),
+    tc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS t_b FROM tf GROUP BY 1),
+    rc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS r_b FROM f GROUP BY 1),
+    tot AS (SELECT (SELECT CAST(SUM(r_b) AS BIGINT) FROM rc) AS r_tot,
+                   (SELECT CAST(SUM(t_b) AS BIGINT) FROM tc) AS t_tot),
+    lam AS (
+        SELECT rc.b,
+               CAST(round((ln(CAST(COALESCE(tc.t_b, 0) + 1 AS DOUBLE)
+                              / CAST(tot.t_tot + 4096 AS DOUBLE))
+                           - ln(CAST(rc.r_b + 1 AS DOUBLE)
+                                / CAST(tot.r_tot + 4096 AS DOUBLE)))
+                          * 1000000, 0) AS BIGINT) AS lam_u
+        FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tot
+    ),
+    scored AS (
+        SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+               CAST(SUM(lam.lam_u) AS BIGINT) AS logw_micro
+        FROM f JOIN lam ON f.b = lam.b GROUP BY 1
+    ),
+    avgd AS (
+        SELECT doc_id, n_feats, logw_micro,
+               round(CAST(logw_micro AS DOUBLE)
+                     / (CAST(n_feats AS DOUBLE) * 1000000.0), 6) AS avg_logw
+        FROM scored
+    )
+    SELECT doc_id, n_feats, logw_micro, avg_logw,
+           (row_number() OVER (ORDER BY avg_logw DESC, doc_id) <= 125)
+               AS selected
+    FROM avgd
+    """,
+    doc="DSIR data selection (Xie et al., NeurIPS 2023): per-doc log "
+    "importance ratio between add-one bag-of-hashed-ngrams models of the "
+    "target slice (lang='en' here) and the raw corpus, hashed into 4096 "
+    "buckets so both model tables broadcast; λ quantized to integer "
+    "micro-nats after the two lns — doc sums are exact BIGINTs; top-k by "
+    "mean per-feature weight marks `selected` (row_number oracle surface, "
+    "broadcast quantile threshold at 10^12 docs). Two explode+partial-agg "
+    "bucket counts (shuffle ≤ #tasks×4096) + a broadcast-join scoring "
+    "pass, no Python (operators/lm.py dsir_weights).",
+)
+def q_dsir_weights(spark, sf_dir):
+    from corsearch_project_spark.operators.lm import dsir_weights
+
+    return dsir_weights(t(spark, sf_dir, "documents"), F.col("lang") == "en")

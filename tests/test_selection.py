@@ -177,3 +177,58 @@ def test_bitext_plan_broadcasts_small_pool(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"):
         assert marker not in plan, plan
+
+
+# ------------------------------------------------------- DSIR weights
+
+
+def test_dsir_target_docs_outrank_offtarget(spark):
+    from corsearch_project_spark.operators.lm import dsir_weights
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = dsir_weights(docs, F.col("lang") == "en", top_k=125)
+    assert out.where("selected").count() == 125
+    langs = dict(
+        out.where("selected")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    # the target-language docs must dominate the selected set
+    assert langs.get("en", 0) > sum(v for k, v in langs.items() if k != "en")
+
+
+def test_dsir_hand_computed_tiny(spark):
+    from corsearch_project_spark.operators.lm import dsir_weights, hashed_features
+
+    # two docs: target doc repeats 'aa', raw-only doc repeats 'bb'.
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa", "t"), (2, "bb bb bb", "r")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r for r in dsir_weights(docs, F.col("lang") == "t", m=4096, top_k=1).collect()}
+    # features per doc: 3 unigrams + 2 bigrams = 5
+    assert out[1]["n_feats"] == 5 and out[2]["n_feats"] == 5
+    # target doc's features are in the target model; raw-only doc's are not
+    assert out[1]["logw_micro"] > out[2]["logw_micro"]
+    assert out[1]["selected"] and not out[2]["selected"]
+    m = 4096
+    # hand check: target totals T=5, raw totals R=10.
+    # 'aa' unigram bucket: t=3, r=3; 'aa aa' bigram bucket: t=2, r=2
+    lam_u1 = round((math.log(4 / (5 + m)) - math.log(4 / (10 + m))) * 1e6)
+    lam_u2 = round((math.log(3 / (5 + m)) - math.log(3 / (10 + m))) * 1e6)
+    assert out[1]["logw_micro"] == 3 * lam_u1 + 2 * lam_u2
+
+
+def test_dsir_plan_broadcasts_lambda_no_python(spark):
+    from corsearch_project_spark.operators.lm import dsir_weights
+
+    out = dsir_weights(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet"),
+        F.col("lang") == "en",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"):
+        assert marker not in plan, plan
