@@ -587,6 +587,7 @@ def cascade_verdict(
     mwl_low_x10: int = 40,
     mwl_high_x10: int = 52,
     rep_pct: int = 60,
+    stopwords: tuple = CASCADE_STOPWORDS,
 ) -> Column:
     """Sequenced keep/drop verdict with first-failing-reason attribution —
     the C4/Gopher/RefinedWeb rule-cascade shape (Raffel et al. 2020 §2.2;
@@ -605,9 +606,13 @@ def cascade_verdict(
       repetitive             — duplicate-token fraction > rep_pct/100,
                                again cross-multiplied: 100*(n-distinct) >
                                rep_pct*n
-      no_stopwords           — zero hits from CASCADE_STOPWORDS (the
-                               Gopher 'must contain 2 of 5 stop words'
-                               lexical-sanity gate, zero-threshold form)
+      no_stopwords           — zero hits from ``stopwords`` (the Gopher
+                               'must contain 2 of 5 stop words'
+                               lexical-sanity gate, zero-threshold form).
+                               The set is LANGUAGE POLICY: pass an empty
+                               tuple to disable the rule on corpora that
+                               are not natural text in the list's language
+                               (a non-English corpus would fail wholesale)
       keep                   — survived everything
 
     One narrow JVM projection per row: split once, a handful of integer
@@ -619,13 +624,15 @@ def cascade_verdict(
     n = F.size(w).cast("long")
     d = F.size(F.array_distinct(w)).cast("long")
     letters = F.length(F.trim(text)).cast("long") - (n - F.lit(1))
-    stop = stopword_hits(text, CASCADE_STOPWORDS)
-    return (
+    verdict = (
         F.when(n < min_tokens, F.lit("too_short"))
         .when(n > max_tokens, F.lit("too_long"))
         .when(letters * 10 < n * mwl_low_x10, F.lit("word_len_low"))
         .when(letters * 10 > n * mwl_high_x10, F.lit("word_len_high"))
         .when((n - d) * 100 > n * rep_pct, F.lit("repetitive"))
-        .when(stop == 0, F.lit("no_stopwords"))
-        .otherwise(F.lit("keep"))
     )
+    if stopwords:
+        verdict = verdict.when(
+            stopword_hits(text, stopwords) == 0, F.lit("no_stopwords")
+        )
+    return verdict.otherwise(F.lit("keep"))

@@ -6,7 +6,11 @@ composing the operators from ``operators/{textstats,dedup}.py``:
   extracted(url, extracted_text, ...) →
     1. per-doc stats: tokens, chars, quality score, language ID,
        fingerprint, blocklist verdicts (C4 badwords / URL blocklist via
-       --blocklist-json; empty lists compile to constant columns)
+       --blocklist-json; empty lists compile to constant columns),
+       cascade_reason (first-failing C4/Gopher rule, always recorded;
+       gates keep under --cascade) and ppl_bucket (CCNet bigram-LM
+       tercile under --ppl-drop-tail, which drops the 'tail' third;
+       null when not scored — the schema is stable either way)
     2. exact dedup: sha-identical docs → canonical url (min) per group
     3. near-dup candidates: MinHash+LSH pairs over word shingles
     4. connected components over the near-dup graph (canonical per cluster)
@@ -54,6 +58,9 @@ def run_curation(
     min_quality: float = 0.3,
     max_substring_dup: float = 0.8,
     blocklist: dict | None = None,
+    cascade_gate: bool = False,
+    ppl_drop_tail: bool = False,
+    cascade_stopwords: tuple = (),
 ):
     ext = spark.read.parquet(input_path).select(
         "url", "extracted_text", "text_sha256", "url_bucket"
@@ -83,7 +90,41 @@ def run_curation(
         # table plugs into the same column and THEN the keep rule gains
         # `model_score >= tau`.
         C.score_expr(text).alias("model_score"),
+        # first-failing-reason verdict (operators/textstats.cascade_verdict)
+        # — always recorded (a free projection riding the same scan), gated
+        # into keep only under --cascade: reason attribution is the audit
+        # trail even when the policy is not enforced. Thresholds here are
+        # the published Gopher band for real prose (50-100k tokens, mean
+        # word length 3-10 — Rae et al. 2021 A.1.1); q_filter_cascade's
+        # tighter band is tuned to the synthetic documents table so every
+        # rule arm stays populated in the oracle. The stopword rule is
+        # LANGUAGE POLICY like the blocklist (an English list fails a
+        # non-English corpus wholesale) — off unless --cascade-stopwords.
+        X.cascade_verdict(
+            text,
+            min_tokens=50,
+            max_tokens=100_000,
+            mwl_low_x10=30,
+            mwl_high_x10=100,
+            stopwords=cascade_stopwords,
+        ).alias("cascade_reason"),
     )
+
+    # CCNet perplexity tercile (operators/lm.py) — computed only under
+    # --ppl-drop-tail (it costs an LM-training pass: two count shuffles +
+    # a scoring join); the column exists either way so the curated schema
+    # is stable, null meaning "not scored this run".
+    if ppl_drop_tail:
+        from corsearch_project_spark.operators.lm import lm_perplexity
+
+        ppl = lm_perplexity(
+            ext.select("url", F.col("extracted_text")),
+            id_col="url",
+            text_col="extracted_text",
+        ).select("url", "ppl_bucket")
+        stats = stats.join(ppl, "url", "left")
+    else:
+        stats = stats.withColumn("ppl_bucket", F.lit(None).cast("string"))
 
     # exact dedup on the already-computed content digest: canonical = min url
     canon = (
@@ -138,7 +179,19 @@ def run_curation(
             & (F.col("quality") >= min_quality)
             & (F.col("n_tokens") >= 5)
             & (F.col("term_hits") == 0)
-            & (~F.col("url_blocked")),
+            & (~F.col("url_blocked"))
+            & (
+                (F.col("cascade_reason") == "keep")
+                if cascade_gate
+                else F.lit(True)
+            )
+            & (
+                # docs too short to score (<2 tokens) carry a null bucket;
+                # they are judged by the n_tokens gate, not the LM
+                F.coalesce(F.col("ppl_bucket") != "tail", F.lit(True))
+                if ppl_drop_tail
+                else F.lit(True)
+            ),
         )
     )
 
@@ -193,6 +246,12 @@ def run_curation(
             f"substring_dup_fraction > {max_substring_dup}"
         ).count(),
         "blocklist_dropped": out.where("term_hits > 0 OR url_blocked").count(),
+        "cascade_dropped": (
+            out.where("cascade_reason <> 'keep'").count() if cascade_gate else None
+        ),
+        "ppl_tail_dropped": (
+            out.where("ppl_bucket = 'tail'").count() if ppl_drop_tail else None
+        ),
         "curated_path": curated_path,
         "dup_pairs_path": pairs_path,
     }
@@ -206,6 +265,17 @@ def main(argv=None) -> int:
     ap.add_argument("--max-substring-dup", type=float, default=0.8)
     ap.add_argument("--blocklist-json", default=None,
                     help='JSON file {"terms": [...], "domains": [...]}')
+    ap.add_argument("--cascade", action="store_true",
+                    help="gate keep on the C4/Gopher rule cascade "
+                         "(cascade_reason == 'keep'); the reason column is "
+                         "recorded either way")
+    ap.add_argument("--cascade-stopwords", default="",
+                    help="comma-separated stopword list enabling the "
+                         "cascade's lexical-sanity rule (language policy; "
+                         "off by default)")
+    ap.add_argument("--ppl-drop-tail", action="store_true",
+                    help="train the CCNet bigram LM on the hash-split "
+                         "slice and drop the worst perplexity tercile")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
     if not os.path.exists(args.input):
@@ -217,7 +287,12 @@ def main(argv=None) -> int:
             blocklist = json.load(f)
     spark = build_session("run_curation", master=args.master)
     report = run_curation(spark, args.input, args.output, args.min_quality,
-                          args.max_substring_dup, blocklist=blocklist)
+                          args.max_substring_dup, blocklist=blocklist,
+                          cascade_gate=args.cascade,
+                          ppl_drop_tail=args.ppl_drop_tail,
+                          cascade_stopwords=tuple(
+                              w for w in args.cascade_stopwords.split(",") if w
+                          ))
     print(json.dumps(report, default=str))
     return 0
 

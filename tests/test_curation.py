@@ -383,3 +383,56 @@ def test_export_corpus_markdown_arm(spark, tmp_path):
     # at least some shipped docs actually carry markdown decoration
     dec = df.where(F.col("extracted_text").rlike(r"\]\(|^# |\n- ")).count()
     assert dec > 0
+
+
+def test_curation_cascade_and_ppl_gates(spark, tmp_path):
+    """--cascade folds the rule-cascade verdict into keep (reason column
+    recorded either way); --ppl-drop-tail trains the bigram LM and drops
+    the worst tercile; both off leaves the schema identical with
+    cascade_reason recorded and ppl_bucket null."""
+    rows = gen_pages(40, seed=37, dup_frac=0.0)
+    inp = os.path.join(str(tmp_path), "pages")
+    spark.createDataFrame(pages_to_pandas(rows)).write.parquet(inp)
+    out = os.path.join(str(tmp_path), "out")
+    cfg = ExtractConfig(input_path=inp, output_path=out, run_id="cp", buckets=4)
+    run_extract(spark, cfg, default_rules())
+
+    ext = spark.read.parquet(cfg.extracted_path)
+    donor = ext.orderBy(F.desc("n_chars")).first()
+    # a doc the cascade drops (too_short: <20 tokens) that still clears the
+    # pipeline's own n_tokens >= 5 floor
+    extra = spark.createDataFrame(
+        [("https://shorty.test/a", "the quick brown fox of note", "3" * 64, 2)],
+        "url string, extracted_text string, text_sha256 string, url_bucket int",
+    )
+    merged = ext.select(
+        "url", "extracted_text", "text_sha256", "url_bucket"
+    ).unionByName(extra)
+    merged_path = os.path.join(str(tmp_path), "merged")
+    merged.write.parquet(merged_path)
+
+    rep = run_curation(
+        spark, merged_path, os.path.join(str(tmp_path), "cur"),
+        cascade_gate=True, ppl_drop_tail=True,
+    )
+    cur = spark.read.parquet(rep["curated_path"])
+    shorty = cur.where(F.col("url") == "https://shorty.test/a").first()
+    assert shorty["cascade_reason"] == "too_short" and not shorty["keep"]
+    assert rep["cascade_dropped"] >= 1
+    # the Gopher-band gate must not be degenerate on real extracted prose
+    assert rep["kept"] > 0
+    # tercile sizes over the scoreable docs; every tail doc is dropped
+    assert rep["ppl_tail_dropped"] >= 1
+    assert cur.where("ppl_bucket = 'tail' AND keep").count() == 0
+    kept_reasons = {r["cascade_reason"] for r in cur.where("keep").collect()}
+    assert kept_reasons <= {"keep"}
+
+    # both gates off: same schema, ppl_bucket null, reasons still recorded
+    rep2 = run_curation(
+        spark, merged_path, os.path.join(str(tmp_path), "cur2")
+    )
+    assert rep2["cascade_dropped"] is None and rep2["ppl_tail_dropped"] is None
+    cur2 = spark.read.parquet(rep2["curated_path"])
+    assert sorted(cur.columns) == sorted(cur2.columns)
+    assert cur2.where("ppl_bucket IS NOT NULL").count() == 0
+    assert cur2.where("cascade_reason IS NULL").count() == 0
