@@ -564,3 +564,105 @@ def mirror_hosts(
             .alias("overlap_permille"),
         )
     )
+
+
+# ------------------------------------- content-defined chunking (CDC)
+
+
+def cdc_chunk_texts(text: Column, divisor: int = 16) -> Column:
+    """Split a document's word sequence into content-defined chunks — the
+    LBFS/rsync boundary trick (Muthitacharoen et al., SOSP 2001) at word
+    granularity: a word whose portable hash ≡ 0 (mod divisor) CLOSES the
+    current chunk. Boundaries depend only on local content, so an edit
+    changes the chunk containing it (and at most its neighbor) while every
+    other chunk in the document keeps its exact text — the shift
+    resistance fixed-width shingles lack, at O(n/divisor) chunks instead
+    of O(n) overlapping grams.
+
+    Entirely array expressions inside one projection — boundary positions
+    via filter over a position sequence, chunk k = slice between
+    consecutive boundaries — so chunking itself is shuffle-free and
+    Python-free; only the downstream census shuffles.
+    """
+    w = words(text)
+    n = F.size(w)
+    bpos = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: phash(F.element_at(w, i)) % divisor == 0,
+    )
+    # ensure the tail chunk closes at the last word (skip when the last
+    # word is itself a boundary — no empty trailing chunk)
+    bposx = F.concat(
+        bpos,
+        F.when(
+            (n > 0) & (phash(F.element_at(w, n)) % divisor != 0),
+            F.array(n),
+        ).otherwise(F.array().cast("array<int>")),
+    )
+    return F.transform(
+        F.sequence(F.lit(1), F.size(bposx)),
+        lambda k: F.array_join(
+            F.slice(
+                w,
+                F.when(k == 1, F.lit(0))
+                .otherwise(F.element_at(bposx, (k - 1).cast("int")))
+                + 1,
+                F.element_at(bposx, k.cast("int"))
+                - F.when(k == 1, F.lit(0)).otherwise(
+                    F.element_at(bposx, (k - 1).cast("int"))
+                ),
+            ),
+            " ",
+        ),
+    )
+
+
+def cdc_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 16,
+) -> DataFrame:
+    """Per-doc duplicated-content census over content-defined chunks.
+
+    Explodes each doc's CDC chunks, hashes them, and marks chunks whose
+    hash appears in ≥2 distinct docs; per doc reports chunk/word totals
+    and the duplicated-word share (integer permille — exact). The same
+    relation at 10^12 docs: the chunk-hash census is one partial-agg
+    groupBy over ~n_words/divisor rows per doc (vs n_words rows for
+    shingle schemes), and the shared-set join is an equi-join on the
+    chunk hash.
+    """
+    chunks = df.select(
+        F.col(id_col),
+        F.posexplode(cdc_chunk_texts(F.col(text_col), divisor)).alias(
+            "chunk_idx", "chunk_text"
+        ),
+    ).select(
+        id_col,
+        "chunk_idx",
+        phash(F.col("chunk_text")).alias("h"),
+        F.size(F.split(F.col("chunk_text"), " ")).cast("long").alias("n_words"),
+    )
+    shared = (
+        chunks.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    flagged = chunks.join(shared.withColumn("dup", F.lit(True)), "h", "left")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0)).cast("long").alias("dup_chunks"),
+            F.sum("n_words").alias("total_words"),
+            F.sum(F.when(F.col("dup"), F.col("n_words")).otherwise(0))
+            .cast("long")
+            .alias("dup_words"),
+        )
+        .withColumn(
+            "dup_word_permille",
+            F.expr("(dup_words * 1000) div greatest(total_words, 1)").cast("long"),
+        )
+    )

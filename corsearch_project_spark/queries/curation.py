@@ -244,3 +244,69 @@ def q_dsir_weights(spark, sf_dir):
     from corsearch_project_spark.operators.lm import dsir_weights
 
     return dsir_weights(t(spark, sf_dir, "documents"), F.col("lang") == "en")
+
+
+# ------------------------------------- content-defined chunk dedup
+
+_P_WI = SQL_PHASH.format(s="w[i]")
+_P_WLAST = SQL_PHASH.format(s="w[len(w)]")
+
+@query(
+    "q_cdc_chunks",
+    f"""
+    WITH wt AS (SELECT doc_id, {SQL_WORDS} AS w FROM documents),
+    b0 AS (
+        SELECT doc_id, w,
+               list_filter(generate_series(1, len(w)),
+                           i -> {_P_WI} % 16 = 0) AS bpos
+        FROM wt
+    ),
+    b1 AS (
+        SELECT doc_id, w,
+               list_concat(bpos,
+                   CASE WHEN len(w) > 0 AND {_P_WLAST} % 16 <> 0
+                        THEN [CAST(len(w) AS BIGINT)]
+                        ELSE CAST([] AS BIGINT[]) END) AS bx
+        FROM b0
+    ),
+    ch AS (
+        SELECT doc_id, k - 1 AS chunk_idx,
+               array_to_string(
+                   w[(CASE WHEN k = 1 THEN 0 ELSE bx[k - 1] END) + 1
+                     : bx[k]], ' ') AS chunk_text
+        FROM (SELECT doc_id, w, bx,
+                     unnest(generate_series(1, len(bx))) AS k
+              FROM b1)
+    ),
+    hs AS (
+        SELECT doc_id, {SQL_PHASH.format(s="chunk_text")} AS h,
+               CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_words
+        FROM ch
+    ),
+    shared AS (SELECT h FROM hs GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    fl AS (SELECT hs.*, (hs.h IN (SELECT h FROM shared)) AS dup FROM hs)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) FILTER (WHERE dup) AS BIGINT) AS dup_chunks,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(COALESCE(SUM(n_words) FILTER (WHERE dup), 0) AS BIGINT)
+               AS dup_words,
+           CAST((COALESCE(SUM(n_words) FILTER (WHERE dup), 0) * 1000)
+                // greatest(SUM(n_words), 1) AS BIGINT) AS dup_word_permille
+    FROM fl GROUP BY doc_id
+    """,
+    doc="Content-defined chunk dedup census (LBFS/rsync boundaries, "
+    "Muthitacharoen et al. SOSP 2001, at word granularity): a word whose "
+    "portable hash ≡ 0 mod 16 closes the chunk, so chunking is shift-"
+    "resistant — an edit re-chunks only its neighborhood, unlike fixed "
+    "windows — and emits O(n/16) chunks where shingle schemes emit O(n). "
+    "Chunking is pure array expressions in ONE projection (no shuffle, no "
+    "Python); the census is one partial-agg groupBy on the chunk hash + "
+    "an equi-join of shared hashes. Complements q_dedup_substring: same "
+    "duplicated-content question, storage-dedup chunk relation "
+    "(operators/dedup.py cdc_dup_stats).",
+)
+def q_cdc_chunks(spark, sf_dir):
+    from corsearch_project_spark.operators.dedup import cdc_dup_stats
+
+    return cdc_dup_stats(t(spark, sf_dir, "documents"))

@@ -232,3 +232,66 @@ def test_dsir_plan_broadcasts_lambda_no_python(spark):
     assert "BroadcastHashJoin" in plan, plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"):
         assert marker not in plan, plan
+
+
+# --------------------------------------- content-defined chunking
+
+
+def test_cdc_chunks_partition_the_doc(spark):
+    from corsearch_project_spark.operators.dedup import cdc_chunk_texts
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(60)))], "doc_id long, text string"
+    )
+    chunks = df.select(cdc_chunk_texts(F.col("text")).alias("c")).first()["c"]
+    # chunks reassemble to the original word sequence, none empty
+    assert " ".join(chunks) == df.first()["text"]
+    assert all(c for c in chunks)
+    assert len(chunks) >= 2  # 60 words, divisor 16 -> boundaries expected
+
+
+def test_cdc_shift_resistance(spark):
+    from corsearch_project_spark.operators.dedup import cdc_chunk_texts
+
+    base = " ".join(f"tok{i}x" for i in range(200))
+    edited = "INSERTED " + base  # one word prepended
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select("doc_id", cdc_chunk_texts(F.col("text")).alias("c")).collect()
+    }
+    shared = set(got[1]) & set(got[2])
+    # a prefix edit must leave the vast majority of chunks byte-identical
+    # (fixed-offset windows would shift EVERY window)
+    assert len(shared) >= len(got[1]) - 2
+
+
+def test_cdc_stats_flag_only_cross_doc_chunks(spark):
+    from corsearch_project_spark.operators.dedup import cdc_dup_stats
+
+    a = " ".join(f"aa{i}q" for i in range(100))
+    rows = [(1, a), (2, a), (3, " ".join(f"zz{i}k" for i in range(100)))]
+    out = {
+        r["doc_id"]: r
+        for r in cdc_dup_stats(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1]["dup_word_permille"] == 1000  # exact twin: all shared
+    assert out[2]["dup_word_permille"] == 1000
+    assert out[3]["dup_chunks"] == 0 and out[3]["dup_word_permille"] == 0
+    assert out[1]["total_words"] == 100
+
+
+def test_cdc_chunking_is_shuffle_free_projection(spark):
+    from corsearch_project_spark.operators.dedup import cdc_chunk_texts
+
+    df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", cdc_chunk_texts(F.col("text")).alias("c")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"):
+        assert marker not in plan, plan
