@@ -99,39 +99,59 @@ def score_nll(
     )
 
 
-def perplexity_buckets(scored: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def perplexity_buckets(
+    scored: DataFrame, id_col: str = "doc_id", mode: str = "ntile"
+) -> DataFrame:
     """Attach ``avg_nll`` (nats/bigram, 6 dp) and the CCNet tercile bucket.
 
-    ntile(3) over the full score order is exact and cheap at oracle scale;
-    at 10^12 docs replace the unpartitioned window with two broadcast
-    ``percentile_approx`` thresholds on avg_nll — the bucket column and its
-    meaning are unchanged, and no global sort ever happens.
+    Two physical strategies for the same column:
+
+      * ``mode="ntile"`` — exact rank terciles via an unpartitioned
+        window. The oracle surface (bit-deterministic with the doc_id
+        tie-break), but it funnels all rows through one partition: test
+        scale only.
+      * ``mode="threshold"`` — the 10^12-doc path: two
+        ``percentile_approx`` cut points reduced to ONE scalar row and
+        broadcast back; no global sort, no single-partition stage,
+        identical bucket semantics up to ties at the cut values.
     """
     avg = F.round(
         F.col("nll_micro").cast("double")
         / (F.col("n_bigrams").cast("double") * F.lit(MICRO)),
         6,
     )
+    scored = scored.withColumn("avg_nll", avg)
+    if mode == "threshold":
+        cuts = scored.agg(
+            F.percentile_approx("avg_nll", 1.0 / 3, 10_000).alias("c1"),
+            F.percentile_approx("avg_nll", 2.0 / 3, 10_000).alias("c2"),
+        )
+        return scored.crossJoin(F.broadcast(cuts)).withColumn(
+            "ppl_bucket",
+            F.when(F.col("avg_nll") <= F.col("c1"), F.lit("head"))
+            .when(F.col("avg_nll") <= F.col("c2"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        ).drop("c1", "c2")
     w = Window.orderBy(F.col("avg_nll"), F.col(id_col))
     tile = F.ntile(3).over(w)
-    return (
-        scored.withColumn("avg_nll", avg)
-        .withColumn(
-            "ppl_bucket",
-            F.when(tile == 1, F.lit("head"))
-            .when(tile == 2, F.lit("middle"))
-            .otherwise(F.lit("tail")),
-        )
+    return scored.withColumn(
+        "ppl_bucket",
+        F.when(tile == 1, F.lit("head"))
+        .when(tile == 2, F.lit("middle"))
+        .otherwise(F.lit("tail")),
     )
 
 
 def lm_perplexity(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "ntile",
 ) -> DataFrame:
     """End-to-end CCNet filter: train on the hash-split slice, score all."""
     c12, c1, vocab = bigram_counts(train_slice(docs, id_col), text_col)
     scored = score_nll(docs, c12, c1, vocab, id_col, text_col)
-    return perplexity_buckets(scored, id_col).select(
+    return perplexity_buckets(scored, id_col, mode=mode).select(
         id_col, "n_bigrams", "nll_micro", "avg_nll", "ppl_bucket"
     )
 

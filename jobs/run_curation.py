@@ -117,10 +117,14 @@ def run_curation(
     if ppl_drop_tail:
         from corsearch_project_spark.operators.lm import lm_perplexity
 
+        # threshold mode: broadcast percentile cut points, no global sort —
+        # the bucketing path that survives 10^12 docs (the query twin keeps
+        # ntile for its exact oracle)
         ppl = lm_perplexity(
             ext.select("url", F.col("extracted_text")),
             id_col="url",
             text_col="extracted_text",
+            mode="threshold",
         ).select("url", "ppl_bucket")
         stats = stats.join(ppl, "url", "left")
     else:

@@ -295,3 +295,22 @@ def test_cdc_chunking_is_shuffle_free_projection(spark):
     assert "Exchange" not in plan, plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"):
         assert marker not in plan, plan
+
+
+def test_lm_threshold_mode_matches_ntile_buckets(spark):
+    """The 10^12-doc threshold path and the exact ntile path must agree on
+    every doc whose score is not tied at a cut value; plan-wise the
+    threshold mode must not contain a single-partition window."""
+    from corsearch_project_spark.operators.lm import lm_perplexity
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    a = {r["doc_id"]: r["ppl_bucket"] for r in lm_perplexity(docs).collect()}
+    out_t = lm_perplexity(docs, mode="threshold")
+    b = {r["doc_id"]: r["ppl_bucket"] for r in out_t.collect()}
+    assert set(a) == set(b)
+    disagree = [k for k in a if a[k] != b[k]]
+    # only tie-at-cut docs may differ; on this corpus that is a tiny tail
+    assert len(disagree) <= len(a) * 0.02, (len(disagree), len(a))
+    plan = out_t._jdf.queryExecution().executedPlan().toString()
+    # no unpartitioned window stage anywhere in the threshold plan
+    assert "Window" not in plan, plan
