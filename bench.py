@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "q_bitext_mine",  # round 4: margin-based mutual-NN pair mining
     "q_dsir_weights",  # round 4: hashed-ngram importance-ratio selection
     "q_cdc_chunks",  # round 4: content-defined chunk dedup census
+    "q_hll_distinct",  # round 4: HLL register sketch vs exact distinct
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

@@ -209,3 +209,72 @@ def hist_merge(hists: list, keys: tuple = ()) -> DataFrame:
     return merged.groupBy(*keys, "bin").agg(
         F.sum("n").cast("long").alias("n")
     )
+
+
+# ---------------------------------------------------- HyperLogLog
+
+# p=8 -> m=256 registers; the portable 32-bit hash leaves w=24 rank bits
+# (max rank 25), so the scaled harmonic sum Σ 2^(50-reg) stays an exact
+# BIGINT (256 · 2^50 < 2^59). Constants inlined as literals so both
+# engines use the SAME doubles (no re-derived arithmetic to drift):
+HLL_P = 8
+HLL_M = 256
+HLL_W = 24
+_HLL_NUM = 5.2999162811336204e+19  # alpha_256 * m^2 * 2^50
+_HLL_LINEAR_CUT = 640.0  # 2.5 * m
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, group_cols: tuple = ()
+) -> DataFrame:
+    """HyperLogLog register relation (Flajolet et al., AofA 2007) — the
+    third mergeable sketch beside the Count-Min cells and the Bloom words,
+    same contract: a small inspectable DataFrame whose partial agg IS the
+    merge. bucket = hash % m, rank = leading-zero count of the remaining
+    w bits + 1 — computed portably as w - bitwidth(r) + 1 with bitwidth =
+    len(binary string) (Spark conv(r,10,2) == DuckDB bin(r), both
+    unpadded). One explode-free groupBy: shuffle volume ≤ #tasks · m
+    per group, whatever the corpus size."""
+    h = phash(F.col(key_col))
+    bucket = (h % HLL_M).alias("bucket")
+    rl = ((h - (h % HLL_M)) / HLL_M).cast("long")
+    rank = (
+        F.when(rl == 0, F.lit(HLL_W + 1))
+        .otherwise(F.lit(HLL_W) - F.length(F.conv(rl.cast("string"), 10, 2)) + 1)
+        .cast("int")
+    )
+    return (
+        df.select(*group_cols, bucket, rank.alias("rank"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rank").alias("reg"))
+    )
+
+
+def hll_merge(regs: list, group_cols: tuple = ()) -> DataFrame:
+    """Union-merge register relations: register-wise max — associative and
+    idempotent, so increments, reruns and cross-snapshot unions all
+    converge to the same sketch (the bit_or analogue for Bloom)."""
+    out = regs[0]
+    for other in regs[1:]:
+        out = out.unionByName(other)
+    return out.groupBy(*group_cols, "bucket").agg(F.max("reg").alias("reg"))
+
+
+def hll_estimate(regs: DataFrame, group_cols: tuple = ()) -> DataFrame:
+    """Cardinality estimate from a register relation, with the standard
+    small-range linear-counting correction. All register math is exact
+    integers (Σ 2^(50-reg) as BIGINT); the final division — and, on the
+    correction branch, one ln — are single double ops with identical
+    operand order on both engines."""
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr("CAST(power(2, 50 - reg) AS BIGINT)")).alias("s_present"),
+    )
+    v_zero = (F.lit(HLL_M) - F.col("n_present")).cast("long")
+    ssc = F.col("s_present") + v_zero * F.lit(2**50)
+    e_raw = F.lit(_HLL_NUM) / ssc.cast("double")
+    est = F.when(
+        (e_raw <= F.lit(_HLL_LINEAR_CUT)) & (v_zero > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_zero.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(*group_cols, F.round(est, 4).alias("est_distinct"))

@@ -3285,3 +3285,84 @@ def q_zorder_key(spark, sf_dir):
         .orderBy(F.asc("zkey"), F.asc("doc_id"))
         .limit(64)
     )
+
+
+# ------------------------------------------------ HyperLogLog census
+
+def _sql_hll_distinct() -> str:
+    from corsearch_project_spark.queries.textsim import SQL_PHASH, SQL_WORDS, _sql_shingles
+
+    ph = SQL_PHASH.format(s="g")
+    return f"""
+    WITH wt AS (SELECT lang, {SQL_WORDS} AS w FROM documents),
+    gr AS (SELECT lang, unnest({_sql_shingles(2)}) AS g FROM wt),
+    hb AS (
+        SELECT lang, h % 256 AS bucket, (h - (h % 256)) // 256 AS r
+        FROM (SELECT lang, {ph} AS h FROM gr)
+    ),
+    rk AS (
+        SELECT lang, bucket,
+               CASE WHEN r = 0 THEN 25
+                    ELSE 24 - len(bin(r)) + 1 END AS rank
+        FROM hb
+    ),
+    regs AS (SELECT lang, bucket, MAX(rank) AS reg FROM rk GROUP BY 1, 2),
+    agg AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_present,
+               CAST(SUM(CAST(power(2, 50 - reg) AS BIGINT)) AS BIGINT) AS s
+        FROM regs GROUP BY 1
+    ),
+    est0 AS (
+        SELECT lang, 256 - n_present AS v,
+               s + (256 - n_present) * 1125899906842624 AS ssc
+        FROM agg
+    ),
+    est1 AS (
+        SELECT lang, v,
+               5.2999162811336204e+19 / CAST(ssc AS DOUBLE) AS e_raw
+        FROM est0
+    ),
+    est AS (
+        SELECT lang,
+               round(CASE WHEN e_raw <= 640.0 AND v > 0
+                          THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
+                          ELSE e_raw END, 4) AS est_distinct
+        FROM est1
+    ),
+    ex AS (SELECT lang, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_exact
+           FROM gr GROUP BY 1)
+    SELECT est.lang, est.est_distinct, ex.n_exact
+    FROM est JOIN ex ON est.lang = ex.lang
+    """
+
+
+@query(
+    "q_hll_distinct",
+    _sql_hll_distinct(),
+    doc="HyperLogLog distinct-bigram census per language vs the exact "
+    "count — the third mergeable sketch beside Count-Min and Bloom, same "
+    "relation contract (register table whose partial agg IS the merge; "
+    "register-wise MAX for increments). Portable rank = 24 - bitwidth + 1 "
+    "with bitwidth = len(binary string) in both engines; harmonic sum "
+    "kept exact as Σ 2^(50-reg) BIGINT; the one double division (plus one "
+    "ln on the linear-counting branch) uses inlined literal constants so "
+    "neither engine re-derives them. Shuffle ≤ #tasks×256 per group "
+    "regardless of corpus size (operators/sketches.py hll_registers).",
+)
+def q_hll_distinct(spark, sf_dir):
+    from corsearch_project_spark.operators.dedup import word_shingles
+    from corsearch_project_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    grams = d.select(
+        "lang", F.explode(word_shingles(F.col("text"), 2)).alias("g")
+    )
+    est = hll_estimate(hll_registers(grams, "g", ("lang",)), ("lang",))
+    exact = grams.groupBy("lang").agg(
+        F.countDistinct("g").alias("n_exact")
+    )
+    return est.join(exact, "lang")

@@ -249,3 +249,74 @@ def test_build_ledger_cli_full_then_increment(spark, tmp_path):
     )
     claims = SK.bloom_probe(allk, got, n_bits=2048, n_hashes=3)
     assert claims.where(~F.col("claimed")).count() == 0
+
+
+# ---------------------------------------------------- HyperLogLog
+
+
+def test_hll_error_bound_and_both_branches(spark):
+    from pyspark.sql import functions as F
+    from corsearch_project_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from corsearch_project_spark.operators.dedup import word_shingles
+    from conftest import SF_CORRECT
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    # low-cardinality keys (31 distinct words): linear-counting branch
+    w = docs.select("lang", F.explode(F.split(F.trim("text"), " ")).alias("k"))
+    # high-cardinality keys (~900 bigrams/lang): raw-HLL branch
+    g = docs.select("lang", F.explode(word_shingles(F.col("text"), 2)).alias("k"))
+    for keyed in (w, g):
+        est = {
+            r["lang"]: r["est_distinct"]
+            for r in hll_estimate(
+                hll_registers(keyed, "k", ("lang",)), ("lang",)
+            ).collect()
+        }
+        exact = {
+            r["lang"]: r["n"]
+            for r in keyed.groupBy("lang").agg(
+                F.countDistinct("k").alias("n")
+            ).collect()
+        }
+        for lang, ex in exact.items():
+            # 3 sigma of the standard 1.04/sqrt(m) HLL error
+            assert abs(est[lang] - ex) / ex <= 3 * 1.04 / (256 ** 0.5), (
+                lang, est[lang], ex,
+            )
+
+
+def test_hll_merge_equals_whole_build(spark):
+    from pyspark.sql import functions as F
+    from corsearch_project_spark.operators.sketches import (
+        hll_merge,
+        hll_registers,
+    )
+    from conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    w = docs.select("lang", F.explode(F.split(F.trim("text"), " ")).alias("k"))
+    whole = hll_registers(w, "k", ("lang",))
+    halves = [
+        hll_registers(w.where(f"doc_id % 2 = {i}"), "k", ("lang",))
+        for i in (0, 1)
+    ]
+    merged = hll_merge(halves, ("lang",))
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_hll_registers_single_shuffle_no_python(spark):
+    from pyspark.sql import functions as F
+    from corsearch_project_spark.operators.sketches import hll_registers
+    from conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    w = docs.select("lang", F.explode(F.split(F.trim("text"), " ")).alias("k"))
+    regs = hll_registers(w, "k", ("lang",))
+    plan = regs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"):
+        assert marker not in plan, plan
