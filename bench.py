@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "q_dsir_weights",  # round 4: hashed-ngram importance-ratio selection
     "q_cdc_chunks",  # round 4: content-defined chunk dedup census
     "q_hll_distinct",  # round 4: HLL register sketch vs exact distinct
+    "q_winnow_spans",  # round 4: MOSS winnowing fingerprint census
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

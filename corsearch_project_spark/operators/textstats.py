@@ -636,3 +636,45 @@ def cascade_verdict(
             stopword_hits(text, stopwords) == 0, F.lit("no_stopwords")
         )
     return verdict.otherwise(F.lit("keep"))
+
+
+# ------------------------------------------------ winnowing (MOSS)
+
+
+def winnow_fingerprints(text: Column, k: int = 4, w: int = 4) -> Column:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word k-gram, slide a
+    w-hash window, keep the MINIMUM of each window (rightmost on ties).
+    Guarantees: any shared run of at least w+k-1 words between two
+    documents shares at least one selected fingerprint, at an expected
+    density of 2/(w+1) — positional, unlike the single global-min
+    ``fingerprint()``, so matches localize to spans.
+
+    Returns array<struct<pos:int, h:bigint>> (1-based gram position).
+    Pure array expressions — slice/min/reverse/position per window inside
+    ONE projection; documents shorter than k+w-1 words yield an empty
+    array. No shuffle, no Python; only the downstream census aggregates.
+    """
+    grams = word_shingles(text, k)
+    hs = F.transform(grams, lambda g: phash(g))
+    n = F.size(hs)
+
+    def sel(i):
+        win = F.slice(hs, i, w)
+        m = F.array_min(win)
+        # rightmost occurrence of the min inside the window, absolute pos
+        return i - 1 + (F.lit(w + 1) - F.array_position(F.reverse(win), m)).cast("int")
+
+    # adjacent windows usually re-select the same position — dedupe on the
+    # position alone (same pos => same hash), which keeps the distinct over
+    # a plain int array (struct-list distinct is uneven across engines)
+    pos_d = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n - F.lit(w - 1)), sel)
+    )
+    fps = F.transform(
+        pos_d,
+        lambda p: F.struct(p.alias("pos"), F.element_at(hs, p).alias("h")),
+    )
+    return F.when(n >= w, fps).otherwise(
+        F.array().cast("array<struct<pos:int,h:bigint>>")
+    )

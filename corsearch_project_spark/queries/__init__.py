@@ -16,17 +16,17 @@ from corsearch_project_spark.queries import curation  # noqa: F401
 
 
 # The driver sweep caps at ~50 queries per round while the registry holds
-# 143, so coverage rotates on one rule: queries with NO driver-green row
+# 144, so coverage rotates on one rule: queries with NO driver-green row
 # in ANY CORRECTNESS_r{N}.json surface first (oldest-evidence-first after
-# that). With 143 queries and a 50-slot window, full rotation takes three
+# that). With 144 queries and a 50-slot window, full rotation takes three
 # rounds; every displaced query carries exact pytest parity (stricter
 # than the driver's hash) each round regardless.
 # ROUND 5 NOTE: recompute the window as (registry minus the union of
 # green rows across all CORRECTNESS_r*.json, oldest rows next) — i.e.
-# surface _SWEEP_OVERFLOW's 21 never-swept queries plus any round-5
+# surface _SWEEP_OVERFLOW's 22 never-swept queries plus any round-5
 # registrations first, then the 22 r2-only rows, then the oldest greens.
 # The 50-slot window below holds round-4 registrations that have NO
-# driver-green row in any CORRECTNESS_r{N}.json yet (72 such queries
+# driver-green row in any CORRECTNESS_r{N}.json yet (73 such queries
 # exist; the 15 that do not fit — the head of _SWEEP_OVERFLOW — are the
 # ones with the strongest alternative evidence: exact pytest parity
 # verified at BOTH sf0.001 and sf0.01 in-session, per COVERAGE.md).
@@ -61,6 +61,7 @@ _SWEEP_OVERFLOW = [
     # round-5 window recompute picks them up first
     "q_filter_cascade", "q_lm_perplexity", "q_bitext_mine",
     "q_dsir_weights", "q_cdc_chunks", "q_hll_distinct",
+    "q_winnow_spans",
     "q_feed_discovery", "q_feed_entries",
     "q_token_drift", "q_length_hist", "q_zorder_key",
     "q_search_phrase", "q_search_proximity", "q_more_like_this",

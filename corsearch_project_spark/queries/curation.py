@@ -310,3 +310,88 @@ def q_cdc_chunks(spark, sf_dir):
     from corsearch_project_spark.operators.dedup import cdc_dup_stats
 
     return cdc_dup_stats(t(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------- winnowing census
+
+_P_G = SQL_PHASH.format(s="g")
+# rightmost-min selection for the window starting at i (w=4), inlined twice
+# (no let-bindings in SQL lambdas): absolute 1-based gram position
+_W_SEL = ("i - 1 + (5 - list_position(list_reverse(hs[i:i+3]), "
+          "list_min(hs[i:i+3])))")
+
+@query(
+    "q_winnow_spans",
+    f"""
+    WITH wt AS (SELECT doc_id, {SQL_WORDS} AS w FROM documents),
+    hsx AS (
+        SELECT doc_id,
+               list_transform({_sql_shingles(4)}, g -> {_P_G}) AS hs
+        FROM wt
+    ),
+    fp0 AS (
+        SELECT doc_id, hs, CAST(len(hs) AS BIGINT) AS n_grams,
+               CASE WHEN len(hs) >= 4 THEN
+                   list_distinct(list_transform(
+                       generate_series(1, len(hs) - 3), i -> {_W_SEL}))
+               ELSE CAST([] AS BIGINT[]) END AS ps
+        FROM hsx
+    ),
+    fe AS (
+        SELECT doc_id, hs[p] AS h
+        FROM (SELECT doc_id, hs, unnest(ps) AS p FROM fp0)
+    ),
+    shared AS (SELECT h FROM fe GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    per AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+               CAST(COUNT(*) FILTER (WHERE h IN (SELECT h FROM shared))
+                    AS BIGINT) AS shared_fps
+        FROM fe GROUP BY 1
+    )
+    SELECT g.doc_id, g.n_grams,
+           CAST(COALESCE(per.n_fps, 0) AS BIGINT) AS n_fps,
+           CAST(COALESCE(per.shared_fps, 0) AS BIGINT) AS shared_fps
+    FROM fp0 g LEFT JOIN per ON g.doc_id = per.doc_id
+    """,
+    doc="Winnowing fingerprint census (Schleimer/Wilkerson/Aiken SIGMOD "
+    "2003, the MOSS algorithm): min-hash of each sliding w=4 window over "
+    "word 4-gram hashes, rightmost on ties — guarantees any shared run of "
+    "≥ w+k-1 words surfaces a common fingerprint at expected density "
+    "2/(w+1), and positions localize matches to spans (the plagiarism/"
+    "attribution primitive the global-min fingerprint lacks). Selection "
+    "is pure array expressions in ONE projection (no shuffle, no Python); "
+    "the cross-doc census is one groupBy + semi-join "
+    "(operators/textstats.py winnow_fingerprints).",
+)
+def q_winnow_spans(spark, sf_dir):
+    from corsearch_project_spark.operators.dedup import word_shingles
+
+    d = t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.size(word_shingles(F.col("text"), 4)).cast("long").alias("n_grams"),
+    )
+    fe = d.select(
+        "doc_id",
+        F.explode(X.winnow_fingerprints(F.col("text"))).alias("fp"),
+    ).select("doc_id", F.col("fp.h").alias("h"))
+    shared = (
+        fe.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h", F.lit(True).alias("sh"))
+    )
+    per = (
+        fe.join(shared, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.sum(F.when(F.col("sh"), 1).otherwise(0)).cast("long").alias("shared_fps"),
+        )
+    )
+    return base.join(per, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_fps", F.lit(0)).cast("long").alias("n_fps"),
+        F.coalesce("shared_fps", F.lit(0)).cast("long").alias("shared_fps"),
+    )

@@ -314,3 +314,57 @@ def test_lm_threshold_mode_matches_ntile_buckets(spark):
     plan = out_t._jdf.queryExecution().executedPlan().toString()
     # no unpartitioned window stage anywhere in the threshold plan
     assert "Window" not in plan, plan
+
+
+# ------------------------------------------------ winnowing (MOSS)
+
+
+def test_winnow_guarantee_shared_run_surfaces_fingerprint(spark):
+    """SIGMOD'03 guarantee: any shared word run of length >= w + k - 1
+    (= 7 here) yields at least one COMMON selected fingerprint."""
+    run = " ".join(f"shared{i}tok" for i in range(12))  # 12-word common run
+    rows = [
+        (1, " ".join(f"aa{i}x" for i in range(30)) + " " + run),
+        (2, run + " " + " ".join(f"zz{i}y" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: {(f["pos"], f["h"]) for f in r["f"]}
+        for r in df.select(
+            "doc_id", X.winnow_fingerprints(F.col("text")).alias("f")
+        ).collect()
+    }
+    h1 = {h for _, h in got[1]}
+    h2 = {h for _, h in got[2]}
+    assert h1 & h2, "shared 12-word run must surface a common fingerprint"
+
+
+def test_winnow_density_and_short_doc(spark):
+    rows = [
+        (1, " ".join(f"w{i}q" for i in range(100))),
+        (2, "a b c"),  # 3 words < k: zero grams, empty selection
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id", X.winnow_fingerprints(F.col("text")).alias("f")
+        ).collect()
+    }
+    assert got[2] == []
+    n_grams = 100 - 3
+    density = len(got[1]) / (n_grams - 3)
+    # expected 2/(w+1) = 0.4; generous band for one sample
+    assert 0.2 <= density <= 0.6, density
+    # every selected position is in range and hashes match the gram count
+    assert all(1 <= f["pos"] <= n_grams for f in got[1])
+
+
+def test_winnow_selection_is_shuffle_free_projection(spark):
+    df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", X.winnow_fingerprints(F.col("text")).alias("f")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"):
+        assert marker not in plan, plan
