@@ -304,6 +304,7 @@ def make_pdf(
     force_layout: str | None = None,
     force_form: bool | None = None,
     force_encrypt: str | None = None,
+    _assets_out: list | None = None,
 ) -> bytes:
     """1–3 pages; FlateDecode content streams using only
     BT/ET, Tf, Tm, Td, TD, TL, T*, Tj, TJ, ', Tc, Tw; three font arms —
@@ -579,7 +580,123 @@ def make_pdf(
             )
         page_nums.append(page_num)
 
-    objs[catalog_num - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num
+    # --- document assets (round-4 continuation, rolls #5+ of the derived
+    # stream): /Info metadata, /Subtype /Link URI annotations on page 1,
+    # and a two-level /Outlines tree. All material comes from lay_rng so
+    # the word stream and the four existing arm rolls are untouched —
+    # frozen goldens hold. Encrypted docs get NONE of these: the fixture
+    # does not implement string encryption, and a plaintext /Title inside
+    # a /StrF-declared document would be non-conformant; the reader's
+    # documented policy (pdfx.extract_pdf_assets) skips encrypted docs
+    # anyway. Rolls are still drawn on the encrypted arm so force_encrypt
+    # never shifts another doc's asset material.
+    assets = {"title": None, "author": None, "subject": None,
+              "producer": None, "created": None, "links": [], "outline": []}
+    info_num = 0
+    outline_num = 0
+    has_info = lay_rng.random() < 0.7
+    title = " ".join(
+        lay_rng.choice(_WORDS) for _ in range(lay_rng.randint(2, 5))
+    ).title()
+    utf16_title = lay_rng.random() < 0.25
+    author = (
+        lay_rng.choice(_WORDS).title() + " " + lay_rng.choice(_WORDS).title()
+    )
+    subject = lay_rng.choice(_WORDS)
+    created = "D:20%02d%02d%02d%02d%02d%02dZ" % (
+        lay_rng.randint(10, 25), lay_rng.randint(1, 12), lay_rng.randint(1, 28),
+        lay_rng.randint(0, 23), lay_rng.randint(0, 59), lay_rng.randint(0, 59),
+    )
+    n_links = lay_rng.randint(0, 3)
+    link_uris = [
+        "https://%s.example.com/%s/%d"
+        % (lay_rng.choice(_WORDS), lay_rng.choice(_WORDS), lay_rng.randint(1, 999))
+        for _ in range(n_links)
+    ]
+    has_outline = lay_rng.random() < 0.4
+    outline_titles = [
+        " ".join(lay_rng.choice(_WORDS) for _ in range(2)).title()
+        for _ in range(lay_rng.randint(2, 4))
+    ]
+    if encrypt in ("none", None):
+        if has_info:
+            if utf16_title:
+                title_tok = (
+                    b"<" + (b"\xfe\xff" + title.encode("utf-16-be")).hex().encode() + b">"
+                )
+            else:
+                title_tok = b"(" + _pdf_escape(title).encode("cp1252") + b")"
+            info_num = add(
+                b"<< /Title %s /Author (%s) /Subject (%s) "
+                b"/Producer (SynthWriter 1.0) /CreationDate (%s) >>"
+                % (
+                    title_tok,
+                    _pdf_escape(author).encode("cp1252"),
+                    subject.encode("cp1252"),
+                    created.encode("ascii"),
+                )
+            )
+            assets.update(
+                title=title, author=author, subject=subject,
+                producer="SynthWriter 1.0",
+                created="%s-%s-%sT%s:%s:%s+00:00" % (
+                    created[2:6], created[6:8], created[8:10],
+                    created[10:12], created[12:14], created[14:16],
+                ),
+            )
+        if link_uris:
+            annot_nums = []
+            for k, uri in enumerate(link_uris):
+                y = 700 - 20 * k
+                annot_nums.append(
+                    add(
+                        b"<< /Type /Annot /Subtype /Link /Rect [72 %d 300 %d] "
+                        b"/Border [0 0 0] /A << /S /URI /URI (%s) >> >>"
+                        % (y, y + 14, uri.encode("ascii"))
+                    )
+                )
+            pn = page_nums[0]
+            objs[pn - 1] = objs[pn - 1][:-2] + b"/Annots [%s] >>" % b" ".join(
+                b"%d 0 R" % a for a in annot_nums
+            )
+            assets["links"] = [(1, u) for u in link_uris]
+        if has_outline:
+            # top-level chain; the FIRST item carries one child (depth 1)
+            outline_num = add(b"")  # root placeholder
+            item_nums = [add(b"") for _ in outline_titles]
+            child_num = add(b"")
+            child_title = outline_titles[0] + " Detail"
+            for k, (inum, t) in enumerate(zip(item_nums, outline_titles)):
+                parts = [b"<< /Title (%s)" % _pdf_escape(t).encode("cp1252")]
+                parts.append(b"/Parent %d 0 R" % outline_num)
+                if k > 0:
+                    parts.append(b"/Prev %d 0 R" % item_nums[k - 1])
+                if k + 1 < len(item_nums):
+                    parts.append(b"/Next %d 0 R" % item_nums[k + 1])
+                if k == 0:
+                    parts.append(
+                        b"/First %d 0 R /Last %d 0 R /Count 1"
+                        % (child_num, child_num)
+                    )
+                objs[inum - 1] = b" ".join(parts) + b" >>"
+            objs[child_num - 1] = (
+                b"<< /Title (%s) /Parent %d 0 R >>"
+                % (_pdf_escape(child_title).encode("cp1252"), item_nums[0])
+            )
+            objs[outline_num - 1] = (
+                b"<< /Type /Outlines /First %d 0 R /Last %d 0 R /Count %d >>"
+                % (item_nums[0], item_nums[-1], len(item_nums))
+            )
+            flat = [(0, outline_titles[0]), (1, child_title)]
+            flat += [(0, t) for t in outline_titles[1:]]
+            assets["outline"] = flat
+    if _assets_out is not None:
+        _assets_out.append(assets)
+
+    cat = b"<< /Type /Catalog /Pages %d 0 R" % pages_num
+    if outline_num:
+        cat += b" /Outlines %d 0 R" % outline_num
+    objs[catalog_num - 1] = cat + b" >>"
     kids = b" ".join(b"%d 0 R" % p for p in page_nums)
     objs[pages_num - 1] = b"<< /Type /Pages /Kids [%s] /Count %d >>" % (
         kids,
@@ -587,12 +704,15 @@ def make_pdf(
     )
 
     if layout == "objstm":
-        return _assemble_objstm(objs, catalog_num)
+        return _assemble_objstm(objs, catalog_num, info_num)
     trailer_extra = b""
+    if info_num:
+        trailer_extra += b" /Info %d 0 R" % info_num
     if encrypt not in ("none", None):
-        objs, trailer_extra = _encrypt_objects(
+        objs, enc_extra = _encrypt_objects(
             objs, encrypt, random.Random(int(enc_roll * (1 << 53)))
         )
+        trailer_extra += enc_extra
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0] * (len(objs) + 1)
     for i, body in enumerate(objs, start=1):
@@ -610,7 +730,7 @@ def make_pdf(
     return bytes(out)
 
 
-def _assemble_objstm(objs: List[bytes], catalog_num: int) -> bytes:
+def _assemble_objstm(objs: List[bytes], catalog_num: int, info_num: int = 0) -> bytes:
     """PDF 1.5 compressed layout: non-stream objects packed into one
     FlateDecode /ObjStm (original numbering preserved so inter-object refs
     hold); stream objects stay top-level; the trailer dict rides the
@@ -669,10 +789,11 @@ def _assemble_objstm(objs: List[bytes], catalog_num: int) -> bytes:
         raw += bytes([2]) + bytes((row[j] - prior[j]) & 0xFF for j in range(rowlen))
         prior = row
     xdata = zlib.compress(bytes(raw))
+    info_tok = b" /Info %d 0 R" % info_num if info_num else b""
     xref = (
-        b"<< /Type /XRef /Size %d /Root %d 0 R /W [1 4 2] /Index [0 %d] "
+        b"<< /Type /XRef /Size %d /Root %d 0 R%s /W [1 4 2] /Index [0 %d] "
         b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >> "
-        b"/Length %d >>\nstream\n" % (size, catalog_num, size, len(xdata))
+        b"/Length %d >>\nstream\n" % (size, catalog_num, info_tok, size, len(xdata))
         + xdata
         + b"\nendstream"
     )

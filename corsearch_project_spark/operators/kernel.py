@@ -313,3 +313,94 @@ def run_dual_kernel(pages: DataFrame, rules_bc) -> DataFrame:
 
     inp = pages.select(*KERNEL_INPUT_COLS)
     return inp.mapInArrow(make_dual_kernel_arrow(rules_bc), schema=DUAL_KERNEL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PDF document-assets kernel (opt-in): /Info metadata + link URIs + outline
+# ---------------------------------------------------------------------------
+
+def make_assets_kernel_arrow():
+    """Arrow kernel for ``pdfx.extract_pdf_assets``: (url, html) batches in,
+    PDF_ASSETS_SCHEMA batches out. Total over its input — parse failures and
+    encrypted docs emit the deterministic empty shape, never raise — but the
+    caller is expected to have pre-filtered to PDF rows JVM-side (see
+    ``run_pdf_assets_kernel``) so non-PDF bytes never cross the boundary."""
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            pa.field("url", pa.string()),
+            pa.field("title", pa.string()),
+            pa.field("author", pa.string()),
+            pa.field("subject", pa.string()),
+            pa.field("producer", pa.string()),
+            pa.field("created", pa.string()),
+            pa.field(
+                "links",
+                pa.list_(
+                    pa.struct(
+                        [pa.field("page", pa.int32()), pa.field("uri", pa.string())]
+                    )
+                ),
+            ),
+            pa.field(
+                "outline",
+                pa.list_(
+                    pa.struct(
+                        [pa.field("depth", pa.int32()), pa.field("title", pa.string())]
+                    )
+                ),
+            ),
+        ]
+    )
+
+    def kernel(batches):
+        from corsearch_project_spark.webextract.pdfx import extract_pdf_assets
+        from corsearch_project_spark.webextract.sniff import sniff_kind
+
+        for rb in batches:
+            names = rb.schema.names
+            urls = rb.column(names.index("url")).to_pylist()
+            datas = rb.column(names.index("html")).to_pylist()
+            cols = {name: [] for name in out_schema.names}
+            for url, data in zip(urls, datas):
+                data = data if data is not None else b""
+                if sniff_kind(data) != "pdf":
+                    continue  # loose JVM pre-filter false positive
+                a = extract_pdf_assets(data)
+                cols["url"].append(url)
+                for k in ("title", "author", "subject", "producer", "created"):
+                    cols[k].append(a[k])
+                cols["links"].append(
+                    [{"page": int(p), "uri": u} for (p, u) in a["links"]]
+                )
+                cols["outline"].append(
+                    [{"depth": int(d), "title": t} for (d, t) in a["outline"]]
+                )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], type=f.type) for f in out_schema],
+                schema=out_schema,
+            )
+
+    return kernel
+
+
+def run_pdf_assets_kernel(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) -> PDF_ASSETS_SCHEMA rows for PDF documents.
+
+    The PDF pre-filter runs JVM-side on the first KiB of the binary column
+    (``contains(substring(html,1,1024), X'255044462D')`` — the same
+    leading-junk tolerance as ``sniff.sniff_kind``), so at crawl mix only
+    the ~12% PDF share of bytes crosses the Arrow boundary; Parquet scans
+    prune every other column. The filter is deliberately a superset of
+    ``sniff_kind``'s PDF rule; the kernel re-sniffs and DROPS the rare
+    false positive (an HTML page quoting "%PDF-"), so the assets table
+    holds exactly the sniffed-PDF rows."""
+    from pyspark.sql import functions as F
+
+    from corsearch_project_spark.sources.schemas import PDF_ASSETS_SCHEMA
+
+    inp = pages.select("url", "html").where(
+        F.expr("contains(substring(html, 1, 1024), X'255044462D')")
+    )
+    return inp.mapInArrow(make_assets_kernel_arrow(), schema=PDF_ASSETS_SCHEMA)

@@ -74,3 +74,46 @@ DUAL_KERNEL_SCHEMA = T.StructType(
         T.StructField("md_sha256", T.StringType(), False),
     ]
 )
+
+
+# PDF document-assets kernel (opt-in --with-pdf-assets): catalog-level
+# metadata the extraction tier emits BESIDE body text — /Info fields, link
+# annotation URIs (the PDF analogue of <a href>, feeding the same
+# host-graph/frontier relations), and the flattened /Outlines bookmark
+# tree. Its own table, not extra kernel columns: only ~12% of crawl rows
+# are PDFs, so a dedicated relation keyed by url stays dense while the
+# main extracted table stays narrow.
+PDF_ASSETS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("author", T.StringType(), True),
+        T.StructField("subject", T.StringType(), True),
+        T.StructField("producer", T.StringType(), True),
+        T.StructField("created", T.StringType(), True),
+        T.StructField(
+            "links",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("page", T.IntegerType(), False),
+                        T.StructField("uri", T.StringType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+        T.StructField(
+            "outline",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("depth", T.IntegerType(), False),
+                        T.StructField("title", T.StringType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+    ]
+)

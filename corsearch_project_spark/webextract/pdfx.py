@@ -1258,3 +1258,173 @@ def extract_pdf(data: bytes, rule: Rule = DEFAULT_RULE):
         text_parts.append(btxt)
         pos += len(btxt) + 1  # joiner
     return "\n".join(text_parts), spans
+
+
+# ---------------------------------------------------------------------------
+# Document assets: /Info metadata, link annotations, outline (bookmarks)
+# ---------------------------------------------------------------------------
+# The extraction tier's sibling outputs (SURVEY.md §2 E23): beyond body
+# text, a crawl pipeline wants the document-level metadata PDF writers
+# embed (the /Info dictionary), the outbound link targets carried by
+# /Subtype /Link annotations (the PDF analogue of <a href> — the link
+# discovery channel for documents, feeding the same host-graph/frontier
+# relations HTML anchors do), and the /Outlines bookmark tree (the
+# document's own table of contents — a structure signal body text loses).
+#
+# Policy for encrypted documents: strings in encrypted PDFs are themselves
+# ciphertext (ISO 32000-1 §7.6.2; /StrF governs them under /V 4+). Body
+# text decryption is stream-scoped and implemented (pdfcrypt); string-level
+# decryption needs the *containing indirect object's* number for the
+# per-object key, which the recovery-oriented scan does not track per
+# nested value. Assets extraction therefore SKIPS encrypted documents
+# deterministically (same skip-don't-raise stance as extract_pdf's
+# unsupported-handler branch): emitting undecrypted metadata strings would
+# be ciphertext noise in a catalog.
+
+_PDF_DATE_RE = re.compile(
+    rb"^D:(\d{4})(\d{2})?(\d{2})?(\d{2})?(\d{2})?(\d{2})?"
+    rb"(?:([+\-Z])(?:(\d{2})'?(\d{2})?'?)?)?"
+)
+
+
+def _pdf_text_string(b: object) -> Optional[str]:
+    """PDF text-string bytes -> str per ISO 32000-1 §7.9.2.2: UTF-16BE with
+    BOM, UTF-8 with BOM (PDF 2.0), else PDFDocEncoding (decoded here as
+    latin-1 — identical over the printable range fixtures and real crawl
+    metadata use; the 8 PDFDocEncoding-specific punctuation codes in
+    0x18–0x1F/0x80–0x9F are out of scope and decode to their latin-1
+    cognates deterministically)."""
+    if not isinstance(b, bytes):
+        return None
+    if b.startswith(b"\xfe\xff"):
+        return b[2:].decode("utf-16-be", errors="replace")
+    if b.startswith(b"\xef\xbb\xbf"):
+        return b[3:].decode("utf-8", errors="replace")
+    return b.decode("latin-1", errors="replace")
+
+
+def _parse_pdf_date(b: object) -> Optional[str]:
+    """``D:YYYYMMDDHHmmSS(+|-|Z)HH'mm'`` -> ISO-8601 string (date-only
+    fields default per the spec: month/day to 01, time to 00). Returns
+    None on anything that does not start with a plausible D:YYYY."""
+    if not isinstance(b, bytes):
+        return None
+    m = _PDF_DATE_RE.match(b.strip())
+    if not m:
+        return None
+    y = int(m.group(1))
+    if not (1000 <= y <= 9999):
+        return None
+    mo = int(m.group(2) or 1)
+    d = int(m.group(3) or 1)
+    hh = int(m.group(4) or 0)
+    mi = int(m.group(5) or 0)
+    ss = int(m.group(6) or 0)
+    if not (1 <= mo <= 12 and 1 <= d <= 31 and hh < 24 and mi < 60 and ss < 61):
+        return None
+    iso = f"{y:04d}-{mo:02d}-{d:02d}T{hh:02d}:{mi:02d}:{ss:02d}"
+    tz = m.group(7)
+    if tz == b"Z":
+        iso += "+00:00"
+    elif tz in (b"+", b"-"):
+        iso += f"{tz.decode()}{int(m.group(8) or 0):02d}:{int(m.group(9) or 0):02d}"
+    return iso
+
+
+def pdf_info(doc: PdfDoc) -> dict:
+    """Trailer /Info dictionary -> {title, author, subject, producer,
+    created}; absent or malformed fields are None."""
+    info = doc.resolve(doc.trailer.get("/Info"))
+    if isinstance(info, StreamObj):
+        info = info.d
+    if not isinstance(info, dict):
+        return {"title": None, "author": None, "subject": None,
+                "producer": None, "created": None}
+    return {
+        "title": _pdf_text_string(doc.resolve(info.get("/Title"))),
+        "author": _pdf_text_string(doc.resolve(info.get("/Author"))),
+        "subject": _pdf_text_string(doc.resolve(info.get("/Subject"))),
+        "producer": _pdf_text_string(doc.resolve(info.get("/Producer"))),
+        "created": _parse_pdf_date(doc.resolve(info.get("/CreationDate"))),
+    }
+
+
+def pdf_links(doc: PdfDoc, max_links: int = 512) -> List[Tuple[int, str]]:
+    """(page_number, uri) for every /Subtype /Link annotation whose action
+    is /S /URI, in page order then /Annots array order. ``max_links`` caps
+    adversarial annotation floods (crawl-safety bound, like the DOM depth
+    cap)."""
+    out: List[Tuple[int, str]] = []
+    for pageno, page in enumerate(doc.pages(), start=1):
+        annots = doc.resolve(page.get("/Annots"))
+        if not isinstance(annots, list):
+            continue
+        for a in annots:
+            a = doc.resolve(a)
+            if not isinstance(a, dict) or a.get("/Subtype") != "/Link":
+                continue
+            act = doc.resolve(a.get("/A"))
+            if not isinstance(act, dict) or act.get("/S") != "/URI":
+                continue
+            uri = _pdf_text_string(doc.resolve(act.get("/URI")))
+            if uri:
+                out.append((pageno, uri))
+                if len(out) >= max_links:
+                    return out
+    return out
+
+
+def pdf_outline(doc: PdfDoc, max_items: int = 256) -> List[Tuple[int, str]]:
+    """Flattened /Outlines bookmark tree as (depth, title) in document
+    order (pre-order walk over /First → /Next chains). Cycle-safe: each
+    outline object is visited at most once; depth capped at 32."""
+    root = doc.resolve(doc.trailer.get("/Root"))
+    if not isinstance(root, dict):
+        return []
+    out: List[Tuple[int, str]] = []
+    seen: set = set()
+
+    def walk(ref, depth: int) -> None:
+        while ref is not None and len(out) < max_items and depth <= 32:
+            key = ref[0] if isinstance(ref, Ref) else id(ref)
+            if key in seen:
+                return
+            seen.add(key)
+            node = doc.resolve(ref)
+            if not isinstance(node, dict):
+                return
+            title = _pdf_text_string(doc.resolve(node.get("/Title")))
+            if title is not None:
+                out.append((depth, title))
+            if node.get("/First") is not None:
+                walk(node.get("/First"), depth + 1)
+            ref = node.get("/Next")
+
+    outlines = doc.resolve(root.get("/Outlines"))
+    if isinstance(outlines, dict):
+        walk(outlines.get("/First"), 0)
+    return out
+
+
+def extract_pdf_assets(data: bytes) -> dict:
+    """PDF bytes -> document assets for the catalog table: Info metadata +
+    link-annotation URIs + flattened outline. Encrypted documents and parse
+    failures yield the deterministic empty shape (never raises) so the
+    Arrow kernel's output arrays stay total over the input batch."""
+    empty = {"title": None, "author": None, "subject": None, "producer": None,
+             "created": None, "links": [], "outline": []}
+    try:
+        doc = PdfDoc(data)
+    except Exception:
+        return empty
+    if getattr(doc, "encrypted_unsupported", False) or getattr(
+        doc, "crypt_key", None
+    ):
+        return empty
+    try:
+        out = dict(pdf_info(doc))
+        out["links"] = pdf_links(doc)
+        out["outline"] = pdf_outline(doc)
+        return out
+    except Exception:
+        return empty

@@ -1,0 +1,193 @@
+"""PDF document assets (SURVEY.md §2 E23): /Info metadata, /Subtype /Link
+URI annotations, /Outlines bookmarks.
+
+Parity model: the fixture writer (gen_pages.make_pdf) returns its own
+ground truth via ``_assets_out``; the reader must reproduce it exactly
+across every file-layout/font arm. Encrypted docs are the documented skip
+(string decryption is object-scoped; pdfx.extract_pdf_assets policy)."""
+
+import random
+
+import pytest
+
+from corsearch_project_spark.fixtures.gen_pages import gen_pages, make_pdf
+from corsearch_project_spark.webextract.pdfx import (
+    _parse_pdf_date,
+    _pdf_text_string,
+    extract_pdf,
+    extract_pdf_assets,
+)
+
+
+def _roundtrip(seed: int, **force) -> tuple:
+    out: list = []
+    data = make_pdf(random.Random(seed), _assets_out=out, **force)
+    return data, out[0]
+
+
+@pytest.mark.parametrize("layout", ["classic", "objstm"])
+def test_assets_roundtrip_both_layouts(layout):
+    hits = {"title": 0, "links": 0, "outline": 0, "utf16": 0}
+    for seed in range(60):
+        data, want = _roundtrip(seed, force_layout=layout)
+        got = extract_pdf_assets(data)
+        for k in ("title", "author", "subject", "producer", "created"):
+            assert got[k] == want[k], (seed, k, got[k], want[k])
+        assert got["links"] == want["links"], seed
+        assert got["outline"] == want["outline"], seed
+        if want["title"]:
+            hits["title"] += 1
+        if want["links"]:
+            hits["links"] += 1
+        if want["outline"]:
+            hits["outline"] += 1
+    # all three arms must actually fire in the sweep
+    assert min(hits["title"], hits["links"], hits["outline"]) >= 5
+
+
+@pytest.mark.parametrize("font", ["winansi", "tounicode", "type0", "diffs"])
+def test_assets_font_arm_invariant(font):
+    # asset material rides the derived stream, so a forced font arm never
+    # changes it — and the reader finds it regardless of font machinery
+    data, want = _roundtrip(7, force_font=font)
+    got = extract_pdf_assets(data)
+    assert got["title"] == want["title"]
+    assert got["links"] == want["links"]
+
+
+@pytest.mark.parametrize("enc", ["rc4", "aes", "aes256"])
+def test_encrypted_docs_skip_assets_but_extract_text(enc):
+    found_nonempty_plain = False
+    for seed in range(20):
+        data, want = _roundtrip(seed, force_encrypt=enc)
+        assert want["title"] is None and not want["links"] and not want["outline"]
+        got = extract_pdf_assets(data)
+        assert got["title"] is None and got["links"] == [] and got["outline"] == []
+        # the SAME seed unencrypted carries assets (policy skip, not absence)
+        plain_data, plain_want = _roundtrip(seed, force_encrypt="none")
+        if plain_want["title"]:
+            found_nonempty_plain = True
+            assert extract_pdf_assets(plain_data)["title"] == plain_want["title"]
+        # body text still decrypts byte-identically
+        assert extract_pdf(data)[0] == extract_pdf(plain_data)[0]
+    assert found_nonempty_plain
+
+
+def test_utf16_title_arm_fires_and_decodes():
+    seen = 0
+    for seed in range(200):
+        data, want = _roundtrip(seed)
+        if want["title"] is None:
+            continue
+        raw = data if b"/Title <" in data else None
+        if raw is not None:
+            seen += 1
+            assert extract_pdf_assets(data)["title"] == want["title"]
+    assert seen >= 5  # the 25% UTF-16BE band is exercised
+
+
+def test_pdf_date_parser():
+    assert _parse_pdf_date(b"D:20240102150405Z") == "2024-01-02T15:04:05+00:00"
+    assert _parse_pdf_date(b"D:20240102150405+02'30'") == "2024-01-02T15:04:05+02:30"
+    assert _parse_pdf_date(b"D:20240102150405-0700") == "2024-01-02T15:04:05-07:00"
+    assert _parse_pdf_date(b"D:2024") == "2024-01-01T00:00:00"
+    assert _parse_pdf_date(b"D:202403") == "2024-03-01T00:00:00"
+    assert _parse_pdf_date(b"garbage") is None
+    assert _parse_pdf_date(b"D:20241399000000") is None  # month 13
+    assert _parse_pdf_date(None) is None
+
+
+def test_pdf_text_string_decodings():
+    assert _pdf_text_string(b"\xfe\xff\x00H\x00i") == "Hi"
+    assert _pdf_text_string(b"\xef\xbb\xbfcaf\xc3\xa9") == "caf\xe9"
+    assert _pdf_text_string(b"plain") == "plain"
+    assert _pdf_text_string(None) is None
+
+
+def test_assets_never_raise_on_garbage():
+    for junk in (b"", b"%PDF-1.4 truncated", b"\x00" * 64, b"<html>%PDF-</html>"):
+        a = extract_pdf_assets(junk)
+        assert a["links"] == [] and a["outline"] == []
+
+
+def test_spark_assets_kernel_matches_single_process(spark):
+    from corsearch_project_spark.fixtures.gen_pages import pages_to_pandas
+    from corsearch_project_spark.operators.kernel import run_pdf_assets_kernel
+    from corsearch_project_spark.sources.schemas import PAGES_SCHEMA
+    from corsearch_project_spark.webextract.sniff import sniff_kind
+
+    rows = gen_pages(150, seed=1212, skew="mild", dup_frac=0.0)
+    pages = spark.createDataFrame(pages_to_pandas(rows), schema=PAGES_SCHEMA)
+    got = {
+        r["url"]: r.asDict(recursive=True)
+        for r in run_pdf_assets_kernel(pages).collect()
+    }
+    want_urls = {r["url"] for r in rows if sniff_kind(r["html"] or b"") == "pdf"}
+    assert set(got) == want_urls and len(want_urls) >= 10
+    for r in rows:
+        if r["url"] not in want_urls:
+            continue
+        a = extract_pdf_assets(r["html"])
+        g = got[r["url"]]
+        assert g["title"] == a["title"] and g["created"] == a["created"]
+        assert [(l["page"], l["uri"]) for l in g["links"]] == a["links"]
+        assert [(o["depth"], o["title"]) for o in g["outline"]] == a["outline"]
+
+    # plan gates: exactly one Python stage; binary pre-filter sits below it
+    plan = run_pdf_assets_kernel(pages)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInArrow") + plan.count("ArrowEvalPython") == 1
+
+
+def test_spark_assets_plan_filters_before_python(spark, tmp_path):
+    # over a parquet scan (not a constant-foldable local relation) the PDF
+    # pre-filter must appear as a JVM Filter BELOW the single Python stage,
+    # and the scan must prune to the two kernel input columns
+    from corsearch_project_spark.fixtures.gen_pages import pages_to_pandas
+    from corsearch_project_spark.operators.kernel import run_pdf_assets_kernel
+    from corsearch_project_spark.sources.schemas import PAGES_SCHEMA
+
+    rows = gen_pages(40, seed=77, skew="mild", dup_frac=0.0)
+    p = str(tmp_path / "pages.parquet")
+    spark.createDataFrame(pages_to_pandas(rows), schema=PAGES_SCHEMA).write.parquet(p)
+    df = run_pdf_assets_kernel(spark.read.schema(PAGES_SCHEMA).parquet(p))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInArrow") + plan.count("ArrowEvalPython") == 1
+    assert "Filter" in plan and plan.index("MapInArrow") < plan.index("Filter")
+    assert "ReadSchema" in plan and "warc_ts" not in plan.split("ReadSchema")[1]
+    assert df.count() >= 1
+
+
+def test_pipeline_with_pdf_assets_writes_catalog(spark, tmp_path):
+    import os
+
+    from corsearch_project_spark.fixtures.gen_pages import pages_to_pandas
+    from corsearch_project_spark.plans.extract_pipeline import (
+        ExtractConfig,
+        run_extract,
+    )
+    from corsearch_project_spark.webextract.sniff import sniff_kind
+
+    rows = gen_pages(120, seed=909, skew="mild", dup_frac=0.0)
+    inp = os.path.join(str(tmp_path), "pages")
+    spark.createDataFrame(pages_to_pandas(rows)).write.parquet(inp)
+    cfg = ExtractConfig(
+        input_path=inp,
+        output_path=os.path.join(str(tmp_path), "out"),
+        buckets=4,
+        with_pdf_assets=True,
+    )
+    report = run_extract(spark, cfg, None)
+    assert "pdf_assets" in report["phase_wall_s"]
+    assets = spark.read.parquet(cfg.pdf_assets_path)
+    got = {r["url"]: r for r in assets.collect()}
+    want = {
+        r["url"]: extract_pdf_assets(r["html"])
+        for r in rows
+        if sniff_kind(r["html"] or b"") == "pdf"
+    }
+    assert set(got) == set(want) and len(want) >= 5
+    for url, a in want.items():
+        assert got[url]["title"] == a["title"]
+        assert [(l["page"], l["uri"]) for l in got[url]["links"]] == a["links"]
+    # partitioned like the main table: bucket pruning works on the catalog
+    assert "url_bucket" in assets.columns
