@@ -29,6 +29,14 @@ from pyspark.sql import Column, DataFrame, functions as F
 # attrs would add alternations, not structure).
 HREF_PATTERN = r'href="([^"]*)"'
 HOST_PATTERN = r"^https?://([^/?#]+)"
+# Anchor-scoped variant for the EDGE relation: `<base href>`, `<link
+# href>` and hreflang alternates are attribute matches but not links a
+# reader can follow, so host_edges must not count them. Case-insensitive
+# ((?i) is common to Java regex and RE2, so the DuckDB twin matches).
+ANCHOR_HREF_PATTERN = r'(?i)<a\s[^>]*href="([^"]*)"'
+# First <base href> tag wins (HTML spec: only the first base element with
+# an href is honored); regexp_extract returns the first match.
+BASE_HREF_PATTERN = r'(?i)<base\s[^>]*href="([^"]*)"'
 
 
 def extract_hrefs(html: Column) -> Column:
@@ -41,25 +49,48 @@ def url_host(url: Column) -> Column:
     return F.lower(F.regexp_extract(url, HOST_PATTERN, 1))
 
 
+def extract_anchor_hrefs(html: Column) -> Column:
+    """href values of ``<a>`` elements only — array<string>, pure codegen.
+
+    The edge-relation extractor: unlike ``extract_hrefs`` (the bare
+    attribute sweep WAT metadata keeps, which also surfaces <link>/<base>
+    hrefs), this matches inside anchor tags, so stylesheet and base-URI
+    declarations never become graph edges."""
+    return F.regexp_extract_all(html, F.lit(ANCHOR_HREF_PATTERN), F.lit(1))
+
+
+def extract_base_host(html: Column) -> Column:
+    """Host of the page's first ``<base href>`` ('' if absent or the base
+    href is itself relative — the latter falls back to document-URL
+    resolution per the HTML spec, which at host granularity is the page's
+    own host)."""
+    return url_host(F.regexp_extract(html, BASE_HREF_PATTERN, 1))
+
+
 def host_edges(
     pages: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:
     """(src_host, dst_host, n_links) — the host-level edge relation.
 
-    Relative/unparseable hrefs resolve to the page's own host (browser
-    semantics for same-origin links), so every anchor contributes exactly
-    one edge and the relation is total.
+    Relative/unparseable hrefs resolve against the page's ``<base href>``
+    host when one is declared (browser semantics — mirror/CDN-hosted
+    pages use base to point relative links at the canonical host), else
+    to the page's own host, so every anchor contributes exactly one edge
+    and the relation is total. Only ``<a>`` hrefs count (see
+    ``extract_anchor_hrefs``).
     """
     src = url_host(F.col(url_col))
+    base = extract_base_host(F.col(html_col))
     links = pages.select(
         src.alias("src_host"),
-        F.explode(extract_hrefs(F.col(html_col))).alias("href"),
+        F.when(base == "", src).otherwise(base).alias("rel_base"),
+        F.explode(extract_anchor_hrefs(F.col(html_col))).alias("href"),
     )
     dst = url_host(F.col("href"))
     return (
         links.select(
             "src_host",
-            F.when(dst == "", F.col("src_host")).otherwise(dst).alias("dst_host"),
+            F.when(dst == "", F.col("rel_base")).otherwise(dst).alias("dst_host"),
         )
         .groupBy("src_host", "dst_host")
         .agg(F.count(F.lit(1)).alias("n_links"))

@@ -323,12 +323,20 @@ _SQL_SINK = (
 
 
 def _sql_page(external: bool = False) -> str:
+    # every 11th page declares a <base href> on a CDN host: its relative
+    # /about anchor must resolve there, not to the page's own host (the
+    # mirror/CDN-hosted-page shape host_edges honors)
     ext = f" || {_SQL_SINK}" if external else ""
     return f"""
         SELECT doc_id,
                'https://h' || CAST(doc_id % 37 AS VARCHAR)
                    || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
-               '<html><body><a href="/about">About</a>'
+               '<html>'
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN '<base href="https://cdn'
+                                || CAST(doc_id % 3 AS VARCHAR)
+                                || '.static-park.net/">' ELSE '' END
+                   || '<body><a href="/about">About</a>'
                    || {_SQL_ANCHOR.format(k=1)}
                    || {_SQL_ANCHOR.format(k=2)}
                    || CASE WHEN doc_id % 5 <> 0
@@ -343,15 +351,22 @@ _SQL_PAGE = _sql_page()
 
 def _sql_edges(page_sql: str) -> str:
     """The shared pages -> host-edge-relation CTE chain (lk, e0, edges)."""
+    base_expr = _SQL_HOST.format(
+        u="regexp_extract(html, '(?i)<base\\s[^>]*href=\"([^\"]*)\"', 1)"
+    )
     return f"""p AS ({page_sql}),
     lk AS (
         SELECT {_SQL_HOST.format(u='url')} AS src_host,
-               unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+               {base_expr} AS base_host,
+               unnest(regexp_extract_all(
+                   html, '(?i)<a\\s[^>]*href="([^"]*)"', 1)) AS href
         FROM p
     ),
     e0 AS (
         SELECT src_host,
-               CASE WHEN {_SQL_HOST.format(u='href')} = '' THEN src_host
+               CASE WHEN {_SQL_HOST.format(u='href')} = ''
+                    THEN (CASE WHEN base_host <> '' THEN base_host
+                               ELSE src_host END)
                     ELSE {_SQL_HOST.format(u='href')} END AS dst_host
         FROM lk
     ),
@@ -374,7 +389,16 @@ def _pages_df(spark, sf_dir, external: bool = False):
         )
 
     body = [
-        F.lit('<html><body><a href="/about">About</a>'),
+        F.lit("<html>"),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit('<base href="https://cdn'),
+                (did % 3).cast("string"),
+                F.lit('.static-park.net/">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit('<body><a href="/about">About</a>'),
         anchor(1),
         anchor(2),
         F.when(did % 5 != 0, anchor(3)).otherwise(F.lit("")),

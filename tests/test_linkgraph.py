@@ -525,3 +525,47 @@ def test_link_spam_features_branches(spark):
     # 'a' links only to organic, reciprocated; 'farm2' fully reciprocated
     assert got["a"]["recip_permille"] == 1000
     assert got["farm2"]["recip_permille"] == 1000
+
+
+def test_base_href_resolution(spark):
+    """<base href> redirects RELATIVE anchors to the declared host;
+    absolute anchors, <link>/<base> hrefs themselves never become edges."""
+    rows = [
+        # relative anchor + base tag -> edge a.com -> cdn.x.net
+        ("https://a.com/1",
+         '<base href="https://cdn.x.net/r/"><a href="/rel">s</a>'
+         '<a href="https://b.com/y">abs</a>'),
+        # base tag present but anchor absolute: base is ignored
+        ("https://a.com/2",
+         '<BASE HREF="https://cdn.x.net/"><A HREF="https://b.com/z">up</A>'),
+        # relative base href: falls back to the page's own host
+        ("https://a.com/3", '<base href="/sub/"><a href="/rel">s</a>'),
+        # no base: relative anchor resolves to own host; the <link> href
+        # (stylesheet) must NOT appear as an edge
+        ("https://a.com/4",
+         '<link href="https://assets.b.com/app.css"><a href="/rel">s</a>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in L.host_edges(df).collect()
+    }
+    assert got == {
+        ("a.com", "cdn.x.net"): 1,   # row 1 relative via base
+        ("a.com", "b.com"): 2,       # rows 1+2 absolute anchors
+        ("a.com", "a.com"): 2,       # rows 3+4 relative, own host
+    }
+
+
+def test_extract_anchor_vs_bare_hrefs(spark):
+    html = ('<base href="https://cdn.c.net/"><link href="https://s.c.net/a.css">'
+            '<a class="x" href="https://a.com/1">A</a>')
+    df = spark.createDataFrame([(html,)], "html string")
+    row = df.select(
+        L.extract_anchor_hrefs(F.col("html")).alias("a"),
+        L.extract_hrefs(F.col("html")).alias("all"),
+        L.extract_base_host(F.col("html")).alias("b"),
+    ).head()
+    assert row["a"] == ["https://a.com/1"]
+    assert len(row["all"]) == 3  # WAT's bare sweep keeps everything
+    assert row["b"] == "cdn.c.net"
