@@ -73,7 +73,12 @@ def compact_extracted(
             .drop("__z")
         )
     else:
-        df = df.sortWithinPartitions("url")
+        # Same url_bucket-leads rule as the zorder branch and io.py's
+        # write_extracted: a bare url sort would be displaced by the
+        # writer's own partition-column sort whenever a task holds more
+        # than one bucket, leaving per-file url order (and the S15
+        # manifest's min/max tightness) to sort-stability luck.
+        df = df.sortWithinPartitions("url_bucket", "url")
     (
         df.write.mode("overwrite")
         .option("maxRecordsPerFile", target_records_per_file)

@@ -449,7 +449,11 @@ def ivf_topk(
 
 
 def bitext_margin_pairs(
-    emb: DataFrame, k: int = 4, id_col: str = "vec_id", dim: int | None = None
+    emb: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Margin-based mutual-nearest-neighbor pair mining across two vector
     pools — the CCMatrix/WikiMatrix bitext-mining criterion (Artetxe &
@@ -486,19 +490,31 @@ def bitext_margin_pairs(
     b = e.where(F.col("label") % 2 == 1).select(
         F.col(id_col).alias("dst"), F.col("qe").alias("qb"), F.col("qn").alias("nb")
     )
-    # The scored pair relation feeds BOTH rank directions below; persist it
-    # so the cross join and the cosine evaluate once per pair, not once per
-    # direction (same move as minhash/lsh signature reuse). dim defaults to
-    # None — the persisted relation is evaluated ONCE, so the HOF cosine's
-    # interpretation cost is linear in pairs while the 64-term expansion
-    # pays ~7 s of Janino compile (measured: cold 9.2 s vs 1.8 s at sf0.01).
+    # The scored pair relation feeds BOTH rank directions below;
+    # localCheckpoint it so the cross join and the cosine evaluate once per
+    # pair, not once per direction (same move as minhash/lsh signature
+    # reuse). localCheckpoint, NOT persist: a SQL-level persist is pinned
+    # in the CacheManager for the session's lifetime (the largest
+    # intermediate of this query leaking across a whole bench sweep),
+    # while checkpoint blocks are released by the ContextCleaner once the
+    # result is unreferenced — the same lifetime pattern pagerank/HITS use
+    # per-round. dim defaults to None — the materialized relation is
+    # evaluated ONCE, so the HOF cosine's interpretation cost is linear in
+    # pairs while the 64-term expansion pays ~7 s of Janino compile
+    # (measured: cold 9.2 s vs 1.8 s at sf0.01).
+    # (checkpoint=False is the plan-inspection seam: the pair-generation
+    # plan — broadcast small pool, no Python stage — is gated by tests on
+    # the un-truncated form, since a checkpoint renders as Scan
+    # ExistingRDD and hides it.)
     pairs = a.crossJoin(F.broadcast(b)).select(
         "src",
         "dst",
         cosine_qn(
             F.col("qa"), F.col("qb"), F.col("na"), F.col("nb"), dim=dim
         ).alias("cos"),
-    ).persist()
+    )
+    if checkpoint:
+        pairs = pairs.localCheckpoint()
     from pyspark.sql import Window
 
     cos_d = F.col("cos").cast("decimal(18,6)")

@@ -145,11 +145,22 @@ class _Walker:
                 # subtree can be wrapped on return. If a block boundary
                 # inside flushed/replaced cur (degenerate markup like
                 # <a><div>), skip wrapping — the text arm split it too.
+                # The flush signal is len(self.pairs): `cur is before` alone
+                # is wrong when the inline element OPENS the block (before
+                # is None, walk creates the pair) — the common case of a
+                # paragraph/heading/list item starting with a link or
+                # emphasis, which must still be decorated.
                 before = cur
+                npairs = len(self.pairs)
                 mark = len(cur.md) if cur is not None else 0
                 cur = self.walk(child, cur, hint, is_keep,
                                 in_link or tag == "a")
-                if cur is not None and cur is before and len(cur.md) > mark:
+                if (
+                    cur is not None
+                    and len(self.pairs) == npairs
+                    and (cur is before or before is None)
+                    and len(cur.md) > mark
+                ):
                     inner = normalize_ws(" ".join(cur.md[mark:]))
                     if inner:
                         wrapped = None

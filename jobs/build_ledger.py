@@ -52,7 +52,25 @@ def build_ledger(
     keys = spark.read.parquet(src).select(F.col(column).alias("item"))
     n_keys = keys.count()
     bl = bloom_build(keys, n_bits=n_bits, n_hashes=n_hashes)
+    meta_path = os.path.join(output, "_meta.json")
     if increment:
+        # Shape guard: bit_or-merging filters built under different
+        # (n_bits, n_hashes) silently breaks the zero-false-negative
+        # contract (word index spaces and hash positions disagree), so the
+        # persisted shape must match the requested one. The _ prefix keeps
+        # the sidecar out of Spark's parquet file discovery. Ledgers
+        # written before the sidecar existed merge as before and gain one.
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if (meta.get("n_bits"), meta.get("n_hashes")) != (n_bits, n_hashes):
+                raise ValueError(
+                    f"ledger shape mismatch: persisted (n_bits={meta.get('n_bits')}, "
+                    f"n_hashes={meta.get('n_hashes')}) vs requested "
+                    f"(n_bits={n_bits}, n_hashes={n_hashes}) — merging "
+                    "incompatible Bloom filters would claim false for "
+                    "member urls; rebuild instead"
+                )
         prior = spark.read.parquet(output)
         bl = (
             bl.unionByName(prior)
@@ -67,6 +85,8 @@ def build_ledger(
     spark.read.parquet(staged).coalesce(1).write.mode("overwrite").parquet(
         output
     )
+    with open(meta_path, "w") as f:
+        json.dump({"n_bits": n_bits, "n_hashes": n_hashes, "column": column}, f)
     final = spark.read.parquet(output)
     bits_set = final.select(
         F.sum(F.bit_count(F.col("bits"))).cast("long").alias("b")

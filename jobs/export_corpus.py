@@ -62,6 +62,18 @@ def export_corpus(
         "url", "n_tokens", "quality", "pred_lang", "split"
     )
     kept = ext.join(cur, "url")
+    if text_col != "extracted_text" and bpe_merges == 0:
+        # curated n_tokens was counted over the PLAIN text arm; markdown
+        # carries extra whitespace tokens ('#'/'-'/'>' markers), so pack
+        # budgets must recount over the arm actually shipped or bins
+        # systematically exceed the budget in real tokens. (The BPE path
+        # below already recounts over the aliased column.)
+        kept = kept.drop("n_tokens").withColumn(
+            "n_tokens",
+            F.when(F.trim(F.col("extracted_text")) == "", F.lit(0)).otherwise(
+                F.size(F.split(F.trim(F.col("extracted_text")), r"\s+"))
+            ).cast("long"),
+        )
     bpe_report = None
     if bpe_merges > 0:
         from corsearch_project_spark.operators import bpe as B

@@ -383,6 +383,23 @@ def test_export_corpus_markdown_arm(spark, tmp_path):
     # at least some shipped docs actually carry markdown decoration
     dec = df.where(F.col("extracted_text").rlike(r"\]\(|^# |\n- ")).count()
     assert dec > 0
+    # token budgets count the MARKDOWN arm's tokens: every shard row's
+    # n_tokens equals the whitespace token count of the shipped text, and
+    # bins respect the budget in those tokens (+ one straddling doc)
+    bad = df.where(
+        F.col("n_tokens")
+        != F.when(F.trim("extracted_text") == "", F.lit(0)).otherwise(
+            F.size(F.split(F.trim("extracted_text"), r"\s+"))
+        ).cast("long")
+    ).count()
+    assert bad == 0
+    over = (
+        df.groupBy("split", "url_bucket", "bin_id")
+        .agg(F.sum("n_tokens").alias("s"), F.max("n_tokens").alias("m"))
+        .where((F.col("s") > 256) & (F.col("s") - F.col("m") > 256))
+        .count()
+    )
+    assert over == 0
 
 
 def test_curation_cascade_and_ppl_gates(spark, tmp_path):

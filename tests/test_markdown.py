@@ -98,14 +98,29 @@ def test_pre_renders_fenced():
     assert "```\nx = 1; y = 2\n```" in md
 
 
-def test_degenerate_block_inside_anchor_splits_not_wraps():
+def test_degenerate_block_inside_anchor_wraps_own_content_only():
     md, _ = extract_markdown(
         f'<p><a href="https://x.example">start text {LONG}'
         f"<div>divided content {LONG}</div></a></p>", R
     )
-    # the div boundary flushed the block mid-link: no wrap, both texts kept
+    # build_dom auto-closes the anchor at the <div> (a block is never a
+    # child of an inline node), so the link wraps exactly its own text and
+    # the div renders as a separate, unwrapped block. (The pre-fix walker
+    # skipped the wrap entirely whenever the inline element OPENED its
+    # block — dropping link targets from every block-initial anchor.)
     assert "divided content" in md and "start text" in md
-    assert "](https://x.example)" not in md
+    first, rest = md.split("\n\n", 1)
+    assert first.startswith("[start text") and first.endswith("](https://x.example)")
+    assert "](" not in rest
+
+
+def test_block_initial_inline_elements_keep_decoration():
+    md, _ = extract_markdown(
+        f'<p><a href="https://x.example/d">the docs</a> {LONG}</p>'
+        f"<h2><b>Bold lead</b> heading tail</h2>", R
+    )
+    assert "[the docs](https://x.example/d)" in md
+    assert "**Bold lead**" in md
 
 
 def test_plain_paragraphs_equal_text_arm():

@@ -170,13 +170,21 @@ def test_bitext_non_mutual_pair_excluded(spark):
 
 
 def test_bitext_plan_broadcasts_small_pool(spark):
+    # checkpoint=False exposes the pair-generation plan (the default
+    # localCheckpoint renders as Scan ExistingRDD and would hide it)
     out = bitext_margin_pairs(
-        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet"), checkpoint=False
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan, plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"):
         assert marker not in plan, plan
+    # default path: checkpointed pairs, same result, cache released with
+    # the result's lifetime (no CacheManager pin) — verify equivalence
+    chk = bitext_margin_pairs(
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    )
+    assert sorted(map(tuple, chk.collect())) == sorted(map(tuple, out.collect()))
 
 
 # ------------------------------------------------------- DSIR weights

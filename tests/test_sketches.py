@@ -250,6 +250,21 @@ def test_build_ledger_cli_full_then_increment(spark, tmp_path):
     claims = SK.bloom_probe(allk, got, n_bits=2048, n_hashes=3)
     assert claims.where(~F.col("claimed")).count() == 0
 
+    # shape guard: an increment under different (n_bits, n_hashes) must be
+    # rejected — merging incompatible filters silently yields false
+    # negatives, the one failure mode a Bloom ledger must never have
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="shape mismatch"):
+        build_ledger(spark, a, out, n_bits=4096, n_hashes=3, increment=b)
+    with _pytest.raises(ValueError, match="shape mismatch"):
+        build_ledger(spark, a, out, n_bits=2048, n_hashes=5, increment=b)
+    # and the sidecar rides along: a fresh full build overwrites it
+    import json as _json
+
+    with open(os.path.join(out, "_meta.json")) as f:
+        assert _json.load(f)["n_bits"] == 2048
+
 
 # ---------------------------------------------------- HyperLogLog
 
