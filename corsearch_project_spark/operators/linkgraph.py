@@ -136,8 +136,11 @@ def host_edges_rel(
     endorsement-gated graphs should weight by ``n_followed``, while
     crawl-discovery keeps ``n_links`` — one relation serves both by
     carrying both counts through the same single partial-agg shuffle as
-    ``host_edges``. Relative hrefs resolve to the page's own host (same
-    convention), so totals reconcile exactly with ``host_edges``.
+    ``host_edges``. Relative hrefs resolve to the page's own host; unlike
+    ``host_edges`` this variant does NOT honor ``<base href>`` (its
+    full-tag pull exists for the rel attribute, and the nofollow censuses
+    it feeds are per-source-host, where base redirection is immaterial) —
+    so totals reconcile with ``host_edges`` only on base-less corpora.
     """
     src = url_host(F.col(url_col))
     links = pages.select(
@@ -1025,4 +1028,37 @@ def link_spam_features(edges: DataFrame) -> DataFrame:
             "CASE WHEN out_hosts > 0 THEN (n_recip * 1000) div out_hosts "
             "ELSE 0 END"
         ).cast("long").alias("recip_permille"),
+    )
+
+
+def pdf_link_edges(assets: DataFrame) -> DataFrame:
+    """(src_host, dst_host, n_links) from the PDF assets catalog — the
+    document arm of the link graph.
+
+    ``assets`` is the ``pdf_assets`` table the extraction pipeline writes
+    with ``--with-pdf-assets`` (url, ..., links: array<struct<page,uri>>):
+    /Subtype /Link annotation targets are the ``<a href>`` of documents,
+    so they feed the SAME edge relation HTML anchors do. URI actions in
+    PDFs are absolute by spec intent; the rare relative target resolves to
+    the document's own host, mirroring ``host_edges``. Shape: explode →
+    (src, dst) partial agg — one shuffle, identical to the HTML arm, and
+    the two relations union by name:
+
+        edges = host_edges(pages).unionByName(pdf_link_edges(assets))
+                .groupBy("src_host", "dst_host").agg(F.sum("n_links")...)
+    """
+    src = url_host(F.col("url"))
+    links = assets.select(
+        src.alias("src_host"),
+        F.explode(F.col("links")).alias("l"),
+    ).select("src_host", url_host(F.col("l.uri")).alias("dst"))
+    return (
+        links.select(
+            "src_host",
+            F.when(F.col("dst") == "", F.col("src_host"))
+            .otherwise(F.col("dst"))
+            .alias("dst_host"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
     )

@@ -191,3 +191,32 @@ def test_pipeline_with_pdf_assets_writes_catalog(spark, tmp_path):
         assert [(l["page"], l["uri"]) for l in got[url]["links"]] == a["links"]
     # partitioned like the main table: bucket pruning works on the catalog
     assert "url_bucket" in assets.columns
+
+
+def test_pdf_link_edges_feed_the_host_graph(spark):
+    from corsearch_project_spark.operators.kernel import run_pdf_assets_kernel
+    from corsearch_project_spark.operators.linkgraph import (
+        host_edges,
+        pdf_link_edges,
+    )
+    from corsearch_project_spark.fixtures.gen_pages import pages_to_pandas
+    from corsearch_project_spark.sources.schemas import PAGES_SCHEMA
+
+    rows = gen_pages(200, seed=333, skew="mild", dup_frac=0.0)
+    pages = spark.createDataFrame(pages_to_pandas(rows), schema=PAGES_SCHEMA)
+    assets = run_pdf_assets_kernel(pages)
+    edges = pdf_link_edges(assets)
+    got = edges.collect()
+    assert got, "fixture corpus must produce PDF link edges"
+    # oracle: single-process extraction over the same rows
+    want = {}
+    for r in rows:
+        a = extract_pdf_assets(r["html"] or b"")
+        src = r["url"].split("/")[2].lower()
+        for _, uri in a["links"]:
+            dst = uri.split("/")[2].lower() if uri.startswith("http") else src
+            want[(src, dst)] = want.get((src, dst), 0) + 1
+    assert {(r["src_host"], r["dst_host"]): r["n_links"] for r in got} == want
+    # the two arms union into one relation (same schema, one agg away)
+    both = host_edges(pages).unionByName(edges)
+    assert both.columns == ["src_host", "dst_host", "n_links"]
