@@ -61,6 +61,7 @@ def run_curation(
     cascade_gate: bool = False,
     ppl_drop_tail: bool = False,
     cascade_stopwords: tuple = (),
+    rep_quality: bool = False,
 ):
     ext = spark.read.parquet(input_path).select(
         "url", "extracted_text", "text_sha256", "url_bucket"
@@ -171,10 +172,39 @@ def run_curation(
         .join(comps, "url", "left")
         .withColumn("near_dup_degree", F.coalesce("near_dup_degree", F.lit(0)))
         .withColumn("is_exact_dup", F.col("url") != F.col("canonical_url"))
-        .withColumn(
+    )
+    # Cluster representative: which member of each near-dup cluster
+    # survives. Default = the component id itself (min url — stable,
+    # join-free). --rep-quality picks the HIGHEST-quality member instead
+    # (RefinedWeb-style: when collapsing near-dups, ship the best copy,
+    # not the lexicographically first one) via one row_number window over
+    # cluster MEMBERS only (nulls never enter the window, so there is no
+    # giant null partition; cluster cardinality bounds window state) and
+    # a component-keyed join back — both scale with |members|, not |docs|.
+    if rep_quality:
+        from pyspark.sql import Window
+
+        members = curated.where(F.col("near_dup_component").isNotNull()).select(
+            "url", "near_dup_component", "quality"
+        )
+        w = Window.partitionBy("near_dup_component").orderBy(
+            F.desc("quality"), F.asc("url")
+        )
+        reps = (
+            members.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("near_dup_component", F.col("url").alias("near_dup_rep"))
+        )
+        curated = curated.join(reps, "near_dup_component", "left")
+    else:
+        curated = curated.withColumn(
+            "near_dup_rep", F.col("near_dup_component")
+        )
+    curated = (
+        curated.withColumn(
             "is_near_dup",
             F.col("near_dup_component").isNotNull()
-            & (F.col("url") != F.col("near_dup_component")),
+            & (F.col("url") != F.col("near_dup_rep")),
         )
         .withColumn(
             "base_keep",
@@ -246,6 +276,7 @@ def run_curation(
         "exact_dups": out.where("is_exact_dup").count(),
         "near_dup_docs": out.where("near_dup_degree > 0").count(),
         "near_dup_clusters": out.where("url = near_dup_component").count(),
+        "rep_mode": "quality" if rep_quality else "min_url",
         "substring_dup_dropped": out.where(
             f"substring_dup_fraction > {max_substring_dup}"
         ).count(),
@@ -277,6 +308,10 @@ def main(argv=None) -> int:
                     help="comma-separated stopword list enabling the "
                          "cascade's lexical-sanity rule (language policy; "
                          "off by default)")
+    ap.add_argument("--rep-quality", action="store_true",
+                    help="keep the highest-quality member of each near-dup "
+                         "cluster instead of the min-url one (tiebreak: "
+                         "min url at equal quality)")
     ap.add_argument("--ppl-drop-tail", action="store_true",
                     help="train the CCNet bigram LM on the hash-split "
                          "slice and drop the worst perplexity tercile")
@@ -296,7 +331,8 @@ def main(argv=None) -> int:
                           ppl_drop_tail=args.ppl_drop_tail,
                           cascade_stopwords=tuple(
                               w for w in args.cascade_stopwords.split(",") if w
-                          ))
+                          ),
+                          rep_quality=args.rep_quality)
     print(json.dumps(report, default=str))
     return 0
 

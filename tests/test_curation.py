@@ -453,3 +453,45 @@ def test_curation_cascade_and_ppl_gates(spark, tmp_path):
     assert sorted(cur.columns) == sorted(cur2.columns)
     assert cur2.where("ppl_bucket IS NOT NULL").count() == 0
     assert cur2.where("cascade_reason IS NULL").count() == 0
+
+
+def test_curation_rep_quality_keeps_best_cluster_member(spark, tmp_path):
+    """--rep-quality: the HIGHEST-quality member of a near-dup cluster
+    survives instead of the min-url one; default mode is unchanged."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    ).strip()
+    # url 'a' (min) is degraded with punctuation-noise so its quality score
+    # drops below its near-dups; 'c' is the cleanest copy
+    rows = [
+        ("https://q.test/a", base.replace("beta", "!!?? ## @@", 1), "a" * 64, 0),
+        ("https://q.test/b", base.replace("alpha", "changed", 1), "b" * 64, 1),
+        ("https://q.test/c", base.replace("kappa", "altered", 1), "c" * 64, 2),
+    ]
+    src = os.path.join(str(tmp_path), "ext_rq")
+    spark.createDataFrame(
+        rows, "url string, extracted_text string, text_sha256 string, url_bucket int"
+    ).write.parquet(src)
+
+    rep = run_curation(spark, src, os.path.join(str(tmp_path), "cur_rq"),
+                       rep_quality=True)
+    assert rep["rep_mode"] == "quality"
+    cur = {r["url"]: r for r in spark.read.parquet(rep["curated_path"]).collect()}
+    # all three are one cluster; the kept one is the max-quality member
+    comps = {r["near_dup_component"] for r in cur.values()}
+    assert len(comps) == 1
+    kept = [u for u, r in cur.items() if r["keep"]]
+    best = max(cur.values(), key=lambda r: (r["quality"], r["url"] == min(cur)))
+    qualities = {u: r["quality"] for u, r in cur.items()}
+    assert len(kept) == 1
+    assert qualities[kept[0]] == max(qualities.values())
+    assert kept[0] != "https://q.test/a"  # min-url is NOT the survivor here
+    assert all(r["near_dup_rep"] == kept[0] for r in cur.values())
+
+    # default mode: min-url representative, near_dup_rep == component
+    rep2 = run_curation(spark, src, os.path.join(str(tmp_path), "cur_rq2"))
+    assert rep2["rep_mode"] == "min_url"
+    cur2 = {r["url"]: r for r in spark.read.parquet(rep2["curated_path"]).collect()}
+    kept2 = [u for u, r in cur2.items() if r["keep"]]
+    assert kept2 == ["https://q.test/a"]
+    assert all(r["near_dup_rep"] == r["near_dup_component"] for r in cur2.values())
