@@ -633,17 +633,60 @@ def cdc_dup_stats(
     shingle schemes), and the shared-set join is an equi-join on the
     chunk hash.
     """
-    chunks = df.select(
-        F.col(id_col),
-        F.posexplode(cdc_chunk_texts(F.col(text_col), divisor)).alias(
-            "chunk_idx", "chunk_text"
+    # STAGED chunking, not the one-Column cdc_chunk_texts form: inside a
+    # single projection, the word array and its per-word hashes are
+    # subexpressions that higher-order lambdas re-evaluate PER ELEMENT —
+    # split+md5 become O(n_words^2) per doc (measured 38 s at sf0.1 for
+    # work whose linear form costs ~1 s). Materializing __w and __wh as
+    # real columns across .select stages defeats that: CollapseProject
+    # never inlines a non-cheap expression referenced more than once, so
+    # each array computes exactly once per row and every lambda touches
+    # only element_at over an attribute. Same chunks, byte-identical.
+    w0 = df.select(F.col(id_col), words(F.col(text_col)).alias("__w"))
+    w1 = w0.select(
+        id_col,
+        "__w",
+        F.transform("__w", lambda x: phash(x) % divisor).alias("__wh"),
+    )
+    n = F.size("__w")
+    bpos = F.filter(
+        F.sequence(F.lit(1), n), lambda i: F.element_at("__wh", i) == 0
+    )
+    bposx = F.concat(
+        bpos,
+        F.when(
+            (n > 0) & (F.element_at("__wh", n) != 0), F.array(n)
+        ).otherwise(F.array().cast("array<int>")),
+    )
+    w2 = w1.select(id_col, "__w", bposx.alias("__b"))
+    chunk_arr = F.transform(
+        F.sequence(F.lit(1), F.size("__b")),
+        lambda k: F.array_join(
+            F.slice(
+                F.col("__w"),
+                F.when(k == 1, F.lit(0))
+                .otherwise(F.element_at("__b", (k - 1).cast("int")))
+                + 1,
+                F.element_at("__b", k.cast("int"))
+                - F.when(k == 1, F.lit(0)).otherwise(
+                    F.element_at("__b", (k - 1).cast("int"))
+                ),
+            ),
+            " ",
         ),
+    )
+    chunks = w2.select(
+        F.col(id_col), F.posexplode(chunk_arr).alias("chunk_idx", "chunk_text")
     ).select(
         id_col,
         "chunk_idx",
         phash(F.col("chunk_text")).alias("h"),
         F.size(F.split(F.col("chunk_text"), " ")).cast("long").alias("n_words"),
     )
+    # Materialize ONCE for the two consumers below (census + probe) —
+    # localCheckpoint, not persist, so blocks release with the result's
+    # lifetime (same discipline as bitext_margin_pairs).
+    chunks = chunks.localCheckpoint()
     shared = (
         chunks.groupBy("h")
         .agg(F.countDistinct(id_col).alias("nd"))
