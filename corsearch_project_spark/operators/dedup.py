@@ -151,20 +151,30 @@ def minhash_sig(sh: DataFrame, perms: int = DEFAULT_PERMS) -> DataFrame:
     )
 
 
+def banded_sig(
+    sig: DataFrame, perms: int = DEFAULT_PERMS, band_rows: int = DEFAULT_BAND_ROWS
+) -> DataFrame:
+    """(doc_id, band, sig): the signature stacked into P/r LSH bands — the
+    join key relation both the self-join (``lsh_candidate_pairs``) and the
+    increment-vs-prior cross join (``lsh_cross_candidate_pairs``) bucket
+    on."""
+    n_bands = perms // band_rows
+    stack_args = []
+    for b in range(n_bands):
+        cols = [f"mh{b * band_rows + j}" for j in range(band_rows)]
+        stack_args.append(f"{b}, concat_ws(',', {', '.join(cols)})")
+    return sig.selectExpr(
+        "doc_id", f"stack({n_bands}, {', '.join(stack_args)}) AS (band, sig)"
+    )
+
+
 def lsh_candidate_pairs(
     sig: DataFrame, perms: int = DEFAULT_PERMS, band_rows: int = DEFAULT_BAND_ROWS
 ) -> DataFrame:
     """Stack the signature into (P/r) bands, equi-join docs sharing any
     (band, band-signature) bucket → distinct candidate pairs. At scale this
     is the only pairwise step and it only shuffles (band, sig) keys."""
-    n_bands = perms // band_rows
-    stack_args = []
-    for b in range(n_bands):
-        cols = [f"mh{b * band_rows + j}" for j in range(band_rows)]
-        stack_args.append(f"{b}, concat_ws(',', {', '.join(cols)})")
-    banded = sig.selectExpr(
-        "doc_id", f"stack({n_bands}, {', '.join(stack_args)}) AS (band, sig)"
-    )
+    banded = banded_sig(sig, perms, band_rows)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -176,6 +186,65 @@ def lsh_candidate_pairs(
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+
+
+def lsh_cross_candidate_pairs(
+    sig_new: DataFrame,
+    sig_prior: DataFrame,
+    perms: int = DEFAULT_PERMS,
+    band_rows: int = DEFAULT_BAND_ROWS,
+) -> DataFrame:
+    """(doc_a=new, doc_b=prior) candidate pairs between a NEW signature
+    relation and a PRIOR (persisted) one — the incremental-dedup join: the
+    increment's docs bucket against the existing corpus's banded
+    signatures without any rescan of prior text. Same (band, sig) equi-key
+    as the self-join; no ordering constraint because the two sides are
+    disjoint id spaces by contract (same id on both sides = same url
+    re-crawled, which the caller excludes upstream)."""
+    a = banded_sig(sig_new, perms, band_rows).alias("a")
+    b = banded_sig(sig_prior, perms, band_rows).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def est_jaccard_pairs(
+    cands: DataFrame,
+    sig_a: DataFrame,
+    sig_b: DataFrame,
+    perms: int = DEFAULT_PERMS,
+) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard): score candidate pairs by signature
+    agreement — matching-component fraction, each side's wide signature
+    joined once (no per-perm join). ``sig_b`` may be the same relation as
+    ``sig_a`` (self-join scoring) or a persisted prior store."""
+    sa = sig_a.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(perms)],
+    )
+    sb = sig_b.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(perms)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(perms)
+    )
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches.cast("double") / F.lit(float(perms))).alias("est_jaccard"),
+        )
     )
 
 
@@ -193,27 +262,12 @@ def minhash_lsh_pairs(
     sh = doc_shingles(df, id_col, text_col, n, distinct=False)
     # The signature relation feeds four join sides below; persist it so the
     # shingle explode + hash + groupBy run once (at cluster scale this is a
-    # materialized signatures table — the standard MinHash pipeline shape).
+    # materialized signatures table — the standard MinHash pipeline shape,
+    # and exactly what run_curation writes to <out>/signatures so
+    # curate_increment can band against it without rescanning prior text).
     sig = minhash_sig(sh, perms).persist()
     cands = lsh_candidate_pairs(sig, perms, band_rows)
-    sa = sig.select(
-        F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(perms)]
-    )
-    sb = sig.select(
-        F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(perms)]
-    )
-    matches = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(perms)
-    )
-    return (
-        cands.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (matches.cast("double") / F.lit(float(perms))).alias("est_jaccard"),
-        )
-    )
+    return est_jaccard_pairs(cands, sig, sig, perms)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:

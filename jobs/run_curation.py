@@ -137,10 +137,26 @@ def run_curation(
         .agg(F.min("url").alias("canonical_url"), F.count(F.lit(1)).alias("n_copies"))
     )
 
-    # near-dup candidate pairs (MinHash+LSH over the text column)
-    pairs = D.minhash_lsh_pairs(
-        ext.select(F.col("url").alias("doc_id"), F.col("extracted_text").alias("text")),
-        "doc_id", "text",
+    # near-dup candidate pairs (MinHash+LSH over the text column). The
+    # wide signature relation is WRITTEN first (<out>/signatures) and the
+    # pair computation reads it back: one materialization serves the
+    # self-join's four sides here AND becomes the persisted store
+    # jobs/curate_increment.py bands future increments against — the
+    # incremental-dedup contract (new docs dedup vs the existing corpus
+    # with zero rescans of prior text).
+    sig_path = output_path.rstrip("/") + "/signatures"
+    D.minhash_sig(
+        D.doc_shingles(
+            ext.select(
+                F.col("url").alias("doc_id"),
+                F.col("extracted_text").alias("text"),
+            ),
+            "doc_id", "text", 3, distinct=False,
+        )
+    ).write.mode("overwrite").parquet(sig_path)
+    sig = spark.read.parquet(sig_path)
+    pairs = D.est_jaccard_pairs(
+        D.lsh_candidate_pairs(sig), sig, sig
     ).where(F.col("est_jaccard") >= 0.5)
     pairs_path = output_path.rstrip("/") + "/dup_pairs"
     pairs.write.mode("overwrite").parquet(pairs_path)
@@ -289,6 +305,7 @@ def run_curation(
         ),
         "curated_path": curated_path,
         "dup_pairs_path": pairs_path,
+        "signatures_path": sig_path,
     }
 
 

@@ -495,3 +495,90 @@ def test_curation_rep_quality_keeps_best_cluster_member(spark, tmp_path):
     kept2 = [u for u, r in cur2.items() if r["keep"]]
     assert kept2 == ["https://q.test/a"]
     assert all(r["near_dup_rep"] == r["near_dup_component"] for r in cur2.values())
+
+
+def test_curate_increment_dedups_against_prior_corpus(spark, tmp_path):
+    """jobs/curate_increment.py: an increment's docs dedup against the
+    PRIOR corpus through its persisted digest + signature store — exact
+    copies and near-dups of prior docs are dropped, fresh docs keep, and
+    the updated signature store equals a from-scratch build over the
+    union (the incremental == batch invariant)."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs"))
+    from curate_increment import curate_increment
+    from corsearch_project_spark.operators import dedup as D
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6).strip()
+    other = ("solar lunar stellar orbit comet nebula quasar photon meson prism " * 6).strip()
+    prior_rows = [
+        ("https://p.test/one", base, "1" * 64, 0),
+        ("https://p.test/two", other, "2" * 64, 1),
+    ]
+    prior_ext = os.path.join(str(tmp_path), "prior_ext")
+    spark.createDataFrame(
+        prior_rows,
+        "url string, extracted_text string, text_sha256 string, url_bucket int",
+    ).write.parquet(prior_ext)
+    prior_out = os.path.join(str(tmp_path), "prior_cur")
+    run_curation(spark, prior_ext, prior_out)
+
+    fresh = "completely novel content " + " ".join(f"n{i}" for i in range(60))
+    inc_rows = [
+        # exact copy of a prior kept doc (same sha)
+        ("https://i.test/exact", base, "1" * 64, 0),
+        # near-dup of a prior doc (one word changed, new sha)
+        ("https://i.test/near", base.replace("alpha", "changed", 1), "3" * 64, 1),
+        # within-increment near-dup pair
+        ("https://i.test/wa", other.replace("solar", "altered", 1), "4" * 64, 2),
+        ("https://i.test/wb", other.replace("solar", "altered", 1).replace("prism", "glass", 1), "5" * 64, 3),
+        # fresh unique doc
+        ("https://i.test/fresh", fresh, "6" * 64, 4),
+        # a url the prior corpus already curated: must be skipped entirely
+        ("https://p.test/one", fresh, "7" * 64, 5),
+    ]
+    inc_ext = os.path.join(str(tmp_path), "inc_ext")
+    spark.createDataFrame(
+        inc_rows,
+        "url string, extracted_text string, text_sha256 string, url_bucket int",
+    ).write.parquet(inc_ext)
+    out = os.path.join(str(tmp_path), "inc_cur")
+    rep = curate_increment(spark, inc_ext, prior_out, out)
+
+    assert rep["increment_docs"] == 6 and rep["known_urls_skipped"] == 1
+    cur = {r["url"]: r for r in spark.read.parquet(rep["curated_path"]).collect()}
+    assert set(cur) == {
+        "https://i.test/exact", "https://i.test/near",
+        "https://i.test/wa", "https://i.test/wb", "https://i.test/fresh",
+    }
+    assert cur["https://i.test/exact"]["dup_of_prior"]
+    assert not cur["https://i.test/exact"]["keep"]
+    assert cur["https://i.test/near"]["near_dup_prior"]
+    assert not cur["https://i.test/near"]["keep"]
+    # within-increment cluster: near-dups of each other but NOT of prior
+    # ('other' itself is in prior — wa/wb are near-dups of it too, so both
+    # are near_dup_prior; the within-component still forms)
+    assert cur["https://i.test/wa"]["near_dup_prior"]
+    assert cur["https://i.test/wb"]["near_dup_prior"]
+    assert cur["https://i.test/fresh"]["keep"]
+    assert not cur["https://i.test/fresh"]["near_dup_prior"]
+
+    # incremental == batch: updated store equals a from-scratch signature
+    # build over prior ∪ (accepted) increment
+    union_rows = prior_rows + [r for r in inc_rows if r[0] != "https://p.test/one"]
+    union_df = spark.createDataFrame(
+        union_rows,
+        "url string, extracted_text string, text_sha256 string, url_bucket int",
+    )
+    want_sig = D.minhash_sig(
+        D.doc_shingles(
+            union_df.select(F.col("url").alias("doc_id"),
+                            F.col("extracted_text").alias("text")),
+            "doc_id", "text", 3, distinct=False,
+        )
+    )
+    got_sig = spark.read.parquet(rep["signatures_path"])
+    assert sorted(map(tuple, got_sig.collect())) == sorted(
+        map(tuple, want_sig.collect())
+    )
