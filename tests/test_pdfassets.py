@@ -220,3 +220,35 @@ def test_pdf_link_edges_feed_the_host_graph(spark):
     # the two arms union into one relation (same schema, one agg away)
     both = host_edges(pages).unionByName(edges)
     assert both.columns == ["src_host", "dst_host", "n_links"]
+
+
+def test_assets_frozen_golden():
+    """Cross-round drift alarm for the assets surface, the sibling of
+    tests/test_golden_frozen.py: a pinned digest over every PDF's full
+    asset record on the 400-doc golden corpus. Any change to Info/string
+    decoding, date parsing, link or outline walking — or to the fixture
+    writer's asset arms — fails here; if intentional, re-pin and say why
+    in the commit message."""
+    import hashlib
+    import json
+
+    from corsearch_project_spark.webextract.sniff import sniff_kind
+
+    rows = gen_pages(400, seed=4242, skew="mild", dup_frac=0.0)
+    h = hashlib.sha256()
+    n_pdf = 0
+    for r in rows:
+        data = r["html"] or b""
+        if sniff_kind(data) != "pdf":
+            continue
+        n_pdf += 1
+        a = extract_pdf_assets(data)
+        h.update(json.dumps(
+            {"u": r["url"],
+             **{k: a[k] for k in ("title", "author", "subject", "producer", "created")},
+             "l": a["links"], "o": a["outline"]},
+            sort_keys=True).encode())
+    assert n_pdf == 62
+    assert h.hexdigest() == (
+        "ca48d69c165fe7c56403d6242717803240e13d9ce7b4e0ec6f4d9163782b5808"
+    )
