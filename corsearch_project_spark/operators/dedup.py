@@ -151,6 +151,31 @@ def minhash_sig(sh: DataFrame, perms: int = DEFAULT_PERMS) -> DataFrame:
     )
 
 
+def signatures_for(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "extracted_text",
+    n: int = 3,
+    perms: int = DEFAULT_PERMS,
+) -> DataFrame:
+    """The ONE definition of "this corpus's MinHash signature relation" —
+    (doc_id, mh0..mh{P-1}) with the pipeline's shingle parameters. Both
+    the batch curation job (which persists it to <out>/signatures) and the
+    increment job (which bands new docs against that store) MUST build
+    signatures through here: the incremental == batch invariant
+    (store(prior) ∪ sig(inc) == sig(prior ∪ inc)) holds only while every
+    producer agrees on (n, perms, distinct=False)."""
+    return minhash_sig(
+        doc_shingles(
+            df.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            ),
+            "doc_id", "text", n, distinct=False,
+        ),
+        perms,
+    )
+
+
 def banded_sig(
     sig: DataFrame, perms: int = DEFAULT_PERMS, band_rows: int = DEFAULT_BAND_ROWS
 ) -> DataFrame:

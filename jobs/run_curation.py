@@ -145,15 +145,7 @@ def run_curation(
     # incremental-dedup contract (new docs dedup vs the existing corpus
     # with zero rescans of prior text).
     sig_path = output_path.rstrip("/") + "/signatures"
-    D.minhash_sig(
-        D.doc_shingles(
-            ext.select(
-                F.col("url").alias("doc_id"),
-                F.col("extracted_text").alias("text"),
-            ),
-            "doc_id", "text", 3, distinct=False,
-        )
-    ).write.mode("overwrite").parquet(sig_path)
+    D.signatures_for(ext).write.mode("overwrite").parquet(sig_path)
     sig = spark.read.parquet(sig_path)
     pairs = D.est_jaccard_pairs(
         D.lsh_candidate_pairs(sig), sig, sig
@@ -200,8 +192,20 @@ def run_curation(
     if rep_quality:
         from pyspark.sql import Window
 
-        members = curated.where(F.col("near_dup_component").isNotNull()).select(
-            "url", "near_dup_component", "quality"
+        # Derive members from comps (slim, checkpoint-backed) + a
+        # member-filtered quality-only scan — NOT from `curated`: that
+        # subtree holds the full stats projection plus three joins, and
+        # referencing it twice (main join + members) recomputes all of it
+        # (no ReusedExchange across the differing branches). The semi-join
+        # pushes the member filter below quality_score, so the extra scan
+        # prices only cluster members' text.
+        members = (
+            ext.join(comps.select("url"), "url", "left_semi")
+            .select(
+                "url",
+                X.quality_score(F.col("extracted_text")).alias("quality"),
+            )
+            .join(comps, "url")
         )
         w = Window.partitionBy("near_dup_component").orderBy(
             F.desc("quality"), F.asc("url")
@@ -286,6 +290,15 @@ def run_curation(
         .parquet(curated_path)
     )
     out = spark.read.parquet(curated_path)
+    # Dedup frontier: the compact (url, text_sha256, keep) relation
+    # jobs/curate_increment.py joins new docs against — and re-emits
+    # extended with each increment's rows, so CHAINED increments see the
+    # whole corpus's urls/digests, not just the last increment's (the
+    # curated table of an increment run holds increment rows only).
+    frontier_path = output_path.rstrip("/") + "/frontier"
+    out.select("url", "text_sha256", "keep").write.mode("overwrite").parquet(
+        frontier_path
+    )
     return {
         "docs": out.count(),
         "kept": out.where("keep").count(),
@@ -306,6 +319,7 @@ def run_curation(
         "curated_path": curated_path,
         "dup_pairs_path": pairs_path,
         "signatures_path": sig_path,
+        "frontier_path": frontier_path,
     }
 
 

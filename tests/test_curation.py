@@ -582,3 +582,73 @@ def test_curate_increment_dedups_against_prior_corpus(spark, tmp_path):
     assert sorted(map(tuple, got_sig.collect())) == sorted(
         map(tuple, want_sig.collect())
     )
+
+
+def test_curate_increment_chain_sees_whole_corpus(spark, tmp_path):
+    """Chained increments: increment B (--prior = increment A's output)
+    must still dedup against the ORIGINAL batch corpus through the
+    frontier and the accumulated signature store — and its curated output
+    is export-compatible (split column, same pure url hash)."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs"))
+    from curate_increment import curate_increment
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6).strip()
+    schema = "url string, extracted_text string, text_sha256 string, url_bucket int"
+    prior_ext = os.path.join(str(tmp_path), "b_ext")
+    spark.createDataFrame(
+        [("https://b.test/one", base, "1" * 64, 0)], schema
+    ).write.parquet(prior_ext)
+    batch_out = os.path.join(str(tmp_path), "b_cur")
+    run_curation(spark, prior_ext, batch_out)
+
+    freshA = "novel increment alpha content " + " ".join(f"a{i}" for i in range(60))
+    incA_ext = os.path.join(str(tmp_path), "a_ext")
+    spark.createDataFrame(
+        [("https://a.test/fresh", freshA, "a" * 64, 1)], schema
+    ).write.parquet(incA_ext)
+    outA = os.path.join(str(tmp_path), "a_cur")
+    repA = curate_increment(spark, incA_ext, batch_out, outA)
+    assert repA["kept"] == 1
+
+    incB_rows = [
+        # exact copy of the ORIGINAL BATCH doc (two hops back)
+        ("https://c.test/exact_batch", base, "1" * 64, 0),
+        # near-dup of increment A's doc (one hop back)
+        ("https://c.test/near_a", freshA.replace("novel", "changed", 1), "c" * 64, 2),
+        # re-crawl of a batch url: skipped via the frontier
+        ("https://b.test/one", "whatever " * 30, "d" * 64, 3),
+        # fresh
+        ("https://c.test/fresh", "unique c words " + " ".join(f"c{i}" for i in range(60)), "e" * 64, 4),
+    ]
+    incB_ext = os.path.join(str(tmp_path), "c_ext")
+    spark.createDataFrame(incB_rows, schema).write.parquet(incB_ext)
+    outB = os.path.join(str(tmp_path), "c_cur")
+    repB = curate_increment(spark, incB_ext, outA, outB)
+
+    assert repB["known_urls_skipped"] == 1  # the batch re-crawl
+    cur = {r["url"]: r for r in spark.read.parquet(repB["curated_path"]).collect()}
+    assert cur["https://c.test/exact_batch"]["dup_of_prior"]
+    assert not cur["https://c.test/exact_batch"]["keep"]
+    assert cur["https://c.test/near_a"]["near_dup_prior"]
+    assert not cur["https://c.test/near_a"]["keep"]
+    assert cur["https://c.test/fresh"]["keep"]
+    # export contract: split present and equal to the batch hash of url
+    from corsearch_project_spark.operators import textstats as X
+    want_split = spark.createDataFrame(
+        [("https://c.test/fresh",)], "url string"
+    ).select(X.hash_split(F.col("url")).alias("s")).head()["s"]
+    assert cur["https://c.test/fresh"]["split"] == want_split
+    for c in ("split", "near_dup_degree", "substring_dup_fraction"):
+        assert c in spark.read.parquet(repB["curated_path"]).columns
+    # the frontier accumulated all three generations
+    fr = {r["url"] for r in spark.read.parquet(repB["frontier_path"]).collect()}
+    assert {"https://b.test/one", "https://a.test/fresh",
+            "https://c.test/exact_batch", "https://c.test/fresh"} <= fr
+    # signature store covers all accepted docs across generations
+    sig_ids = {r["doc_id"] for r in
+               spark.read.parquet(repB["signatures_path"]).collect()}
+    assert {"https://b.test/one", "https://a.test/fresh",
+            "https://c.test/exact_batch"} <= sig_ids
