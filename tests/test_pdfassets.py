@@ -252,3 +252,21 @@ def test_assets_frozen_golden():
     assert h.hexdigest() == (
         "ca48d69c165fe7c56403d6242717803240e13d9ce7b4e0ec6f4d9163782b5808"
     )
+
+
+def test_assets_mutation_fuzz_never_raises():
+    """Byte-mutation fuzz over valid PDFs: extract_pdf_assets must be
+    total (empty shape or partial data, never an exception) under random
+    corruption — the same never-crash bar the text extractor holds."""
+    rng = random.Random(20260820)
+    for seed in range(15):
+        data = bytearray(make_pdf(random.Random(seed)))
+        for _ in range(6):
+            mutated = bytearray(data)
+            for _ in range(rng.randint(1, 30)):
+                mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+            a = extract_pdf_assets(bytes(mutated))
+            assert isinstance(a["links"], list) and isinstance(a["outline"], list)
+            # truncation arm
+            a2 = extract_pdf_assets(bytes(mutated[: rng.randrange(len(mutated))]))
+            assert isinstance(a2["links"], list)
