@@ -883,7 +883,11 @@ def pages_to_pandas(rows: List[dict]):
 # ---------------------------------------------------------------------------
 
 
-def make_docx(rng: random.Random, force_table: bool | None = None) -> bytes:
+def make_docx(
+    rng: random.Random,
+    force_table: bool | None = None,
+    _assets_out: list | None = None,
+) -> bytes:
     """Deterministic WordprocessingML document: 2-6 paragraphs of seeded
     words (with XML-escaped characters and charrefs sprinkled in), an
     optional 2x2 table whose cell paragraphs must extract in document
@@ -923,6 +927,38 @@ def make_docx(rng: random.Random, force_table: bool | None = None) -> bytes:
         '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
         f"<w:body>{body}</w:body></w:document>"
     ).encode("utf-8")
+    # docProps/core.xml arm: material derives from the already-generated
+    # body bytes (crc32 seed), NOT the main rng — pre-existing test
+    # corpora that pin extracted text by seed stay byte-identical
+    meta_rng = random.Random(zlib.crc32(doc_xml))
+    assets = {"title": None, "author": None, "subject": None, "created": None}
+    core_xml = None
+    if meta_rng.random() < 0.7:
+        title = " ".join(
+            meta_rng.choice(_WORDS) for _ in range(meta_rng.randint(2, 4))
+        ).title()
+        author = meta_rng.choice(_WORDS).title() + " " + meta_rng.choice(_WORDS).title()
+        created = "20%02d-%02d-%02dT%02d:%02d:%02dZ" % (
+            meta_rng.randint(10, 25), meta_rng.randint(1, 12),
+            meta_rng.randint(1, 28), meta_rng.randint(0, 23),
+            meta_rng.randint(0, 59), meta_rng.randint(0, 59),
+        )
+        # one title in ~5 carries an escaped ampersand to exercise unescape
+        raw_title = title + (" & Sons" if meta_rng.random() < 0.2 else "")
+        core_xml = (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<cp:coreProperties xmlns:cp="http://schemas.openxmlformats.org/package/2006/metadata/core-properties" '
+            'xmlns:dc="http://purl.org/dc/elements/1.1/" '
+            'xmlns:dcterms="http://purl.org/dc/terms/" '
+            'xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance">'
+            f"<dc:title>{esc(raw_title)}</dc:title>"
+            f"<dc:creator>{esc(author)}</dc:creator>"
+            f'<dcterms:created xsi:type="dcterms:W3CDTF">{created}</dcterms:created>'
+            "</cp:coreProperties>"
+        ).encode("utf-8")
+        assets.update(title=raw_title, author=author, created=created)
+    if _assets_out is not None:
+        _assets_out.append(assets)
     buf = _io.BytesIO()
     with _zip.ZipFile(buf, "w", _zip.ZIP_DEFLATED) as zf:
         zf.writestr(
@@ -931,6 +967,8 @@ def make_docx(rng: random.Random, force_table: bool | None = None) -> bytes:
             '<Default Extension="xml" ContentType="application/xml"/></Types>',
         )
         zf.writestr("word/document.xml", doc_xml)
+        if core_xml is not None:
+            zf.writestr("docProps/core.xml", core_xml)
     return buf.getvalue()
 
 

@@ -320,16 +320,20 @@ def run_dual_kernel(pages: DataFrame, rules_bc) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def make_assets_kernel_arrow():
-    """Arrow kernel for ``pdfx.extract_pdf_assets``: (url, html) batches in,
-    PDF_ASSETS_SCHEMA batches out. Total over its input — parse failures and
-    encrypted docs emit the deterministic empty shape, never raise — but the
-    caller is expected to have pre-filtered to PDF rows JVM-side (see
-    ``run_pdf_assets_kernel``) so non-PDF bytes never cross the boundary."""
+    """Arrow kernel for the document-assets catalog: (url, html) batches
+    in, DOC_ASSETS_SCHEMA batches out. PDF rows run
+    ``pdfx.extract_pdf_assets`` (Info + links + outline); DOCX rows run
+    ``docxx.docx_core_props`` (Dublin-Core core.xml; links/outline empty).
+    Total over its input — parse failures and encrypted docs emit the
+    deterministic empty shape, never raise — but the caller is expected to
+    have pre-filtered to document rows JVM-side (see
+    ``run_doc_assets_kernel``) so other bytes never cross the boundary."""
     import pyarrow as pa
 
     out_schema = pa.schema(
         [
             pa.field("url", pa.string()),
+            pa.field("kind", pa.string()),
             pa.field("title", pa.string()),
             pa.field("author", pa.string()),
             pa.field("subject", pa.string()),
@@ -355,6 +359,10 @@ def make_assets_kernel_arrow():
     )
 
     def kernel(batches):
+        from corsearch_project_spark.webextract.docxx import (
+            docx_core_props,
+            is_docx,
+        )
         from corsearch_project_spark.webextract.pdfx import extract_pdf_assets
         from corsearch_project_spark.webextract.sniff import sniff_kind
 
@@ -365,10 +373,17 @@ def make_assets_kernel_arrow():
             cols = {name: [] for name in out_schema.names}
             for url, data in zip(urls, datas):
                 data = data if data is not None else b""
-                if sniff_kind(data) != "pdf":
+                kind = sniff_kind(data)
+                if kind == "pdf":
+                    a = extract_pdf_assets(data)
+                elif kind == "zip" and is_docx(data):
+                    kind = "docx"
+                    cp = docx_core_props(data)
+                    a = {**cp, "producer": None, "links": [], "outline": []}
+                else:
                     continue  # loose JVM pre-filter false positive
-                a = extract_pdf_assets(data)
                 cols["url"].append(url)
+                cols["kind"].append(kind)
                 for k in ("title", "author", "subject", "producer", "created"):
                     cols[k].append(a[k])
                 cols["links"].append(
@@ -385,22 +400,26 @@ def make_assets_kernel_arrow():
     return kernel
 
 
-def run_pdf_assets_kernel(pages: DataFrame) -> DataFrame:
-    """pages(url, html, ...) -> PDF_ASSETS_SCHEMA rows for PDF documents.
+def run_doc_assets_kernel(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) -> DOC_ASSETS_SCHEMA rows for document rows
+    (PDF + DOCX).
 
-    The PDF pre-filter runs JVM-side on the first KiB of the binary column
-    (``contains(substring(html,1,1024), X'255044462D')`` — the same
-    leading-junk tolerance as ``sniff.sniff_kind``), so at crawl mix only
-    the ~12% PDF share of bytes crosses the Arrow boundary; Parquet scans
-    prune every other column. The filter is deliberately a superset of
-    ``sniff_kind``'s PDF rule; the kernel re-sniffs and DROPS the rare
-    false positive (an HTML page quoting "%PDF-"), so the assets table
-    holds exactly the sniffed-PDF rows."""
+    The pre-filter runs JVM-side on the binary column: ``%PDF-`` anywhere
+    in the first KiB (the same leading-junk tolerance as
+    ``sniff.sniff_kind``) or the zip magic at offset 0 (OOXML packages).
+    At crawl mix only the document share of bytes crosses the Arrow
+    boundary; Parquet scans prune every other column. The filter is
+    deliberately a superset of the sniff rules; the kernel re-sniffs and
+    DROPS false positives (an HTML page quoting "%PDF-", a non-DOCX zip),
+    so the assets table holds exactly the document rows."""
     from pyspark.sql import functions as F
 
-    from corsearch_project_spark.sources.schemas import PDF_ASSETS_SCHEMA
+    from corsearch_project_spark.sources.schemas import DOC_ASSETS_SCHEMA
 
     inp = pages.select("url", "html").where(
-        F.expr("contains(substring(html, 1, 1024), X'255044462D')")
+        F.expr(
+            "contains(substring(html, 1, 1024), X'255044462D')"
+            " OR startswith(html, X'504B0304')"
+        )
     )
-    return inp.mapInArrow(make_assets_kernel_arrow(), schema=PDF_ASSETS_SCHEMA)
+    return inp.mapInArrow(make_assets_kernel_arrow(), schema=DOC_ASSETS_SCHEMA)

@@ -1035,8 +1035,8 @@ def pdf_link_edges(assets: DataFrame) -> DataFrame:
     """(src_host, dst_host, n_links) from the PDF assets catalog — the
     document arm of the link graph.
 
-    ``assets`` is the ``pdf_assets`` table the extraction pipeline writes
-    with ``--with-pdf-assets`` (url, ..., links: array<struct<page,uri>>):
+    ``assets`` is the ``doc_assets`` table the extraction pipeline writes
+    with ``--with-doc-assets`` (PDF rows carry the links) (url, ..., links: array<struct<page,uri>>):
     /Subtype /Link annotation targets are the ``<a href>`` of documents,
     so they feed the SAME edge relation HTML anchors do. URI actions in
     PDFs are absolute by spec intent; the rare relative target resolves to

@@ -58,18 +58,19 @@ class ExtractConfig:
     # readers prune the extra columns and pay nothing. Lineage/digest
     # contracts are unchanged (they roll up text_sha256 either way).
     with_markdown: bool = False
-    # Opt-in PDF assets catalog: a SECOND, dedicated relation under
-    # <root>/pdf_assets holding /Info metadata, link-annotation URIs and
-    # the flattened outline per PDF url (operators/kernel.py
-    # run_pdf_assets_kernel). Deliberately a separate pass, not a wider
-    # kernel schema: (a) it backfills over an EXISTING pages table without
-    # re-running text extraction, and (b) only ~12% of crawl rows are
-    # PDFs, so a dense url-keyed side table beats mostly-empty columns on
-    # the hot table. Cost when run in-pipeline: one extra (url, html)
-    # scan whose JVM pre-filter drops non-PDF rows before the Python
-    # boundary — the scan re-reads the binary column, the kernel only
-    # parses the PDF share.
-    with_pdf_assets: bool = False
+    # Opt-in document-assets catalog: a SECOND, dedicated relation under
+    # <root>/doc_assets holding per-document metadata — PDF /Info fields,
+    # link-annotation URIs and the flattened outline; DOCX Dublin-Core
+    # core properties (operators/kernel.py run_doc_assets_kernel).
+    # Deliberately a separate pass, not a wider kernel schema: (a) it
+    # backfills over an EXISTING pages table without re-running text
+    # extraction, and (b) only the document share of crawl rows (~15%)
+    # carries any of this, so a dense url-keyed side table beats
+    # mostly-empty columns on the hot table. Cost when run in-pipeline:
+    # one extra (url, html) scan whose JVM pre-filter drops other rows
+    # before the Python boundary — the scan re-reads the binary column,
+    # the kernel only parses the document share.
+    with_doc_assets: bool = False
 
     def __post_init__(self):
         if not self.run_id:
@@ -88,8 +89,8 @@ class ExtractConfig:
         return self.output_path.rstrip("/") + "/snapshots"
 
     @property
-    def pdf_assets_path(self) -> str:
-        return self.output_path.rstrip("/") + "/pdf_assets"
+    def doc_assets_path(self) -> str:
+        return self.output_path.rstrip("/") + "/doc_assets"
 
 
 def dedupe_latest(pages: DataFrame) -> DataFrame:
@@ -213,17 +214,17 @@ def run_extract(
     fmt.write_extracted(extracted, cfg.extracted_path)
     mark("kernel_and_write")
 
-    if cfg.with_pdf_assets:
-        from corsearch_project_spark.operators.kernel import run_pdf_assets_kernel
+    if cfg.with_doc_assets:
+        from corsearch_project_spark.operators.kernel import run_doc_assets_kernel
 
         # over the deduped pages relation (same rows the main kernel saw);
-        # the JVM pre-filter keeps non-PDF bytes out of the Python stage
-        assets = run_pdf_assets_kernel(pages.select("url", "html"))
+        # the JVM pre-filter keeps non-document bytes out of the Python stage
+        assets = run_doc_assets_kernel(pages.select("url", "html"))
         assets = with_url_bucket(assets, cfg.buckets)
         fmt.write_extracted(
-            assets.repartition(cfg.buckets, "url_bucket"), cfg.pdf_assets_path
+            assets.repartition(cfg.buckets, "url_bucket"), cfg.doc_assets_path
         )
-        mark("pdf_assets")
+        mark("doc_assets")
 
     # ONE job over the committed table computes every post-commit artifact:
     # per-bucket lineage rows are collected (B rows — tiny), the bucket list

@@ -76,16 +76,19 @@ DUAL_KERNEL_SCHEMA = T.StructType(
 )
 
 
-# PDF document-assets kernel (opt-in --with-pdf-assets): catalog-level
-# metadata the extraction tier emits BESIDE body text — /Info fields, link
-# annotation URIs (the PDF analogue of <a href>, feeding the same
-# host-graph/frontier relations), and the flattened /Outlines bookmark
-# tree. Its own table, not extra kernel columns: only ~12% of crawl rows
-# are PDFs, so a dedicated relation keyed by url stays dense while the
-# main extracted table stays narrow.
-PDF_ASSETS_SCHEMA = T.StructType(
+# Document-assets kernel (opt-in --with-doc-assets): catalog-level
+# metadata the extraction tier emits BESIDE body text — PDF /Info fields,
+# link annotation URIs (the PDF analogue of <a href>, feeding the same
+# host-graph/frontier relations), the flattened /Outlines bookmark tree,
+# and DOCX Dublin-Core core properties (docProps/core.xml). Its own
+# table, not extra kernel columns: only the document share of crawl rows
+# (~15%) carries any of this, so a dedicated relation keyed by url stays
+# dense while the main extracted table stays narrow. ``kind`` says which
+# format arm produced the row (links/outline are empty for docx).
+DOC_ASSETS_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
         T.StructField("title", T.StringType(), True),
         T.StructField("author", T.StringType(), True),
         T.StructField("subject", T.StringType(), True),

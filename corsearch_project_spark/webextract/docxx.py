@@ -105,3 +105,42 @@ def extract_docx(
         text_parts.append(btxt)
         pos += len(btxt) + 1
     return "\n".join(text_parts), spans
+
+
+# ---------------------------------------------------------------------------
+# Core properties (docProps/core.xml) — the DOCX arm of the document-assets
+# catalog (SURVEY §2 E23's sibling): Dublin-Core metadata OOXML packages
+# carry beside the body. Same skip-don't-raise discipline as extraction.
+# ---------------------------------------------------------------------------
+
+_CORE_TAG_RE = {
+    "title": re.compile(rb"<dc:title[^>]*>(.*?)</dc:title>", re.DOTALL),
+    "author": re.compile(rb"<dc:creator[^>]*>(.*?)</dc:creator>", re.DOTALL),
+    "subject": re.compile(rb"<dc:subject[^>]*>(.*?)</dc:subject>", re.DOTALL),
+    "created": re.compile(
+        rb"<dcterms:created[^>]*>(.*?)</dcterms:created>", re.DOTALL
+    ),
+}
+
+
+def docx_core_props(data: bytes) -> dict:
+    """DOCX bytes -> {title, author, subject, created} from
+    docProps/core.xml (ECMA-376 Part 2 §11; Dublin Core elements).
+    ``created`` is W3CDTF, already ISO-8601 — passed through verbatim.
+    Absent file or fields -> None values; never raises."""
+    out = {"title": None, "author": None, "subject": None, "created": None}
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            if "docProps/core.xml" not in zf.namelist():
+                return out
+            core = zf.read("docProps/core.xml")
+            if len(core) > 1 << 20:  # bomb guard, same cap family as body
+                return out
+    except Exception:
+        return out
+    for key, rx in _CORE_TAG_RE.items():
+        m = rx.search(core)
+        if m:
+            val = _unescape(m.group(1)).strip()
+            out[key] = val or None
+    return out

@@ -39,10 +39,11 @@ def main(argv=None) -> int:
                     help="also emit (extracted_md, md_sha256) columns via "
                          "the fused dual-emit kernel (one parse, two "
                          "serializations); text columns stay byte-identical")
-    ap.add_argument("--with-pdf-assets", action="store_true",
-                    help="also write the <output>/pdf_assets catalog table "
-                         "(per-PDF /Info metadata, link-annotation URIs, "
-                         "outline) via a PDF-filtered second kernel pass")
+    ap.add_argument("--with-doc-assets", action="store_true",
+                    help="also write the <output>/doc_assets catalog table "
+                         "(PDF /Info metadata + link URIs + outline; DOCX "
+                         "core properties) via a document-filtered second "
+                         "kernel pass")
     ap.add_argument("--kernel-partitions", type=int, default=None)
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
@@ -72,7 +73,7 @@ def main(argv=None) -> int:
         resume=args.resume,
         kernel_partitions=args.kernel_partitions,
         with_markdown=args.with_markdown,
-        with_pdf_assets=args.with_pdf_assets,
+        with_doc_assets=args.with_doc_assets,
     )
     import time
 

@@ -112,7 +112,7 @@ def test_assets_never_raise_on_garbage():
 
 def test_spark_assets_kernel_matches_single_process(spark):
     from corsearch_project_spark.fixtures.gen_pages import pages_to_pandas
-    from corsearch_project_spark.operators.kernel import run_pdf_assets_kernel
+    from corsearch_project_spark.operators.kernel import run_doc_assets_kernel
     from corsearch_project_spark.sources.schemas import PAGES_SCHEMA
     from corsearch_project_spark.webextract.sniff import sniff_kind
 
@@ -120,7 +120,7 @@ def test_spark_assets_kernel_matches_single_process(spark):
     pages = spark.createDataFrame(pages_to_pandas(rows), schema=PAGES_SCHEMA)
     got = {
         r["url"]: r.asDict(recursive=True)
-        for r in run_pdf_assets_kernel(pages).collect()
+        for r in run_doc_assets_kernel(pages).collect()
     }
     want_urls = {r["url"] for r in rows if sniff_kind(r["html"] or b"") == "pdf"}
     assert set(got) == want_urls and len(want_urls) >= 10
@@ -134,7 +134,7 @@ def test_spark_assets_kernel_matches_single_process(spark):
         assert [(o["depth"], o["title"]) for o in g["outline"]] == a["outline"]
 
     # plan gates: exactly one Python stage; binary pre-filter sits below it
-    plan = run_pdf_assets_kernel(pages)._jdf.queryExecution().executedPlan().toString()
+    plan = run_doc_assets_kernel(pages)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInArrow") + plan.count("ArrowEvalPython") == 1
 
 
@@ -143,13 +143,13 @@ def test_spark_assets_plan_filters_before_python(spark, tmp_path):
     # pre-filter must appear as a JVM Filter BELOW the single Python stage,
     # and the scan must prune to the two kernel input columns
     from corsearch_project_spark.fixtures.gen_pages import pages_to_pandas
-    from corsearch_project_spark.operators.kernel import run_pdf_assets_kernel
+    from corsearch_project_spark.operators.kernel import run_doc_assets_kernel
     from corsearch_project_spark.sources.schemas import PAGES_SCHEMA
 
     rows = gen_pages(40, seed=77, skew="mild", dup_frac=0.0)
     p = str(tmp_path / "pages.parquet")
     spark.createDataFrame(pages_to_pandas(rows), schema=PAGES_SCHEMA).write.parquet(p)
-    df = run_pdf_assets_kernel(spark.read.schema(PAGES_SCHEMA).parquet(p))
+    df = run_doc_assets_kernel(spark.read.schema(PAGES_SCHEMA).parquet(p))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInArrow") + plan.count("ArrowEvalPython") == 1
     assert "Filter" in plan and plan.index("MapInArrow") < plan.index("Filter")
@@ -174,11 +174,11 @@ def test_pipeline_with_pdf_assets_writes_catalog(spark, tmp_path):
         input_path=inp,
         output_path=os.path.join(str(tmp_path), "out"),
         buckets=4,
-        with_pdf_assets=True,
+        with_doc_assets=True,
     )
     report = run_extract(spark, cfg, None)
-    assert "pdf_assets" in report["phase_wall_s"]
-    assets = spark.read.parquet(cfg.pdf_assets_path)
+    assert "doc_assets" in report["phase_wall_s"]
+    assets = spark.read.parquet(cfg.doc_assets_path)
     got = {r["url"]: r for r in assets.collect()}
     want = {
         r["url"]: extract_pdf_assets(r["html"])
@@ -194,7 +194,7 @@ def test_pipeline_with_pdf_assets_writes_catalog(spark, tmp_path):
 
 
 def test_pdf_link_edges_feed_the_host_graph(spark):
-    from corsearch_project_spark.operators.kernel import run_pdf_assets_kernel
+    from corsearch_project_spark.operators.kernel import run_doc_assets_kernel
     from corsearch_project_spark.operators.linkgraph import (
         host_edges,
         pdf_link_edges,
@@ -204,7 +204,7 @@ def test_pdf_link_edges_feed_the_host_graph(spark):
 
     rows = gen_pages(200, seed=333, skew="mild", dup_frac=0.0)
     pages = spark.createDataFrame(pages_to_pandas(rows), schema=PAGES_SCHEMA)
-    assets = run_pdf_assets_kernel(pages)
+    assets = run_doc_assets_kernel(pages)
     edges = pdf_link_edges(assets)
     got = edges.collect()
     assert got, "fixture corpus must produce PDF link edges"
@@ -270,3 +270,46 @@ def test_assets_mutation_fuzz_never_raises():
             # truncation arm
             a2 = extract_pdf_assets(bytes(mutated[: rng.randrange(len(mutated))]))
             assert isinstance(a2["links"], list)
+
+
+def test_doc_assets_kernel_docx_arm(spark):
+    """DOCX rows join the assets catalog: Dublin-Core core.xml fields under
+    kind='docx' with empty links/outline; a coreless DOCX still rows with
+    null metadata; non-DOCX zips are dropped by the kernel re-sniff."""
+    import io
+    import zipfile
+
+    from corsearch_project_spark.fixtures.gen_pages import make_docx
+    from corsearch_project_spark.operators.kernel import run_doc_assets_kernel
+    from corsearch_project_spark.webextract.docxx import docx_core_props
+
+    rows, want = [], {}
+    titled = coreless = 0
+    for seed in range(30):
+        out = []
+        b = make_docx(random.Random(seed), _assets_out=out)
+        url = f"https://d.test/{seed}"
+        rows.append((url, b))
+        want[url] = out[0]
+        if out[0]["title"]:
+            titled += 1
+        else:
+            coreless += 1
+        assert docx_core_props(b)["title"] == out[0]["title"]
+    assert titled >= 5 and coreless >= 3  # both arms fire
+    # a plain (non-DOCX) zip must be dropped
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("readme.txt", "not a docx")
+    rows.append(("https://d.test/plainzip", buf.getvalue()))
+
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: r for r in run_doc_assets_kernel(df).collect()}
+    assert "https://d.test/plainzip" not in got
+    assert set(got) == set(want)
+    for url, w in want.items():
+        g = got[url]
+        assert g["kind"] == "docx"
+        assert g["title"] == w["title"] and g["author"] == w["author"]
+        assert g["created"] == w["created"]
+        assert g["links"] == [] and g["outline"] == []
