@@ -216,11 +216,26 @@ def _extract_bench(spark, n_docs: int, workdir: str) -> dict:
     t0 = time.perf_counter()
     n_k = run_kernel(kdf, bc).count()
     kdt = time.perf_counter() - t0
+
+    # Document-assets pass (E23/C75): the --with-doc-assets catalog over
+    # the same corpus — the JVM pre-filter admits only the document share
+    # (~15% of rows), so docs_per_sec here is per INPUT page, the number
+    # that adds onto a pipeline run enabling the flag.
+    from corsearch_project_spark.operators.kernel import run_doc_assets_kernel
+
+    t0 = time.perf_counter()
+    n_assets = run_doc_assets_kernel(scan_pages(spark, src)).count()
+    adt = time.perf_counter() - t0
     return {
         "docs": n_out,
         "sec": round(dt, 3),
         "docs_per_sec": round(n_out / dt, 1),
         "kernel_docs_per_sec": round(n_k / kdt, 1),
+        "doc_assets": {
+            "rows": n_assets,
+            "sec": round(adt, 3),
+            "pages_per_sec": round(n_docs / adt, 1),
+        },
     }
 
 
