@@ -359,10 +359,7 @@ def make_assets_kernel_arrow():
     )
 
     def kernel(batches):
-        from corsearch_project_spark.webextract.docxx import (
-            docx_core_props,
-            is_docx,
-        )
+        from corsearch_project_spark.webextract.docxx import docx_assets_probe
         from corsearch_project_spark.webextract.pdfx import extract_pdf_assets
         from corsearch_project_spark.webextract.sniff import sniff_kind
 
@@ -376,9 +373,12 @@ def make_assets_kernel_arrow():
                 kind = sniff_kind(data)
                 if kind == "pdf":
                     a = extract_pdf_assets(data)
-                elif kind == "zip" and is_docx(data):
+                elif kind == "zip":
+                    # one zip open answers membership AND core props
+                    cp = docx_assets_probe(data)
+                    if cp is None:
+                        continue  # non-DOCX zip: pre-filter false positive
                     kind = "docx"
-                    cp = docx_core_props(data)
                     a = {**cp, "producer": None, "links": [], "outline": []}
                 else:
                     continue  # loose JVM pre-filter false positive
@@ -405,8 +405,8 @@ def run_doc_assets_kernel(pages: DataFrame) -> DataFrame:
     (PDF + DOCX).
 
     The pre-filter runs JVM-side on the binary column: ``%PDF-`` anywhere
-    in the first KiB (the same leading-junk tolerance as
-    ``sniff.sniff_kind``) or the zip magic at offset 0 (OOXML packages).
+    in the first 2 KiB (the same head window as ``sniff.sniff_kind``) or
+    the zip magic at offset 0 (OOXML packages).
     At crawl mix only the document share of bytes crosses the Arrow
     boundary; Parquet scans prune every other column. The filter is
     deliberately a superset of the sniff rules; the kernel re-sniffs and
@@ -416,9 +416,12 @@ def run_doc_assets_kernel(pages: DataFrame) -> DataFrame:
 
     from corsearch_project_spark.sources.schemas import DOC_ASSETS_SCHEMA
 
+    # 2048-byte window = sniff_kind's head size, so the JVM filter stays a
+    # strict superset of the sniff rule even for PDFs behind ~2 KiB of
+    # leading whitespace/BOM padding (a 1 KiB window silently dropped them)
     inp = pages.select("url", "html").where(
         F.expr(
-            "contains(substring(html, 1, 1024), X'255044462D')"
+            "contains(substring(html, 1, 2048), X'255044462D')"
             " OR startswith(html, X'504B0304')"
         )
     )

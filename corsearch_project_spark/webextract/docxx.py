@@ -123,24 +123,43 @@ _CORE_TAG_RE = {
 }
 
 
-def docx_core_props(data: bytes) -> dict:
-    """DOCX bytes -> {title, author, subject, created} from
-    docProps/core.xml (ECMA-376 Part 2 §11; Dublin Core elements).
-    ``created`` is W3CDTF, already ISO-8601 — passed through verbatim.
-    Absent file or fields -> None values; never raises."""
+def docx_assets_probe(data: bytes):
+    """ONE zip open answering both questions the assets kernel has:
+    returns None when ``data`` is not a DOCX package (no
+    word/document.xml), else the {title, author, subject, created} dict
+    from docProps/core.xml (all-None when core.xml is absent). The bomb
+    guard checks the DECLARED uncompressed size BEFORE zf.read — checking
+    len() after decompression (the original form) already paid the
+    multi-hundred-MB allocation a crafted deflate bomb forces."""
     out = {"title": None, "author": None, "subject": None, "created": None}
     try:
         with zipfile.ZipFile(io.BytesIO(data)) as zf:
-            if "docProps/core.xml" not in zf.namelist():
+            names = zf.namelist()
+            if "word/document.xml" not in names:
+                return None
+            if "docProps/core.xml" not in names:
+                return out
+            info = zf.getinfo("docProps/core.xml")
+            if info.file_size > 1 << 20:  # bomb guard, pre-decompression
                 return out
             core = zf.read("docProps/core.xml")
-            if len(core) > 1 << 20:  # bomb guard, same cap family as body
-                return out
     except Exception:
-        return out
+        return None
     for key, rx in _CORE_TAG_RE.items():
         m = rx.search(core)
         if m:
             val = _unescape(m.group(1)).strip()
             out[key] = val or None
     return out
+
+
+def docx_core_props(data: bytes) -> dict:
+    """DOCX bytes -> {title, author, subject, created} from
+    docProps/core.xml (ECMA-376 Part 2 §11; Dublin Core elements).
+    ``created`` is W3CDTF, already ISO-8601 — passed through verbatim.
+    Absent file/fields (or a non-DOCX payload) -> None values; never
+    raises."""
+    probe = docx_assets_probe(data)
+    return probe if probe is not None else {
+        "title": None, "author": None, "subject": None, "created": None,
+    }

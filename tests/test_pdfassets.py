@@ -313,3 +313,45 @@ def test_doc_assets_kernel_docx_arm(spark):
         assert g["title"] == w["title"] and g["author"] == w["author"]
         assert g["created"] == w["created"]
         assert g["links"] == [] and g["outline"] == []
+
+
+def test_docx_core_props_bomb_guard_pre_decompression():
+    """A deflate bomb in docProps/core.xml must be rejected by DECLARED
+    size before decompression — the guard must never pay the inflated
+    allocation (reproduced pre-fix: 256 MB peak from a 255 KB zip)."""
+    import io
+    import tracemalloc
+    import zipfile
+
+    from corsearch_project_spark.webextract.docxx import docx_core_props
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("word/document.xml", "<w:document/>")
+        zf.writestr(
+            "docProps/core.xml",
+            b"<dc:title>" + b"A" * (64 << 20) + b"</dc:title>",
+        )
+    tracemalloc.start()
+    out = docx_core_props(buf.getvalue())
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert out["title"] is None
+    assert peak < 20e6  # bounded by the zip bytes, not the inflated size
+
+
+def test_prefilter_window_matches_sniff_head(spark):
+    """A PDF behind ~1.5 KiB of leading whitespace is still 'pdf' to
+    sniff_kind (2 KiB stripped head) — the JVM pre-filter must admit it
+    too, or the row silently vanishes from the catalog."""
+    from corsearch_project_spark.operators.kernel import run_doc_assets_kernel
+    from corsearch_project_spark.webextract.sniff import sniff_kind
+
+    out = []
+    body = make_pdf(random.Random(3), _assets_out=out)
+    padded = b" " * 1500 + body
+    assert sniff_kind(padded) == "pdf"
+    df = spark.createDataFrame([("https://pad.test/x", padded)],
+                               "url string, html binary")
+    rows = run_doc_assets_kernel(df).collect()
+    assert len(rows) == 1 and rows[0]["kind"] == "pdf"
