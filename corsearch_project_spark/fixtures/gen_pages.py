@@ -305,6 +305,8 @@ def make_pdf(
     force_form: bool | None = None,
     force_encrypt: str | None = None,
     _assets_out: list | None = None,
+    force_table: bool = False,
+    _tables_out: list | None = None,
 ) -> bytes:
     """1–3 pages; FlateDecode content streams using only
     BT/ET, Tf, Tm, Td, TD, TL, T*, Tj, TJ, ', Tc, Tw; three font arms —
@@ -542,6 +544,50 @@ def make_pdf(
             text_column(340.0, paras(rng.randint(1, 2), 3, 5))
         else:
             text_column(72.0, paras(rng.randint(1, 3), 5, 9))
+
+        if force_table:
+            # E24 table arm (TEST-ONLY OPT-IN: never rolled in the default
+            # corpus, so frozen goldens and all pre-table corpora stay
+            # byte-identical; material comes from a derived stream so rng /
+            # lay_rng states — and therefore words, arms, and assets of the
+            # same seed — are untouched). A 3–6 row × 3–4 column grid of
+            # short cells at fixed x positions below the body text (body
+            # bottoms out at y≈468; the grid starts at 300), each cell its
+            # own Tm+Tj run. Cells cap at 14 chars so the estimated width
+            # (0.5·size·len ≤ 70 pt) keeps the 138 pt column gutter far
+            # above pdf_tables' cell_gap.
+            tab_rng = random.Random((int(roll * (1 << 53)) ^ 0x7AB1E) + p)
+            n_rows = tab_rng.randint(3, 6)
+            n_cols = tab_rng.randint(3, 4)
+            xs = (72.0, 210.0, 348.0, 486.0)[:n_cols]
+            ty = 300.0
+            ops.append("BT")
+            ops.append("/F1 10 Tf")
+            truth_rows: List[List[str]] = []
+            for _r in range(n_rows):
+                row = []
+                for c in range(n_cols):
+                    cell = " ".join(
+                        tab_rng.choice(_WORDS)
+                        for _ in range(tab_rng.randint(1, 2))
+                    )
+                    if len(cell) > 14:
+                        cell = cell.split(" ")[0]
+                    row.append(cell)
+                    ops.append(f"1 0 0 1 {xs[c]:.1f} {ty:.1f} Tm")
+                    ops.append(f"{_show(cell)} Tj")
+                truth_rows.append(row)
+                ty -= 16.0
+            ops.append("ET")
+            if _tables_out is not None:
+                _tables_out.append(
+                    {
+                        "page": p + 1,
+                        "n_rows": n_rows,
+                        "n_cols": n_cols,
+                        "rows": truth_rows,
+                    }
+                )
 
         content = ("\n".join(ops) + "\n").encode("cp1252", errors="replace")
         if use_form:

@@ -426,3 +426,64 @@ def run_doc_assets_kernel(pages: DataFrame) -> DataFrame:
         )
     )
     return inp.mapInArrow(make_assets_kernel_arrow(), schema=DOC_ASSETS_SCHEMA)
+
+
+def run_pdf_tables_kernel(pages: DataFrame) -> DataFrame:
+    """E24: ruling-free PDF table recovery (webextract/pdfx.py:pdf_tables)
+    as one Arrow-batched Python stage.
+
+    pages(url, html, ...) -> (url, page, table_idx, row_idx, n_cols, cells)
+    with cells '|'-joined in column order — one output row per table row,
+    already exploded kernel-side so no second shuffle or generator stage is
+    needed. The JVM pre-filter is the same ``%PDF-`` head-window predicate
+    as run_doc_assets_kernel (only the PDF share of bytes crosses the Arrow
+    boundary; pdf_tables itself re-validates and returns [] on non-PDF or
+    unsupported-encryption bytes). Non-table PDFs emit nothing — at crawl
+    mix the relation is far smaller than its input, which is why the
+    explode happens inside the kernel instead of as an ARRAY column."""
+    from pyspark.sql import functions as F
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from corsearch_project_spark.webextract.pdfx import pdf_tables
+
+        out_schema = pa.schema(
+            [
+                pa.field("url", pa.string()),
+                pa.field("page", pa.int32()),
+                pa.field("table_idx", pa.int32()),
+                pa.field("row_idx", pa.int32()),
+                pa.field("n_cols", pa.int32()),
+                pa.field("cells", pa.string()),
+            ]
+        )
+        for rb in batches:
+            names = rb.schema.names
+            urls = rb.column(names.index("url")).to_pylist()
+            datas = rb.column(names.index("html")).to_pylist()
+            cols = {name: [] for name in out_schema.names}
+            for url, data in zip(urls, datas):
+                for t_i, tab in enumerate(pdf_tables(bytes(data or b""))):
+                    for r_i, row in enumerate(tab["rows"]):
+                        cols["url"].append(url)
+                        cols["page"].append(tab["page"])
+                        cols["table_idx"].append(t_i)
+                        cols["row_idx"].append(r_i)
+                        cols["n_cols"].append(tab["n_cols"])
+                        cols["cells"].append("|".join(row))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], type=f.type) for f in out_schema],
+                schema=out_schema,
+            )
+
+    inp = pages.select("url", "html").where(
+        F.expr("contains(substring(html, 1, 2048), X'255044462D')")
+    )
+    return inp.mapInArrow(
+        kernel,
+        schema=(
+            "url string, page int, table_idx int, row_idx int, "
+            "n_cols int, cells string"
+        ),
+    )

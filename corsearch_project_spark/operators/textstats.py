@@ -64,6 +64,44 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def sentence_count(text: Column) -> Column:
+    """Sentence count as runs of terminal punctuation (``[.!?]+`` — '...',
+    '?!' etc. end ONE sentence). A trailing fragment with no terminator is
+    not counted; callers clamp with greatest(_, 1). regexp_count is JVM
+    codegen; DuckDB twin is len(regexp_extract_all(...))."""
+    return F.regexp_count(text, F.lit(r"[.!?]+")).cast("long")
+
+
+def syllable_count(text: Column) -> Column:
+    """Syllable approximation: vowel-group runs (``[aeiouy]+``) over the
+    lowercased doc — the classic readability heuristic (each maximal vowel
+    cluster ≈ one syllable; silent-e and zero-vowel tokens are accepted
+    error, documented). Pure codegen, exact SQL twin."""
+    return F.regexp_count(F.lower(text), F.lit(r"[aeiouy]+")).cast("long")
+
+
+def readability(text: Column) -> dict:
+    """Flesch reading-ease + Flesch-Kincaid grade from the three counts.
+
+    Both scores are plain double arithmetic over integer counts in a fixed
+    operand order, so Spark and DuckDB produce bit-identical IEEE doubles
+    (same rule as quality_score): wps = words/max(sentences,1), spw =
+    syllables/max(words,1); flesch = 206.835 - 1.015*wps - 84.6*spw;
+    fk_grade = 0.39*wps + 11.8*spw - 15.59. Rounded to 4 dp."""
+    n_w = token_count(text)
+    n_s = sentence_count(text)
+    n_y = syllable_count(text)
+    wps = n_w.cast("double") / F.greatest(n_s, F.lit(1)).cast("double")
+    spw = n_y.cast("double") / F.greatest(n_w, F.lit(1)).cast("double")
+    return {
+        "n_words": n_w,
+        "n_sentences": n_s,
+        "n_syllables": n_y,
+        "flesch": F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4),
+        "fk_grade": F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4),
+    }
+
+
 def dup_fraction(arr: Column) -> Column:
     """Repetition ratio of an array: 1 - distinct/total, rounded to 6 dp.
 

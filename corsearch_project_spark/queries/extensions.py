@@ -512,3 +512,101 @@ def q_image_neardup(spark, sf_dir):
         F.col("doc_b").alias("media_b"),
         F.col("hamming").cast("int").alias("hamming"),
     )
+
+
+# E24: PDF table extraction — the fixture PDFs cycle through every reader
+# arm (classic/objstm layouts, simple/composite/diffs fonts, RC4/AES-256
+# encryption, Form-XObject indirection) so the driver row certifies table
+# recovery through the full lexer/decrypt/interpret/layout stack, not one
+# happy path.
+_PDF_TABLE_ARMS = (
+    {},
+    {"force_layout": "objstm"},
+    {"force_font": "type0"},
+    {"force_encrypt": "rc4"},
+    {"force_encrypt": "aes256"},
+    {"force_form": True},
+    {"force_font": "diffs"},
+    {"force_layout": "objstm", "force_font": "tounicode"},
+)
+
+
+def _pdf_tables_expected_values(n: int = 8, seed0: int = 1000) -> str:
+    """Pure-Python replay of the table fixture's GENERATOR ground truth
+    (the grid make_pdf drew, not a parse) as a VALUES literal; the Spark
+    side earns the same rows by running the stream-mode detector
+    (pdfx.pdf_tables) over the real PDF bytes."""
+    import random
+
+    from corsearch_project_spark.fixtures.gen_pages import make_pdf
+
+    rows = []
+    for i in range(n):
+        gt: list = []
+        make_pdf(
+            random.Random(seed0 + i),
+            force_table=True,
+            _tables_out=gt,
+            **_PDF_TABLE_ARMS[i % len(_PDF_TABLE_ARMS)],
+        )
+        for t_i, tab in enumerate(gt):
+            for r_i, row in enumerate(tab["rows"]):
+                cells = "|".join(row).replace("'", "''")
+                rows.append(
+                    f"({i}, {tab['page']}, {t_i}, {r_i}, {tab['n_cols']},"
+                    f" '{cells}')"
+                )
+    head = (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+        " CAST(page AS INTEGER) AS page,"
+        " CAST(table_idx AS INTEGER) AS table_idx,"
+        " CAST(row_idx AS INTEGER) AS row_idx,"
+        " CAST(n_cols AS INTEGER) AS n_cols, cells FROM "
+    )
+    return (
+        head
+        + "(VALUES "
+        + ", ".join(rows)
+        + ") AS t(doc_id, page, table_idx, row_idx, n_cols, cells)"
+    )
+
+
+@query(
+    "q_pdf_tables",
+    _pdf_tables_expected_values(),
+    doc="E24 ruling-free PDF table recovery (Tabula/Camelot stream-mode "
+    "heuristic: >=3 consecutive lines of short fragments left-aligned into "
+    ">=3 uniform-pitch columns) as one Arrow-batched kernel stage with a "
+    "JVM %PDF- pre-filter (operators/kernel.py:run_pdf_tables_kernel, "
+    "webextract/pdfx.py:pdf_tables). Fixture PDFs cycle through layout/"
+    "font/encryption/form arms; oracle replays the generator's grid as a "
+    "VALUES literal while Spark re-derives it from the raw bytes.",
+)
+def q_pdf_tables(spark, sf_dir):
+    import random
+
+    from corsearch_project_spark.fixtures.gen_pages import make_pdf
+    from corsearch_project_spark.operators.kernel import run_pdf_tables_kernel
+
+    rows = [
+        (
+            f"pdf://{i}",
+            bytearray(
+                make_pdf(
+                    random.Random(1000 + i),
+                    force_table=True,
+                    **_PDF_TABLE_ARMS[i % len(_PDF_TABLE_ARMS)],
+                )
+            ),
+        )
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(rows, "url string, html binary")
+    return run_pdf_tables_kernel(docs).select(
+        F.expr("CAST(substring(url, 7) AS BIGINT)").alias("doc_id"),
+        "page",
+        "table_idx",
+        "row_idx",
+        "n_cols",
+        "cells",
+    )

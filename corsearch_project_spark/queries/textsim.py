@@ -390,6 +390,51 @@ def q_text_quality(spark, sf_dir):
     )
 
 
+@query(
+    "q_readability",
+    f"""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(len({SQL_WORDS}) AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+                   AS n_sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+                   AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE)
+                            / CAST(greatest(n_sentences, 1) AS DOUBLE))
+                 - 84.6 * (CAST(n_syllables AS DOUBLE)
+                           / CAST(greatest(n_words, 1) AS DOUBLE)),
+                 4) AS flesch,
+           round(0.39 * (CAST(n_words AS DOUBLE)
+                         / CAST(greatest(n_sentences, 1) AS DOUBLE))
+                 + 11.8 * (CAST(n_syllables AS DOUBLE)
+                           / CAST(greatest(n_words, 1) AS DOUBLE))
+                 - 15.59,
+                 4) AS fk_grade
+    FROM m
+    """,
+    doc="Readability metrics (Flesch reading-ease + Flesch-Kincaid grade): "
+    "sentence runs [.!?]+, vowel-group syllable approximation, fixed-order "
+    "double math — pure codegen projection, no shuffle, no Python "
+    "(operators/textstats.py:readability).",
+)
+def q_readability(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    r = X.readability(F.col("text"))
+    return d.select(
+        "doc_id",
+        r["n_words"].alias("n_words"),
+        r["n_sentences"].alias("n_sentences"),
+        r["n_syllables"].alias("n_syllables"),
+        r["flesch"].alias("flesch"),
+        r["fk_grade"].alias("fk_grade"),
+    )
+
+
 _LANG_SQL_HITS = {
     lg: (
         "CAST(len(list_filter(string_split(trim(lower(text)), ' '), "

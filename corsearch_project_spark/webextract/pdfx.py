@@ -1216,6 +1216,20 @@ def lines_to_blocks(lines: List[Line], gap_frac: float) -> List[List[Line]]:
     return blocks
 
 
+def _page_runs(doc: "PdfDoc", page: dict) -> List[Run]:
+    """Resolve a page's resources + content stream(s) into positioned text
+    runs — the shared front half of extract_pdf and pdf_tables."""
+    res = doc.resolve(page.get("/Resources")) or {}
+    if isinstance(res, StreamObj):
+        res = res.d
+    fonts = _fonts_from_res(doc, res) if isinstance(res, dict) else {}
+    xobjs = _xobjects_from_res(doc, res) if isinstance(res, dict) else {}
+    contents = doc.resolve(page.get("/Contents"))
+    parts = contents if isinstance(contents, list) else [contents]
+    content = b"\n".join(doc.stream_bytes(p) for p in parts if p is not None)
+    return interpret_content(doc, content, fonts, xobjs)
+
+
 def extract_pdf(data: bytes, rule: Rule = DEFAULT_RULE):
     """PDF bytes -> (text, spans). Spans index into the emitted text,
     kind = 'pdf:p<page_index>'."""
@@ -1233,15 +1247,7 @@ def extract_pdf(data: bytes, rule: Rule = DEFAULT_RULE):
         return "", []
     out_blocks: List[Tuple[str, str]] = []  # (block_text, kind)
     for pageno, page in enumerate(doc.pages(), start=1):
-        res = doc.resolve(page.get("/Resources")) or {}
-        if isinstance(res, StreamObj):
-            res = res.d
-        fonts = _fonts_from_res(doc, res) if isinstance(res, dict) else {}
-        xobjs = _xobjects_from_res(doc, res) if isinstance(res, dict) else {}
-        contents = doc.resolve(page.get("/Contents"))
-        parts = contents if isinstance(contents, list) else [contents]
-        content = b"\n".join(doc.stream_bytes(p) for p in parts if p is not None)
-        runs = interpret_content(doc, content, fonts, xobjs)
+        runs = _page_runs(doc, page)
         if not runs:
             continue
         for col_runs in cluster_columns(runs, rule.pdf_col_gap):
@@ -1258,6 +1264,107 @@ def extract_pdf(data: bytes, rule: Rule = DEFAULT_RULE):
         text_parts.append(btxt)
         pos += len(btxt) + 1  # joiner
     return "\n".join(text_parts), spans
+
+
+# ---------------------------------------------------------------------------
+# E24: ruling-free table detection (stream mode) over the layout runs
+# ---------------------------------------------------------------------------
+# Classic whitespace-alignment table recovery (the Tabula/Camelot "stream"
+# family, from the published heuristics — no ruling lines needed, which
+# crawl-PDF tables routinely lack once filters strip vector graphics):
+# a table is a maximal group of >=3 consecutive text lines whose short
+# fragments left-align into the same >=min_cols x-positions at uniform
+# vertical pitch. Precision-oriented by design: 2-column groups are NOT
+# reported by default because ruling-free stream mode cannot distinguish
+# a 2-column table from 2-column prose (the same documented limitation the
+# public stream-mode extractors carry); callers that know their domain has
+# no multi-column prose can lower min_cols.
+
+
+def _line_cells(ln: Line, cell_gap: float) -> List[Tuple[float, str]]:
+    """Merge a line's x-sorted fragments into cells: a new cell starts when
+    the gap from the previous fragment's estimated right edge exceeds
+    cell_gap (TJ kerning splits sit ~3 pt apart and re-merge; genuine cell
+    gutters are tens of points). Width estimate matches cluster_columns'."""
+    frags = sorted(ln.texts, key=lambda p: p[0])
+    cells: List[List[object]] = []  # [x0, right_edge, parts]
+    for x, txt in frags:
+        w = 0.5 * ln.size * max(len(txt), 1)
+        if cells and x - cells[-1][1] <= cell_gap:
+            cells[-1][1] = max(cells[-1][1], x + w)
+            cells[-1][2].append(txt)
+        else:
+            cells.append([x, x + w, [txt]])
+    return [(c[0], " ".join(c[2])) for c in cells]
+
+
+def pdf_tables(
+    data: bytes,
+    rule: Rule = DEFAULT_RULE,
+    min_cols: int = 3,
+    min_rows: int = 3,
+    cell_gap: float = 18.0,
+    align_tol: float = 3.0,
+    pitch_tol: float = 1.5,
+    max_cell_tokens: int = 3,
+) -> List[dict]:
+    """PDF bytes -> detected tables, each
+    ``{"page", "n_rows", "n_cols", "rows": [[cell, ...], ...]}``
+    in reading order. Body streams of supported encrypted documents are
+    decrypted transparently (same path as extract_pdf); unsupported
+    encryption returns [] (skip-don't-raise)."""
+    try:
+        doc = PdfDoc(data)
+    except Exception:
+        return []
+    if getattr(doc, "encrypted_unsupported", False):
+        return []
+    out: List[dict] = []
+    for pageno, page in enumerate(doc.pages(), start=1):
+        runs = _page_runs(doc, page)
+        if not runs:
+            continue
+        lines = sorted(
+            cluster_lines(runs, rule.pdf_line_tol), key=lambda l: (-l.y, l.x0)
+        )
+        cells_per_line = [_line_cells(ln, cell_gap) for ln in lines]
+
+        def flush(group: List[int]) -> None:
+            if len(group) < min_rows:
+                return
+            rows = [[txt for _, txt in cells_per_line[i]] for i in group]
+            out.append(
+                {
+                    "page": pageno,
+                    "n_rows": len(rows),
+                    "n_cols": len(rows[0]),
+                    "rows": rows,
+                }
+            )
+
+        group: List[int] = []
+        for i, cells in enumerate(cells_per_line):
+            ok_shape = len(cells) >= min_cols and all(
+                len(txt.split(" ")) <= max_cell_tokens for _, txt in cells
+            )
+            if ok_shape and group:
+                prev = cells_per_line[group[-1]]
+                aligned = len(cells) == len(prev) and all(
+                    abs(a[0] - b[0]) <= align_tol for a, b in zip(cells, prev)
+                )
+                pitch = lines[group[-1]].y - lines[i].y
+                if len(group) >= 2:
+                    pitch0 = lines[group[0]].y - lines[group[1]].y
+                    uniform = abs(pitch - pitch0) <= pitch_tol
+                else:
+                    uniform = True
+                if aligned and uniform and pitch > 0:
+                    group.append(i)
+                    continue
+            flush(group)
+            group = [i] if ok_shape else []
+        flush(group)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -652,3 +652,33 @@ def test_curate_increment_chain_sees_whole_corpus(spark, tmp_path):
                spark.read.parquet(repB["signatures_path"]).collect()}
     assert {"https://b.test/one", "https://a.test/fresh",
             "https://c.test/exact_batch"} <= sig_ids
+
+
+def test_readability_counts_and_scores(spark):
+    """readability(): vowel-group syllables, [.!?]+ sentence runs (an
+    ellipsis or '?!' ends ONE sentence), zero-terminator and zero-vowel
+    edges clamp via greatest(_, 1), and the Flesch / FK formulas match a
+    hand computation in fixed operand order."""
+    from corsearch_project_spark.operators.textstats import readability
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "The cat sat."),           # 3 words, 1 sentence, 3 syllables
+        (2, "Wait... really?! Yes."),  # 3 sentence runs
+        (3, "no terminator here"),     # 0 sentences -> clamp to 1
+        (4, "xkcd grr"),               # 0 vowel groups
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = readability(F.col("text"))
+    got = {
+        row["doc_id"]: row
+        for row in df.select("doc_id", *[v.alias(k) for k, v in r.items()]).collect()
+    }
+    assert (got[1]["n_words"], got[1]["n_sentences"], got[1]["n_syllables"]) == (3, 1, 3)
+    assert got[1]["flesch"] == round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 4)
+    assert got[1]["fk_grade"] == round(0.39 * 3.0 + 11.8 * 1.0 - 15.59, 4)
+    assert got[2]["n_sentences"] == 3
+    assert got[3]["n_sentences"] == 0
+    # clamp: wps uses max(sentences, 1) so the score is finite
+    assert got[3]["flesch"] is not None
+    assert got[4]["n_syllables"] == 0
