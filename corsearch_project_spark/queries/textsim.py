@@ -733,3 +733,48 @@ def q_url_canonical(spark, sf_dir):
             F.min("doc_id").alias("canonical_doc_id"),
         )
     )
+
+
+@query(
+    "q_embed_pca",
+    """
+    WITH q AS (
+        SELECT list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT)) AS e
+        FROM embeddings
+    ),
+    g AS (
+        SELECT CAST(ri.i AS INTEGER) AS i, CAST(rj.j AS INTEGER) AS j,
+               CAST(SUM(e[CAST(ri.i AS INTEGER) + 1]
+                        * e[CAST(rj.j AS INTEGER) + 1]) AS BIGINT) AS value
+        FROM q, range(64) ri(i), range(64) rj(j)
+        WHERE rj.j >= ri.i
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT CAST(r.i AS INTEGER) AS i, CAST(-1 AS INTEGER) AS j,
+               CAST(SUM(e[CAST(r.i AS INTEGER) + 1]) AS BIGINT) AS value
+        FROM q, range(64) r(i)
+        GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT CAST(-1 AS INTEGER) AS i, CAST(-1 AS INTEGER) AS j,
+               CAST(COUNT(*) AS BIGINT) AS value
+        FROM q
+    )
+    SELECT i, j, value FROM g
+    UNION ALL SELECT i, j, value FROM s
+    UNION ALL SELECT i, j, value FROM c
+    """,
+    doc="Distributed PCA sufficient statistics (operators/pca.py): quantized "
+    "Gramian upper triangle + column sums + count in ONE Arrow matmul pass "
+    "whose per-batch numpy reduce IS the map-side combine, then a single "
+    "~2k-key partial/final BIGINT agg — shuffle volume is #tasks x 2145 "
+    "rows at any input size; all-integer math makes the DuckDB twin exact. "
+    "The driver-side eigh finish + broadcast projection (pca_components / "
+    "pca_project) are pytest-verified (not SQL-expressible).",
+)
+def q_embed_pca(spark, sf_dir):
+    from corsearch_project_spark.operators.pca import embedding_stats
+
+    return embedding_stats(t(spark, sf_dir, "embeddings"))
