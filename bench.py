@@ -127,6 +127,9 @@ BENCH_QUERIES = [
     "q_cdc_chunks",  # round 4: content-defined chunk dedup census
     "q_hll_distinct",  # round 4: HLL register sketch vs exact distinct
     "q_winnow_spans",  # round 4: MOSS winnowing fingerprint census
+    "q_readability",  # round 4 cont.: Flesch/FK codegen projection
+    "q_pdf_tables",  # round 4 cont.: stream-mode table recovery kernel
+    "q_embed_pca",  # round 4 cont.: one-pass PCA sufficient statistics
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

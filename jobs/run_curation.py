@@ -62,6 +62,8 @@ def run_curation(
     ppl_drop_tail: bool = False,
     cascade_stopwords: tuple = (),
     rep_quality: bool = False,
+    model_weights: dict | None = None,
+    min_model_score: float | None = None,
 ):
     ext = spark.read.parquet(input_path).select(
         "url", "extracted_text", "text_sha256", "url_bucket"
@@ -85,12 +87,26 @@ def run_curation(
         X.quality_score(text).alias("quality"),
         X.lang_id(text).alias("pred_lang"),
         X.fingerprint(text, 4).alias("fingerprint"),
-        # model-based quality margin (operators/classifier.py) — recorded,
-        # not gated: the hash-derived stand-in weights are ~symmetric, so a
-        # threshold would drop a random half; a TRAINED model's bucket
-        # table plugs into the same column and THEN the keep rule gains
-        # `model_score >= tau`.
-        C.score_expr(text).alias("model_score"),
+        # model-based quality margin (operators/classifier.py). With
+        # --model-weights (jobs/train_quality.py output) the TRAINED bucket
+        # table replaces the hash-derived stand-in — same column, same
+        # zero-shuffle projection — and the keep rule gains
+        # `model_score >= --min-model-score`. Without it the stand-in is
+        # recorded but never gated (its ~symmetric weights would drop a
+        # random half).
+        (
+            F.round(
+                C.trained_score_expr(
+                    text,
+                    model_weights["weights"],
+                    model_weights.get("intercept", 0.0),
+                    model_weights.get("n_buckets", C.N_BUCKETS),
+                ),
+                6,
+            )
+            if model_weights
+            else C.score_expr(text)
+        ).alias("model_score"),
         # first-failing-reason verdict (operators/textstats.cascade_verdict)
         # — always recorded (a free projection riding the same scan), gated
         # into keep only under --cascade: reason attribution is the audit
@@ -240,6 +256,11 @@ def run_curation(
                 else F.lit(True)
             )
             & (
+                (F.col("model_score") >= float(min_model_score))
+                if (model_weights and min_model_score is not None)
+                else F.lit(True)
+            )
+            & (
                 # docs too short to score (<2 tokens) carry a null bucket;
                 # they are judged by the n_tokens gate, not the LM
                 F.coalesce(F.col("ppl_bucket") != "tail", F.lit(True))
@@ -306,6 +327,12 @@ def run_curation(
         "near_dup_docs": out.where("near_dup_degree > 0").count(),
         "near_dup_clusters": out.where("url = near_dup_component").count(),
         "rep_mode": "quality" if rep_quality else "min_url",
+        "model": "trained" if model_weights else "hash_standin",
+        "model_dropped": (
+            out.where(f"NOT keep AND model_score < {float(min_model_score)}").count()
+            if (model_weights and min_model_score is not None)
+            else None
+        ),
         "substring_dup_dropped": out.where(
             f"substring_dup_fraction > {max_substring_dup}"
         ).count(),
@@ -346,6 +373,13 @@ def main(argv=None) -> int:
     ap.add_argument("--ppl-drop-tail", action="store_true",
                     help="train the CCNet bigram LM on the hash-split "
                          "slice and drop the worst perplexity tercile")
+    ap.add_argument("--model-weights", default=None,
+                    help="weights JSON from jobs/train_quality.py; replaces "
+                         "the hash-derived model_score stand-in with the "
+                         "trained margin")
+    ap.add_argument("--min-model-score", type=float, default=None,
+                    help="gate keep on the trained margin (requires "
+                         "--model-weights; 0.0 = the decision boundary)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
     if not os.path.exists(args.input):
@@ -355,6 +389,14 @@ def main(argv=None) -> int:
     if args.blocklist_json:
         with open(args.blocklist_json) as f:
             blocklist = json.load(f)
+    model_weights = None
+    if args.model_weights:
+        with open(args.model_weights) as f:
+            model_weights = json.load(f)
+    elif args.min_model_score is not None:
+        print("error: --min-model-score requires --model-weights",
+              file=sys.stderr)
+        return 1
     spark = build_session("run_curation", master=args.master)
     report = run_curation(spark, args.input, args.output, args.min_quality,
                           args.max_substring_dup, blocklist=blocklist,
@@ -363,7 +405,9 @@ def main(argv=None) -> int:
                           cascade_stopwords=tuple(
                               w for w in args.cascade_stopwords.split(",") if w
                           ),
-                          rep_quality=args.rep_quality)
+                          rep_quality=args.rep_quality,
+                          model_weights=model_weights,
+                          min_model_score=args.min_model_score)
     print(json.dumps(report, default=str))
     return 0
 

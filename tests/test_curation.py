@@ -682,3 +682,83 @@ def test_readability_counts_and_scores(spark):
     # clamp: wps uses max(sentences, 1) so the score is finite
     assert got[3]["flesch"] is not None
     assert got[4]["n_syllables"] == 0
+
+
+def test_train_quality_cli_and_model_gated_curation(spark, tmp_path, capsys):
+    """End-to-end CCNet-style model filter: train on trusted-vs-crawl
+    extracted tables (jobs/train_quality.py), then curate with
+    --model-weights / --min-model-score and check the trained margin —
+    not the hash stand-in — gates keep."""
+    import hashlib
+    import json
+    import os
+    import random
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import run_curation as CUR
+    import train_quality as TQ
+
+    rng = random.Random(17)
+    common = ["the", "and", "with", "for", "page", "report"]
+    pos_v = ["science", "museum", "archive", "research", "culture"]
+    neg_v = ["casino", "pills", "winner", "bonus", "cheap"]
+
+    def mk(n, vocab, host):
+        rows = []
+        for i in range(n):
+            words = [rng.choice(vocab if rng.random() < 0.6 else common)
+                     for _ in range(rng.randint(15, 30))]
+            # unique token guards against exact/near-dup collapse
+            text = " ".join(words) + f" marker{host}{i}"
+            url = f"https://{host}.example.com/d{i}"
+            rows.append((url, text,
+                         hashlib.sha256(text.encode()).hexdigest(), i % 4))
+        return rows
+
+    schema = "url string, extracted_text string, text_sha256 string, url_bucket int"
+    pos_path = os.path.join(str(tmp_path), "pos")
+    neg_path = os.path.join(str(tmp_path), "neg")
+    spark.createDataFrame(mk(80, pos_v, "wiki"), schema).write.parquet(pos_path)
+    spark.createDataFrame(mk(80, neg_v, "spam"), schema).write.parquet(neg_path)
+
+    weights_path = os.path.join(str(tmp_path), "w.json")
+    rc = TQ.main(["--positive", pos_path, "--negative", neg_path,
+                  "--output", weights_path, "--max-iter", "40",
+                  "--max-per-class", "0"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert rc == 0
+    rep = json.loads(out)
+    assert rep["holdout_accuracy"] is None or rep["holdout_accuracy"] >= 0.9
+    w = json.load(open(weights_path))
+    assert len(w["weights"]) == w["n_buckets"]
+
+    # curate a mixed table with the trained gate at the decision boundary
+    mixed_path = os.path.join(str(tmp_path), "mixed")
+    mixed = mk(30, pos_v, "goodmix") + mk(30, neg_v, "badmix")
+    spark.createDataFrame(mixed, schema).write.parquet(mixed_path)
+    cur_out = os.path.join(str(tmp_path), "cur")
+    rc = CUR.main(["--input", mixed_path, "--output", cur_out,
+                   "--min-quality", "0.0",
+                   "--model-weights", weights_path,
+                   "--min-model-score", "0.0"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert rc == 0
+    report = json.loads(out)
+    assert report["model"] == "trained"
+    cur = spark.read.parquet(os.path.join(cur_out, "curated"))
+    rows = cur.collect()
+    good = [r for r in rows if "goodmix" in r["url"]]
+    bad = [r for r in rows if "badmix" in r["url"]]
+    # the trained margin separates the two hosts
+    good_kept = sum(1 for r in good if r["keep"]) / len(good)
+    bad_kept = sum(1 for r in bad if r["keep"]) / len(bad)
+    assert good_kept >= 0.9, good_kept
+    assert bad_kept <= 0.1, bad_kept
+    assert report["model_dropped"] >= len(bad) * 0.9
+
+    # --min-model-score without --model-weights is refused
+    rc = CUR.main(["--input", mixed_path, "--output", cur_out + "2",
+                   "--min-model-score", "0.0"])
+    capsys.readouterr()
+    assert rc == 1
