@@ -933,6 +933,7 @@ def make_docx(
     rng: random.Random,
     force_table: bool | None = None,
     _assets_out: list | None = None,
+    _tables_out: list | None = None,
 ) -> bytes:
     """Deterministic WordprocessingML document: 2-6 paragraphs of seeded
     words (with XML-escaped characters and charrefs sprinkled in), an
@@ -959,14 +960,24 @@ def make_docx(
         # Join WHOLE cells per row — slicing the concatenated string at its
         # character midpoint landed mid-tag and (in ~12% of seeds) broke a
         # </w:t> closer, silently dropping that cell's text (round-2 ADVICE).
+        cell_texts = [_sentence(rng, 3, 5) for _ in range(4)]
         cells = [
-            f"<w:tc><w:p ><w:r><w:t>{esc(_sentence(rng, 3, 5))}</w:t></w:r></w:p></w:tc>"
-            for _ in range(4)
+            f"<w:tc><w:p ><w:r><w:t>{esc(s)}</w:t></w:r></w:p></w:tc>"
+            for s in cell_texts
         ]
         table = (
             f"<w:tbl><w:tr>{''.join(cells[:2])}</w:tr>"
             f"<w:tr>{''.join(cells[2:])}</w:tr></w:tbl>"
         )
+        if _tables_out is not None:
+            _tables_out.append(
+                {
+                    "page": 0,
+                    "n_rows": 2,
+                    "n_cols": 2,
+                    "rows": [cell_texts[:2], cell_texts[2:]],
+                }
+            )
     body = "".join(paras) + table
     doc_xml = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'

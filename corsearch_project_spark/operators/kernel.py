@@ -428,29 +428,36 @@ def run_doc_assets_kernel(pages: DataFrame) -> DataFrame:
     return inp.mapInArrow(make_assets_kernel_arrow(), schema=DOC_ASSETS_SCHEMA)
 
 
-def run_pdf_tables_kernel(pages: DataFrame) -> DataFrame:
-    """E24: ruling-free PDF table recovery (webextract/pdfx.py:pdf_tables)
-    as one Arrow-batched Python stage.
+def run_doc_tables_kernel(pages: DataFrame) -> DataFrame:
+    """E24: document table recovery as one Arrow-batched Python stage —
+    PDF rows via the ruling-free stream-mode detector
+    (webextract/pdfx.py:pdf_tables), DOCX rows via exact <w:tbl> markup
+    walking (webextract/docxx.py:docx_tables; page = 0, DOCX has no page
+    concept).
 
-    pages(url, html, ...) -> (url, page, table_idx, row_idx, n_cols, cells)
-    with cells '|'-joined in column order — one output row per table row,
-    already exploded kernel-side so no second shuffle or generator stage is
-    needed. The JVM pre-filter is the same ``%PDF-`` head-window predicate
-    as run_doc_assets_kernel (only the PDF share of bytes crosses the Arrow
-    boundary; pdf_tables itself re-validates and returns [] on non-PDF or
-    unsupported-encryption bytes). Non-table PDFs emit nothing — at crawl
-    mix the relation is far smaller than its input, which is why the
-    explode happens inside the kernel instead of as an ARRAY column."""
+    pages(url, html, ...) -> (url, kind, page, table_idx, row_idx, n_cols,
+    cells) with cells '|'-joined in column order — one output row per table
+    row, already exploded kernel-side so no second shuffle or generator
+    stage is needed. The JVM pre-filter is the same document predicate as
+    run_doc_assets_kernel (%PDF- in the 2 KiB head window OR the PK zip
+    magic — only the document share of bytes crosses the Arrow boundary);
+    both extractors re-validate and return [] on non-document bytes,
+    unsupported encryption, or non-DOCX zips. Table-less documents emit
+    nothing — at crawl mix the relation is far smaller than its input,
+    which is why the explode happens inside the kernel instead of as an
+    ARRAY column."""
     from pyspark.sql import functions as F
 
     def kernel(batches):
         import pyarrow as pa
 
+        from corsearch_project_spark.webextract.docxx import docx_tables
         from corsearch_project_spark.webextract.pdfx import pdf_tables
 
         out_schema = pa.schema(
             [
                 pa.field("url", pa.string()),
+                pa.field("kind", pa.string()),
                 pa.field("page", pa.int32()),
                 pa.field("table_idx", pa.int32()),
                 pa.field("row_idx", pa.int32()),
@@ -464,9 +471,15 @@ def run_pdf_tables_kernel(pages: DataFrame) -> DataFrame:
             datas = rb.column(names.index("html")).to_pylist()
             cols = {name: [] for name in out_schema.names}
             for url, data in zip(urls, datas):
-                for t_i, tab in enumerate(pdf_tables(bytes(data or b""))):
+                data = bytes(data or b"")
+                if data.startswith(b"PK\x03\x04"):
+                    kind, tables = "docx", docx_tables(data)
+                else:
+                    kind, tables = "pdf", pdf_tables(data)
+                for t_i, tab in enumerate(tables):
                     for r_i, row in enumerate(tab["rows"]):
                         cols["url"].append(url)
+                        cols["kind"].append(kind)
                         cols["page"].append(tab["page"])
                         cols["table_idx"].append(t_i)
                         cols["row_idx"].append(r_i)
@@ -478,12 +491,15 @@ def run_pdf_tables_kernel(pages: DataFrame) -> DataFrame:
             )
 
     inp = pages.select("url", "html").where(
-        F.expr("contains(substring(html, 1, 2048), X'255044462D')")
+        F.expr(
+            "contains(substring(html, 1, 2048), X'255044462D')"
+            " OR startswith(html, X'504B0304')"
+        )
     )
     return inp.mapInArrow(
         kernel,
         schema=(
-            "url string, page int, table_idx int, row_idx int, "
-            "n_cols int, cells string"
+            "url string, kind string, page int, table_idx int, "
+            "row_idx int, n_cols int, cells string"
         ),
     )

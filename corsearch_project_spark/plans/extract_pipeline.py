@@ -71,6 +71,12 @@ class ExtractConfig:
     # before the Python boundary — the scan re-reads the binary column,
     # the kernel only parses the document share.
     with_doc_assets: bool = False
+    # Opt-in document-tables catalog (E24): <root>/doc_tables — PDF tables
+    # via the ruling-free stream-mode detector, DOCX tables via exact
+    # <w:tbl> walking, one row per table row (kernel-side explode). Same
+    # separate-pass rationale as doc_assets: backfillable, and only the
+    # document share carries tables.
+    with_doc_tables: bool = False
 
     def __post_init__(self):
         if not self.run_id:
@@ -91,6 +97,10 @@ class ExtractConfig:
     @property
     def doc_assets_path(self) -> str:
         return self.output_path.rstrip("/") + "/doc_assets"
+
+    @property
+    def doc_tables_path(self) -> str:
+        return self.output_path.rstrip("/") + "/doc_tables"
 
 
 def dedupe_latest(pages: DataFrame) -> DataFrame:
@@ -225,6 +235,16 @@ def run_extract(
             assets.repartition(cfg.buckets, "url_bucket"), cfg.doc_assets_path
         )
         mark("doc_assets")
+
+    if cfg.with_doc_tables:
+        from corsearch_project_spark.operators.kernel import run_doc_tables_kernel
+
+        tables = run_doc_tables_kernel(pages.select("url", "html"))
+        tables = with_url_bucket(tables, cfg.buckets)
+        fmt.write_extracted(
+            tables.repartition(cfg.buckets, "url_bucket"), cfg.doc_tables_path
+        )
+        mark("doc_tables")
 
     # ONE job over the committed table computes every post-commit artifact:
     # per-bucket lineage rows are collected (B rows — tiny), the bucket list

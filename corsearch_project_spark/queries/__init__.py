@@ -59,7 +59,7 @@ _SWEEP_FIRST = [
 _SWEEP_OVERFLOW = [
     # newest registrations (never driver-swept) queue at the head so the
     # round-5 window recompute picks them up first
-    "q_pdf_tables", "q_readability", "q_embed_pca",
+    "q_pdf_tables", "q_docx_tables", "q_readability", "q_embed_pca",
     "q_filter_cascade", "q_lm_perplexity", "q_bitext_mine",
     "q_dsir_weights", "q_cdc_chunks", "q_hll_distinct",
     "q_winnow_spans",

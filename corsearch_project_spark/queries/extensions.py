@@ -586,7 +586,7 @@ def q_pdf_tables(spark, sf_dir):
     import random
 
     from corsearch_project_spark.fixtures.gen_pages import make_pdf
-    from corsearch_project_spark.operators.kernel import run_pdf_tables_kernel
+    from corsearch_project_spark.operators.kernel import run_doc_tables_kernel
 
     rows = [
         (
@@ -602,10 +602,69 @@ def q_pdf_tables(spark, sf_dir):
         for i in range(8)
     ]
     docs = spark.createDataFrame(rows, "url string, html binary")
-    return run_pdf_tables_kernel(docs).select(
+    return run_doc_tables_kernel(docs).select(
         F.expr("CAST(substring(url, 7) AS BIGINT)").alias("doc_id"),
         "page",
         "table_idx",
+        "row_idx",
+        "n_cols",
+        "cells",
+    )
+
+
+def _docx_tables_expected_values(n: int = 10, seed0: int = 500) -> str:
+    """Generator-truth replay for the DOCX arm (make_docx's 2x2 grid)."""
+    import random
+
+    from corsearch_project_spark.fixtures.gen_pages import make_docx
+
+    rows = []
+    for i in range(n):
+        gt: list = []
+        make_docx(random.Random(seed0 + i), force_table=True, _tables_out=gt)
+        for tab in gt:
+            for r_i, row in enumerate(tab["rows"]):
+                cells = "|".join(row).replace("'", "''")
+                rows.append(f"({i}, {r_i}, {tab['n_cols']}, '{cells}')")
+    head = (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+        " CAST(row_idx AS INTEGER) AS row_idx,"
+        " CAST(n_cols AS INTEGER) AS n_cols, cells FROM "
+    )
+    return (
+        head
+        + "(VALUES "
+        + ", ".join(rows)
+        + ") AS t(doc_id, row_idx, n_cols, cells)"
+    )
+
+
+@query(
+    "q_docx_tables",
+    _docx_tables_expected_values(),
+    doc="E24 DOCX arm: tables are explicit WordprocessingML markup "
+    "(<w:tbl>/<w:tr>/<w:tc>), recovered by exact markup walking with run "
+    "unescaping (webextract/docxx.py:docx_tables) through the same "
+    "document-tables Arrow kernel as the PDF stream-mode detector. Oracle "
+    "replays the generator's grid; Spark re-derives it from real OOXML "
+    "zip bytes.",
+)
+def q_docx_tables(spark, sf_dir):
+    import random
+
+    from corsearch_project_spark.fixtures.gen_pages import make_docx
+    from corsearch_project_spark.operators.kernel import run_doc_tables_kernel
+
+    rows = [
+        (
+            f"dcx://{i}",
+            bytearray(make_docx(random.Random(500 + i), force_table=True)),
+        )
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "url string, html binary")
+    return run_doc_tables_kernel(docs).select(
+        F.expr("CAST(substring(url, 7) AS BIGINT)").alias("doc_id"),
         "row_idx",
         "n_cols",
         "cells",

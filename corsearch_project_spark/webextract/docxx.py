@@ -163,3 +163,57 @@ def docx_core_props(data: bytes) -> dict:
     return probe if probe is not None else {
         "title": None, "author": None, "subject": None, "created": None,
     }
+
+
+# ---------------------------------------------------------------------------
+# E24 DOCX arm: tables are EXPLICIT in WordprocessingML (<w:tbl>/<w:tr>/
+# <w:tc>), so recovery here is exact markup walking — the structural
+# counterpart of the PDF side's whitespace-alignment inference. Same output
+# shape as pdfx.pdf_tables so both feed one doc_tables catalog; DOCX has no
+# page concept, so rows carry page = 0.
+# ---------------------------------------------------------------------------
+
+_TBL_RE = re.compile(rb"<w:tbl[ >].*?</w:tbl>|<w:tbl>.*?</w:tbl>", re.S)
+_TR_RE = re.compile(rb"<w:tr[ >].*?</w:tr>|<w:tr>.*?</w:tr>", re.S)
+_TC_RE = re.compile(rb"<w:tc[ >].*?</w:tc>|<w:tc>.*?</w:tc>", re.S)
+
+
+def docx_tables(data: bytes, rule: Rule = DEFAULT_RULE) -> List[dict]:
+    """DOCX bytes -> tables ``{"page": 0, "n_rows", "n_cols", "rows"}``
+    in document order. Cell text is the run extraction (unescape, tab/br
+    as space, ws-normalized) of everything inside the <w:tc>. Ragged rows
+    keep their own widths; n_cols reports the FIRST row's width (header
+    convention). Malformed input degrades to [] — never raises."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(data))
+        info = zf.getinfo("word/document.xml")
+        if info.file_size > 8 * rule.max_doc_bytes:
+            return []
+        xml = zf.read(info)
+    except Exception:
+        return []
+    out: List[dict] = []
+    for tm in _TBL_RE.finditer(xml):
+        rows: List[List[str]] = []
+        for trm in _TR_RE.finditer(tm.group(0)):
+            cells: List[str] = []
+            for tcm in _TC_RE.finditer(trm.group(0)):
+                parts: List[str] = []
+                for rm in _RUN_RE.finditer(tcm.group(0)):
+                    if rm.group(1) is not None:
+                        parts.append(_unescape(rm.group(1)))
+                    else:
+                        parts.append(" ")
+                cells.append(normalize_ws("".join(parts)))
+            if cells:
+                rows.append(cells)
+        if rows:
+            out.append(
+                {
+                    "page": 0,
+                    "n_rows": len(rows),
+                    "n_cols": len(rows[0]),
+                    "rows": rows,
+                }
+            )
+    return out

@@ -44,6 +44,10 @@ def main(argv=None) -> int:
                          "(PDF /Info metadata + link URIs + outline; DOCX "
                          "core properties) via a document-filtered second "
                          "kernel pass")
+    ap.add_argument("--with-doc-tables", action="store_true",
+                    help="also write the <output>/doc_tables catalog table "
+                         "(PDF stream-mode table recovery + DOCX <w:tbl> "
+                         "rows) via a document-filtered second kernel pass")
     ap.add_argument("--kernel-partitions", type=int, default=None)
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
@@ -74,6 +78,7 @@ def main(argv=None) -> int:
         kernel_partitions=args.kernel_partitions,
         with_markdown=args.with_markdown,
         with_doc_assets=args.with_doc_assets,
+        with_doc_tables=args.with_doc_tables,
     )
     import time
 

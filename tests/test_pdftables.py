@@ -1,5 +1,6 @@
 """E24 ruling-free PDF table recovery (webextract/pdfx.py:pdf_tables +
-operators/kernel.py:run_pdf_tables_kernel).
+operators/kernel.py:run_doc_tables_kernel) plus the DOCX markup arm
+(webextract/docxx.py:docx_tables) and the --with-doc-tables catalog.
 
 The fixture arm (gen_pages.make_pdf(force_table=True)) draws its grid from
 a derived rng stream, so the SAME seed yields the SAME words/arms/assets
@@ -97,7 +98,29 @@ def test_encrypted_unsupported_returns_empty():
     assert pdfcrypt is not None  # imported = decrypt path exercised above
 
 
-def test_spark_kernel_matches_single_process(spark):
+def test_docx_tables_match_generator_truth():
+    from corsearch_project_spark.fixtures.gen_pages import make_docx
+    from corsearch_project_spark.webextract.docxx import docx_tables
+
+    for seed in range(12):
+        gt: list = []
+        doc = make_docx(random.Random(seed), force_table=True, _tables_out=gt)
+        assert _norm(docx_tables(doc)) == _norm(gt), seed
+        # table-less render of the same seed yields nothing
+        assert docx_tables(make_docx(random.Random(seed), force_table=False)) == []
+
+
+def test_docx_tables_total_on_garbage():
+    from corsearch_project_spark.webextract.docxx import docx_tables
+
+    assert docx_tables(b"") == []
+    assert docx_tables(b"PK\x03\x04 not a zip really") == []
+    assert docx_tables(b"%PDF-1.4") == []
+
+
+def test_spark_kernel_matches_single_process_mixed_kinds(spark):
+    from corsearch_project_spark.fixtures.gen_pages import make_docx
+
     rows = []
     want = []
     for i in range(6):
@@ -112,32 +135,137 @@ def test_spark_kernel_matches_single_process(spark):
         for t_i, tab in enumerate(gt):
             for r_i, row in enumerate(tab["rows"]):
                 want.append(
-                    (f"u{i}", tab["page"], t_i, r_i, tab["n_cols"],
+                    (f"u{i}", "pdf", tab["page"], t_i, r_i, tab["n_cols"],
                      "|".join(row))
                 )
-    from corsearch_project_spark.operators.kernel import run_pdf_tables_kernel
+    for i in range(3):
+        gt = []
+        doc = make_docx(random.Random(200 + i), force_table=True,
+                        _tables_out=gt)
+        rows.append((f"d{i}", bytearray(doc)))
+        for t_i, tab in enumerate(gt):
+            for r_i, row in enumerate(tab["rows"]):
+                want.append(
+                    (f"d{i}", "docx", 0, t_i, r_i, tab["n_cols"],
+                     "|".join(row))
+                )
+    from corsearch_project_spark.operators.kernel import run_doc_tables_kernel
 
     docs = spark.createDataFrame(rows, "url string, html binary")
-    out = run_pdf_tables_kernel(docs)
+    out = run_doc_tables_kernel(docs)
     got = sorted(tuple(r) for r in out.collect())
     assert got == sorted(want)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInArrow") + plan.count("ArrowEvalPython") == 1
 
 
-def test_kernel_prefilters_non_pdf_rows(spark):
-    """HTML rows must be dropped JVM-side (the %PDF- head predicate), and
-    a quoting HTML page that sneaks past it must be dropped by the
-    detector's own validation, not crash the kernel."""
-    from corsearch_project_spark.operators.kernel import run_pdf_tables_kernel
+def test_kernel_prefilters_non_document_rows(spark):
+    """HTML rows must be dropped JVM-side (the document-magic predicate);
+    a quoting HTML page that sneaks past it and a non-DOCX zip must be
+    dropped by the extractors' own validation, not crash the kernel."""
+    import io
+    import zipfile
+
+    from corsearch_project_spark.operators.kernel import run_doc_tables_kernel
 
     gt: list = []
     pdf = make_pdf(random.Random(11), force_table=True, _tables_out=gt)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("data.txt", "not a docx")
     rows = [
         ("u_pdf", bytearray(pdf)),
         ("u_html", bytearray(b"<html><body>hello</body></html>")),
         ("u_quote", bytearray(b"<p>the magic is %PDF-1.4 quoted</p>")),
+        ("u_zip", bytearray(buf.getvalue())),
     ]
     docs = spark.createDataFrame(rows, "url string, html binary")
-    got = run_pdf_tables_kernel(docs).collect()
+    got = run_doc_tables_kernel(docs).collect()
     assert {r["url"] for r in got} == {"u_pdf"}
+
+
+def test_pipeline_with_doc_tables_writes_catalog(spark, tmp_path):
+    """--with-doc-tables end-to-end: the catalog lands bucketed beside the
+    extracted table and every row reproduces the single-process extraction
+    for its url."""
+    import os
+
+    from corsearch_project_spark.fixtures.gen_pages import (
+        gen_pages,
+        pages_to_pandas,
+    )
+    from corsearch_project_spark.plans.extract_pipeline import (
+        ExtractConfig,
+        run_extract,
+    )
+    from corsearch_project_spark.webextract.docxx import docx_tables
+    from corsearch_project_spark.webextract.sniff import sniff_kind
+
+    from corsearch_project_spark.fixtures.gen_pages import make_docx
+
+    src = os.path.join(str(tmp_path), "pages")
+    rows = gen_pages(120, seed=31)
+    # guarantee table-carrying documents of BOTH kinds in the corpus (the
+    # default corpus never rolls the test-only table arm)
+    for i in range(4):
+        rows.append(
+            dict(
+                url=f"https://tables.example.com/pdf{i}",
+                warc_ts=rows[0]["warc_ts"],
+                html=make_pdf(random.Random(900 + i), force_table=True,
+                              **ARMS[i % len(ARMS)]),
+                text=None,
+                lang="en",
+            )
+        )
+        rows.append(
+            dict(
+                url=f"https://tables.example.com/docx{i}",
+                warc_ts=rows[0]["warc_ts"],
+                html=make_docx(random.Random(900 + i), force_table=True),
+                text=None,
+                lang="en",
+            )
+        )
+    spark.createDataFrame(pages_to_pandas(rows)).write.parquet(src)
+    out = os.path.join(str(tmp_path), "out")
+    report = run_extract(
+        spark,
+        ExtractConfig(
+            input_path=src, output_path=out, run_id="T1", buckets=4,
+            with_doc_tables=True,
+        ),
+        None,
+    )
+    assert "doc_tables" in report["phase_wall_s"]
+    cat = spark.read.parquet(os.path.join(out, "doc_tables"))
+    assert set(cat.columns) >= {
+        "url", "kind", "page", "table_idx", "row_idx", "n_cols", "cells",
+        "url_bucket",
+    }
+    got_rows = cat.collect()
+    by_url = {}
+    for r in got_rows:
+        by_url.setdefault(r["url"], []).append(r)
+    # re-crawled urls: the pipeline dedupes to the latest fetch — compare
+    # against that payload, not whichever duplicate came last in the list
+    payload = {}
+    latest_ts = {}
+    for r in rows:
+        if r["url"] not in payload or r["warc_ts"] >= latest_ts[r["url"]]:
+            payload[r["url"]] = bytes(r["html"] or b"")
+            latest_ts[r["url"]] = r["warc_ts"]
+    assert any(r["kind"] == "pdf" for r in got_rows)
+    assert any(r["kind"] == "docx" for r in got_rows)
+    for url, rs in by_url.items():
+        data = payload[url]
+        kind = sniff_kind(data)
+        single = pdf_tables(data) if kind == "pdf" else docx_tables(data)
+        want = [
+            "|".join(row) for tab in single for row in tab["rows"]
+        ]
+        have = [
+            r["cells"]
+            for r in sorted(rs, key=lambda r: (r["table_idx"], r["row_idx"]))
+        ]
+        assert have == want, url
