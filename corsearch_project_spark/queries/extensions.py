@@ -97,7 +97,10 @@ def q_udaf_grouped_pandas(spark, sf_dir):
 def q_udtf_explode(spark, sf_dir):
     from pyspark.sql.functions import lit, udtf
 
-    @udtf(returnType="r_name string, i int")
+    # useArrow: Spark 4 Arrow-optimized UDTF evaluation
+    # (ArrowEvalPythonUDTF) — without it the UDTF plans as BatchEvalPython,
+    # the row-at-a-time path the engine bans (found by jobs/audit_plans.py)
+    @udtf(returnType="r_name string, i int", useArrow=True)
     class RepeatRegion:
         def eval(self, r_name: str, n: int):
             for i in range(1, n + 1):
