@@ -453,6 +453,7 @@ def run_doc_tables_kernel(pages: DataFrame) -> DataFrame:
 
         from corsearch_project_spark.webextract.docxx import docx_tables
         from corsearch_project_spark.webextract.pdfx import pdf_tables
+        from corsearch_project_spark.webextract.sniff import sniff_kind
 
         out_schema = pa.schema(
             [
@@ -472,10 +473,18 @@ def run_doc_tables_kernel(pages: DataFrame) -> DataFrame:
             cols = {name: [] for name in out_schema.names}
             for url, data in zip(urls, datas):
                 data = bytes(data or b"")
-                if data.startswith(b"PK\x03\x04"):
+                # re-sniff before parsing (same discipline as the assets
+                # kernel): the loose JVM pre-filter passes e.g. an HTML
+                # page QUOTING "%PDF-", and running the full PdfDoc
+                # parse-and-fail on every such false positive is wasted
+                # work at crawl scale — sniff_kind is a head check.
+                kind = sniff_kind(data)
+                if kind == "zip":
                     kind, tables = "docx", docx_tables(data)
+                elif kind == "pdf":
+                    tables = pdf_tables(data)
                 else:
-                    kind, tables = "pdf", pdf_tables(data)
+                    continue
                 for t_i, tab in enumerate(tables):
                     for r_i, row in enumerate(tab["rows"]):
                         cols["url"].append(url)

@@ -580,7 +580,7 @@ def _pdf_tables_expected_values(n: int = 8, seed0: int = 1000) -> str:
     doc="E24 ruling-free PDF table recovery (Tabula/Camelot stream-mode "
     "heuristic: >=3 consecutive lines of short fragments left-aligned into "
     ">=3 uniform-pitch columns) as one Arrow-batched kernel stage with a "
-    "JVM %PDF- pre-filter (operators/kernel.py:run_pdf_tables_kernel, "
+    "JVM document pre-filter (operators/kernel.py:run_doc_tables_kernel, "
     "webextract/pdfx.py:pdf_tables). Fixture PDFs cycle through layout/"
     "font/encryption/form arms; oracle replays the generator's grid as a "
     "VALUES literal while Spark re-derives it from the raw bytes.",

@@ -61,6 +61,9 @@ def audit(spark, sf_dir: str, names=None) -> dict:
 
     qs = spark_queries()
     if names:
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            raise ValueError(f"unknown query names: {unknown}")
         qs = {n: qs[n] for n in names}
     rows = {}
     violations = {}
@@ -91,7 +94,11 @@ def main(argv=None) -> int:
 
     spark = build_session("audit_plans", master=args.master)
     names = [n for n in (args.names or "").split(",") if n] or None
-    report = audit(spark, args.sf_dir, names)
+    try:
+        report = audit(spark, args.sf_dir, names)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     compact = {
         "n_queries": report["n_queries"],
         "violating": report["violating"],

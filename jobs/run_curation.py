@@ -243,7 +243,11 @@ def run_curation(
             & (F.col("url") != F.col("near_dup_rep")),
         )
         .withColumn(
-            "base_keep",
+            # every per-doc gate EXCEPT the model: kept as its own column
+            # so model_dropped can attribute drops to the model only when
+            # the model is the FAILING conjunct (a near-dup with a bad
+            # margin is a near-dup drop, not a model drop)
+            "base_keep_other",
             (~F.col("is_exact_dup"))
             & (~F.col("is_near_dup"))
             & (F.col("quality") >= min_quality)
@@ -256,15 +260,19 @@ def run_curation(
                 else F.lit(True)
             )
             & (
-                (F.col("model_score") >= float(min_model_score))
-                if (model_weights and min_model_score is not None)
-                else F.lit(True)
-            )
-            & (
                 # docs too short to score (<2 tokens) carry a null bucket;
                 # they are judged by the n_tokens gate, not the LM
                 F.coalesce(F.col("ppl_bucket") != "tail", F.lit(True))
                 if ppl_drop_tail
+                else F.lit(True)
+            ),
+        )
+        .withColumn(
+            "base_keep",
+            F.col("base_keep_other")
+            & (
+                (F.col("model_score") >= float(min_model_score))
+                if (model_weights and min_model_score is not None)
                 else F.lit(True)
             ),
         )
@@ -329,7 +337,11 @@ def run_curation(
         "rep_mode": "quality" if rep_quality else "min_url",
         "model": "trained" if model_weights else "hash_standin",
         "model_dropped": (
-            out.where(f"NOT keep AND model_score < {float(min_model_score)}").count()
+            # docs where the model is the FAILING conjunct: every other
+            # per-doc gate passed, the margin alone killed it
+            out.where(
+                f"base_keep_other AND model_score < {float(min_model_score)}"
+            ).count()
             if (model_weights and min_model_score is not None)
             else None
         ),

@@ -41,18 +41,17 @@ def _load_side(spark, path: str, label: float, cap: int, text_col: str):
     df = spark.read.parquet(path).select(
         F.col("url"), F.col(text_col).alias("text")
     )
-    # deterministic cap: order-free hash filter, not a sample() (seeded
-    # sample is partitioning-dependent). Rows whose 32-bit url hash falls
-    # in the smallest cap-sized band survive; exact cap is not needed,
-    # class balance is reported.
+    # deterministic cap: order-free hash-band filter, not a sample()
+    # (seeded sample is partitioning-dependent). pmod(hash, n) is uniform
+    # over [0, n), so `< cap` keeps ~cap rows regardless of how n relates
+    # to cap (a floor-division modulus here kept up to ~2x cap when
+    # cap < n < 2*cap). Exact count is not needed; balance is reported.
     if cap:
         n = df.count()
         if n > cap:
             from corsearch_project_spark.functions.portable import phash
 
-            df = df.where(
-                phash(F.col("url")) % F.lit(max(n // cap, 1)) == 0
-            )
+            df = df.where(F.pmod(phash(F.col("url")), F.lit(n)) < cap)
     return df.select("url", "text", F.lit(label).alias("label"))
 
 

@@ -762,3 +762,30 @@ def test_train_quality_cli_and_model_gated_curation(spark, tmp_path, capsys):
                    "--min-model-score", "0.0"])
     capsys.readouterr()
     assert rc == 1
+
+
+def test_train_quality_cap_is_a_band_not_a_modulus(spark, tmp_path):
+    """--max-per-class must bound the subsample even when cap < n < 2*cap
+    (a floor-division modulus filter kept ALL rows in that band)."""
+    import hashlib
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import train_quality as TQ
+
+    n, cap = 150, 100
+    rows = [(f"https://h.example.com/{i}", f"text {i}", "x", 0)
+            for i in range(n)]
+    p = os.path.join(str(tmp_path), "side")
+    spark.createDataFrame(
+        rows, "url string, extracted_text string, text_sha256 string, url_bucket int"
+    ).write.parquet(p)
+    got = TQ._load_side(spark, p, 1.0, cap, "extracted_text").count()
+
+    def phash(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    want = sum(1 for u, *_ in rows if phash(u) % n < cap)
+    assert got == want
+    assert got < n  # the old modulus filter kept all 150

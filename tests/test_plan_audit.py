@@ -33,3 +33,10 @@ def test_audit_detects_row_python(spark):
 
     row = A.audit_one(spark, q, SF)
     assert row["violations"] == ["BatchEvalPython"]
+
+
+def test_audit_rejects_unknown_names(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown query names"):
+        A.audit(spark, SF, names=["q_no_such_query"])
