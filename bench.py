@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "q_readability",  # round 4 cont.: Flesch/FK codegen projection
     "q_pdf_tables",  # round 4 cont.: stream-mode table recovery kernel
     "q_embed_pca",  # round 4 cont.: one-pass PCA sufficient statistics
+    "q_char_entropy",  # round 4 cont.: micro-nat character entropy
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

@@ -102,6 +102,54 @@ def readability(text: Column) -> dict:
     }
 
 
+def char_entropy_stats(
+    docs, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Per-doc Shannon entropy of the CHARACTER distribution — the
+    low-entropy alarm (template spam, base64 blobs, repeated separators)
+    quality cascades use beside the word-level repetition filters.
+
+    Exactness: the one float op per distinct character, ``-ln(c/n)``, is
+    evaluated on bit-identical double operands in both engines and
+    quantized to integer micro-nats immediately (the operators/lm.py
+    recipe), so the per-doc sum Σ c·surprisal_micro is order-independent
+    BIGINT math; the final /n division is one double op in a fixed order.
+    Shape: char explode → (id, ch) partial-agg count → id-window total →
+    id partial-agg sum — two id-keyed shuffles, no Python."""
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(id_col, F.explode(F.split(F.col(text_col), "")).alias("ch"))
+        .groupBy(id_col, "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c").over(Window.partitionBy(id_col))
+    surprisal_u = F.round(
+        -F.log(F.col("c").cast("double") / n.cast("double")) * F.lit(1e6), 0
+    ).cast("long")
+    per = counts.select(
+        id_col,
+        F.col("c"),
+        n.alias("n"),
+        (F.col("c") * surprisal_u).alias("contrib"),
+    )
+    return per.groupBy(id_col).agg(
+        F.max("n").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.sum("contrib").alias("entropy_micro"),
+    ).select(
+        id_col,
+        "n_chars",
+        "n_distinct_chars",
+        "entropy_micro",
+        F.round(
+            F.col("entropy_micro").cast("double")
+            / (F.col("n_chars").cast("double") * F.lit(1e6)),
+            6,
+        ).alias("entropy"),
+    )
+
+
 def dup_fraction(arr: Column) -> Column:
     """Repetition ratio of an array: 1 - distinct/total, rounded to 6 dp.
 

@@ -778,3 +778,42 @@ def q_embed_pca(spark, sf_dir):
     from corsearch_project_spark.operators.pca import embedding_stats
 
     return embedding_stats(t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "q_char_entropy",
+    """
+    WITH ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ),
+    cnt AS (
+        SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+        FROM ch GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_chars
+        FROM cnt GROUP BY 1
+    ),
+    per AS (
+        SELECT cnt.doc_id,
+               CAST(SUM(c * CAST(round(-ln(CAST(c AS DOUBLE)
+                                       / CAST(n AS DOUBLE)) * 1000000.0, 0)
+                                 AS BIGINT)) AS BIGINT) AS entropy_micro
+        FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+        GROUP BY 1
+    )
+    SELECT t.doc_id, t.n AS n_chars, t.n_distinct_chars,
+           p.entropy_micro,
+           round(CAST(p.entropy_micro AS DOUBLE)
+                 / (CAST(t.n AS DOUBLE) * 1000000.0), 6) AS entropy
+    FROM tot t JOIN per p ON t.doc_id = p.doc_id
+    """,
+    doc="Character-distribution Shannon entropy per doc (the low-entropy "
+    "template/base64 alarm): one ln per distinct character quantized to "
+    "integer micro-nats immediately (operators/lm.py recipe) so the doc "
+    "sum is order-free BIGINT math; two id-keyed shuffles, no Python "
+    "(operators/textstats.py:char_entropy_stats).",
+)
+def q_char_entropy(spark, sf_dir):
+    return X.char_entropy_stats(t(spark, sf_dir, "documents"))

@@ -789,3 +789,33 @@ def test_train_quality_cap_is_a_band_not_a_modulus(spark, tmp_path):
     want = sum(1 for u, *_ in rows if phash(u) % n < cap)
     assert got == want
     assert got < n  # the old modulus filter kept all 150
+
+
+def test_char_entropy_known_values(spark):
+    """Entropy pinned against a pure-Python computation with the same
+    micro-nat quantization; degenerate single-char doc has entropy 0."""
+    import math
+
+    from corsearch_project_spark.operators.textstats import char_entropy_stats
+
+    rows = [(1, "aaaa"), (2, "abab"), (3, "abcd")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in char_entropy_stats(df).collect()}
+
+    def ref(text):
+        n = len(text)
+        from collections import Counter
+
+        micro = sum(
+            c * int(round(-math.log(c / n) * 1e6))
+            for c in Counter(text).values()
+        )
+        return micro, round(micro / (n * 1e6), 6)
+
+    for did, text in rows:
+        micro, ent = ref(text)
+        assert got[did]["entropy_micro"] == micro, text
+        assert got[did]["entropy"] == ent, text
+    assert got[1]["entropy"] == 0.0
+    # uniform 4-char doc: ln(4) nats per char
+    assert abs(got[3]["entropy"] - 1.386294) < 1e-6
