@@ -696,31 +696,24 @@ def cdc_chunk_texts(text: Column, divisor: int = 16) -> Column:
     )
 
 
-def cdc_dup_stats(
+def cdc_chunk_relation(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     divisor: int = 16,
 ) -> DataFrame:
-    """Per-doc duplicated-content census over content-defined chunks.
+    """(id, chunk_idx, h, n_words): the exploded CDC chunk relation —
+    the shared front half of cdc_dup_stats and cdc_change_stats.
 
-    Explodes each doc's CDC chunks, hashes them, and marks chunks whose
-    hash appears in ≥2 distinct docs; per doc reports chunk/word totals
-    and the duplicated-word share (integer permille — exact). The same
-    relation at 10^12 docs: the chunk-hash census is one partial-agg
-    groupBy over ~n_words/divisor rows per doc (vs n_words rows for
-    shingle schemes), and the shared-set join is an equi-join on the
-    chunk hash.
-    """
-    # STAGED chunking, not the one-Column cdc_chunk_texts form: inside a
-    # single projection, the word array and its per-word hashes are
-    # subexpressions that higher-order lambdas re-evaluate PER ELEMENT —
-    # split+md5 become O(n_words^2) per doc (measured 38 s at sf0.1 for
-    # work whose linear form costs ~1 s). Materializing __w and __wh as
-    # real columns across .select stages defeats that: CollapseProject
-    # never inlines a non-cheap expression referenced more than once, so
-    # each array computes exactly once per row and every lambda touches
-    # only element_at over an attribute. Same chunks, byte-identical.
+    STAGED chunking, not the one-Column cdc_chunk_texts form: inside a
+    single projection, the word array and its per-word hashes are
+    subexpressions that higher-order lambdas re-evaluate PER ELEMENT —
+    split+md5 become O(n_words^2) per doc (measured 38 s at sf0.1 for
+    work whose linear form costs ~1 s). Materializing __w and __wh as
+    real columns across .select stages defeats that: CollapseProject
+    never inlines a non-cheap expression referenced more than once, so
+    each array computes exactly once per row and every lambda touches
+    only element_at over an attribute. Same chunks, byte-identical."""
     w0 = df.select(F.col(id_col), words(F.col(text_col)).alias("__w"))
     w1 = w0.select(
         id_col,
@@ -754,7 +747,7 @@ def cdc_dup_stats(
             " ",
         ),
     )
-    chunks = w2.select(
+    return w2.select(
         F.col(id_col), F.posexplode(chunk_arr).alias("chunk_idx", "chunk_text")
     ).select(
         id_col,
@@ -762,6 +755,86 @@ def cdc_dup_stats(
         phash(F.col("chunk_text")).alias("h"),
         F.size(F.split(F.col("chunk_text"), " ")).cast("long").alias("n_words"),
     )
+
+
+def cdc_change_stats(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    divisor: int = 16,
+) -> DataFrame:
+    """Graded change fraction between two snapshots of the same documents —
+    the magnitude signal the binary digest diff (snapshot_diff) cannot
+    give: a one-word edit and a full rewrite are both 'changed' there, but
+    recrawl budgeting (Cho & Garcia-Molina change-rate scheduling) wants
+    to know HOW MUCH changed.
+
+    Both sides chunk with the shift-resistant CDC boundaries, so an
+    insertion near the top perturbs only the chunk containing it; the
+    per-url multiset overlap Σ min(c_old, c_new) over chunk hashes then
+    credits every untouched chunk. Reported per url (inner join — urls in
+    both snapshots; added/removed urls are snapshot_diff's department):
+
+      n_chunks_old / n_chunks_new / common_chunks (multiset min)
+      change_permille = 1000 − (2000·common) div (old+new)   (Dice, exact)
+
+    Shape at 10^12 urls: chunking is projection-only; one (url, h)
+    partial-agg count per side, one url-keyed equi-join of the two count
+    relations, one url rollup — all bucket-prunable on url-bucketed
+    tables. Integer math end to end ⇒ exact cross-engine."""
+    co = (
+        cdc_chunk_relation(old, id_col, text_col, divisor)
+        .groupBy(id_col, "h")
+        .agg(F.count(F.lit(1)).alias("c_old"))
+    )
+    cn = (
+        cdc_chunk_relation(new, id_col, text_col, divisor)
+        .groupBy(id_col, "h")
+        .agg(F.count(F.lit(1)).alias("c_new"))
+    )
+    j = co.join(cn, [id_col, "h"], "full").select(
+        id_col,
+        F.coalesce("c_old", F.lit(0)).alias("c_old"),
+        F.coalesce("c_new", F.lit(0)).alias("c_new"),
+    )
+    per = j.groupBy(id_col).agg(
+        F.sum("c_old").cast("long").alias("n_chunks_old"),
+        F.sum("c_new").cast("long").alias("n_chunks_new"),
+        F.sum(F.least("c_old", "c_new")).cast("long").alias("common_chunks"),
+    )
+    # inner-join semantics on urls present in BOTH snapshots: the full
+    # outer join above is per (url, h) for the multiset, so filter urls
+    # that never appeared on one side
+    per = per.where((F.col("n_chunks_old") > 0) & (F.col("n_chunks_new") > 0))
+    return per.withColumn(
+        "change_permille",
+        (
+            F.lit(1000)
+            - F.expr(
+                "(2000 * common_chunks) div (n_chunks_old + n_chunks_new)"
+            )
+        ).cast("long"),
+    )
+
+
+def cdc_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 16,
+) -> DataFrame:
+    """Per-doc duplicated-content census over content-defined chunks.
+
+    Explodes each doc's CDC chunks, hashes them, and marks chunks whose
+    hash appears in ≥2 distinct docs; per doc reports chunk/word totals
+    and the duplicated-word share (integer permille — exact). The same
+    relation at 10^12 docs: the chunk-hash census is one partial-agg
+    groupBy over ~n_words/divisor rows per doc (vs n_words rows for
+    shingle schemes), and the shared-set join is an equi-join on the
+    chunk hash.
+    """
+    chunks = cdc_chunk_relation(df, id_col, text_col, divisor)
     # Materialize ONCE for the two consumers below (census + probe) —
     # localCheckpoint, not persist, so blocks release with the result's
     # lifetime (same discipline as bitext_margin_pairs).

@@ -395,3 +395,106 @@ def q_winnow_spans(spark, sf_dir):
         F.coalesce("n_fps", F.lit(0)).cast("long").alias("n_fps"),
         F.coalesce("shared_fps", F.lit(0)).cast("long").alias("shared_fps"),
     )
+
+
+# ------------------------------------------------- snapshot change rate
+
+def _sql_cdc_side(src: str, sfx: str) -> str:
+    """Chained chunk-count CTEs for one snapshot side (url, h, c) —
+    the q_cdc_chunks chunking replayed verbatim with suffixed names."""
+    return f"""
+    wt{sfx} AS (SELECT url, {SQL_WORDS} AS w FROM {src}),
+    b0{sfx} AS (
+        SELECT url, w,
+               list_filter(generate_series(1, len(w)),
+                           i -> {_P_WI} % 16 = 0) AS bpos
+        FROM wt{sfx}
+    ),
+    b1{sfx} AS (
+        SELECT url, w,
+               list_concat(bpos,
+                   CASE WHEN len(w) > 0 AND {_P_WLAST} % 16 <> 0
+                        THEN [CAST(len(w) AS BIGINT)]
+                        ELSE CAST([] AS BIGINT[]) END) AS bx
+        FROM b0{sfx}
+    ),
+    ch{sfx} AS (
+        SELECT url,
+               array_to_string(
+                   w[(CASE WHEN k = 1 THEN 0 ELSE bx[k - 1] END) + 1
+                     : bx[k]], ' ') AS chunk_text
+        FROM (SELECT url, w, bx,
+                     unnest(generate_series(1, len(bx))) AS k
+              FROM b1{sfx})
+    ),
+    cnt{sfx} AS (
+        SELECT url, {SQL_PHASH.format(s="chunk_text")} AS h,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM ch{sfx} GROUP BY 1, 2
+    )"""
+
+
+_SQL_NEW_TEXT = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'edited ' || text "
+    "WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END"
+)
+
+
+@query(
+    "q_change_rate",
+    f"""
+    WITH old_side AS (
+        SELECT 'u' || CAST(doc_id AS VARCHAR) AS url, text FROM documents
+    ),
+    new_side AS (
+        SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+               {_SQL_NEW_TEXT} AS text
+        FROM documents
+    ),
+    {_sql_cdc_side('old_side', '_o')},
+    {_sql_cdc_side('new_side', '_n')},
+    j AS (
+        SELECT COALESCE(o.url, n.url) AS url,
+               COALESCE(o.c, 0) AS c_old, COALESCE(n.c, 0) AS c_new
+        FROM cnt_o o FULL OUTER JOIN cnt_n n
+          ON o.url = n.url AND o.h = n.h
+    ),
+    per AS (
+        SELECT url,
+               CAST(SUM(c_old) AS BIGINT) AS n_chunks_old,
+               CAST(SUM(c_new) AS BIGINT) AS n_chunks_new,
+               CAST(SUM(least(c_old, c_new)) AS BIGINT) AS common_chunks
+        FROM j GROUP BY 1
+    )
+    SELECT url, n_chunks_old, n_chunks_new, common_chunks,
+           CAST(1000 - (2000 * common_chunks)
+                // (n_chunks_old + n_chunks_new) AS BIGINT)
+               AS change_permille
+    FROM per
+    WHERE n_chunks_old > 0 AND n_chunks_new > 0
+    """,
+    doc="Graded snapshot change rate (operators/dedup.cdc_change_stats): "
+    "CDC-chunk multiset Dice distance per url between two crawl "
+    "snapshots — the HOW-MUCH-changed magnitude the binary digest diff "
+    "(q_snapshot_diff) cannot give, feeding Cho-Garcia-Molina recrawl "
+    "budgeting. Shift-resistant boundaries credit untouched chunks after "
+    "an insertion (the 'edited '-prepend arm scores low, the upper() "
+    "rewrite arm scores ~1000). Chunking is projection-only; one "
+    "(url, h) partial-agg count per side + a url-keyed join + rollup, "
+    "all integer math — exact cross-engine.",
+)
+def q_change_rate(spark, sf_dir):
+    from corsearch_project_spark.operators.dedup import cdc_change_stats
+
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(F.lit("u"), did.cast("string")).alias("url")
+    old = d.select(url, F.col("text"))
+    new = d.select(
+        url,
+        F.when(did % 3 == 0, F.concat(F.lit("edited "), F.col("text")))
+        .when(did % 5 == 0, F.upper(F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return cdc_change_stats(old, new)

@@ -77,3 +77,35 @@ def test_mirror_hosts_plan_no_cartesian(spark):
     plan = mirror_hosts(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cdc_change_stats_grades_edit_magnitude(spark):
+    """Shift resistance end-to-end: a prepended word must perturb only the
+    first chunk (low change_permille on a long doc), a full rewrite must
+    score 1000, an identical doc 0; urls on one side only are excluded."""
+    from corsearch_project_spark.operators.dedup import cdc_change_stats
+
+    base = " ".join(f"w{i}" for i in range(400))
+    old = spark.createDataFrame(
+        [("same", base), ("prep", base), ("rewrite", base), ("gone", base)],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            ("same", base),
+            ("prep", "inserted " + base),
+            ("rewrite", " ".join(f"x{i}" for i in range(400))),
+            ("fresh", base),
+        ],
+        "url string, text string",
+    )
+    got = {r["url"]: r for r in cdc_change_stats(old, new).collect()}
+    assert set(got) == {"same", "prep", "rewrite"}
+    assert got["same"]["change_permille"] == 0
+    assert got["rewrite"]["change_permille"] == 1000
+    # the prepend perturbs only the first chunk: far below half changed
+    assert 0 < got["prep"]["change_permille"] < 300
+    assert (
+        got["prep"]["common_chunks"]
+        >= got["prep"]["n_chunks_old"] - 2
+    )
