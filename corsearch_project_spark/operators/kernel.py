@@ -445,7 +445,15 @@ def run_doc_tables_kernel(pages: DataFrame) -> DataFrame:
     unsupported encryption, or non-DOCX zips. Table-less documents emit
     nothing — at crawl mix the relation is far smaller than its input,
     which is why the explode happens inside the kernel instead of as an
-    ARRAY column."""
+    ARRAY column.
+
+    Kind policy: a payload is what ``sniff_kind`` says it is — the ONE
+    classification the whole engine shares (extraction kernel, assets
+    kernel, doc-kind census). A %PDF- header behind non-whitespace junk
+    bytes classifies as text/html and is skipped HERE TOO, even though
+    the recovery-oriented PdfDoc scan could parse it: a table catalog
+    must not disagree with the extracted table about what a url is
+    (cross-kernel agreement pinned in tests/test_pdftables.py)."""
     from pyspark.sql import functions as F
 
     def kernel(batches):

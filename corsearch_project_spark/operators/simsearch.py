@@ -600,11 +600,16 @@ def bitext_margin_pairs_lsh(
     n_bands = n_planes // band_planes
     mask = (1 << band_planes) - 1
     lab = emb.select(F.col(id_col).alias("__lid"), F.col("label"))
+    # localCheckpoint, NOT persist: the signature relation feeds three
+    # consumers (banding + both cosine sides) and a persist would pin it
+    # in the CacheManager for the session's lifetime — the leak the exact
+    # arm's comment warns about; checkpoint blocks release with the
+    # result's lifetime.
     qv = (
         lsh_signature_arrow(emb, n_planes, id_col=id_col)
         .join(lab, F.col(id_col) == F.col("__lid"))
         .drop("__lid")
-        .persist()
+        .localCheckpoint()
     )
     stack_args = ", ".join(
         f"{b}, (shiftright(bucket, {b * band_planes}) & {mask})"

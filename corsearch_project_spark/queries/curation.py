@@ -251,33 +251,44 @@ def q_dsir_weights(spark, sf_dir):
 _P_WI = SQL_PHASH.format(s="w[i]")
 _P_WLAST = SQL_PHASH.format(s="w[len(w)]")
 
-@query(
-    "q_cdc_chunks",
-    f"""
-    WITH wt AS (SELECT doc_id, {SQL_WORDS} AS w FROM documents),
-    b0 AS (
-        SELECT doc_id, w,
+def _sql_cdc_chunks_cte(src: str, sfx: str, idc: str = "url") -> str:
+    """Chained CTEs producing ({idc}, chunk_text) CDC chunk rows for one
+    source CTE — the SINGLE SQL-side replay of cdc_chunk_relation, shared
+    by the q_cdc_chunks census and q_change_rate's two snapshot sides so
+    the chunking rule cannot silently diverge between oracles."""
+    return f"""
+    wt{sfx} AS (SELECT {idc}, {SQL_WORDS} AS w FROM {src}),
+    b0{sfx} AS (
+        SELECT {idc}, w,
                list_filter(generate_series(1, len(w)),
                            i -> {_P_WI} % 16 = 0) AS bpos
-        FROM wt
+        FROM wt{sfx}
     ),
-    b1 AS (
-        SELECT doc_id, w,
+    b1{sfx} AS (
+        SELECT {idc}, w,
                list_concat(bpos,
                    CASE WHEN len(w) > 0 AND {_P_WLAST} % 16 <> 0
                         THEN [CAST(len(w) AS BIGINT)]
                         ELSE CAST([] AS BIGINT[]) END) AS bx
-        FROM b0
+        FROM b0{sfx}
     ),
-    ch AS (
-        SELECT doc_id, k - 1 AS chunk_idx,
+    ch{sfx} AS (
+        SELECT {idc},
                array_to_string(
                    w[(CASE WHEN k = 1 THEN 0 ELSE bx[k - 1] END) + 1
                      : bx[k]], ' ') AS chunk_text
-        FROM (SELECT doc_id, w, bx,
+        FROM (SELECT {idc}, w, bx,
                      unnest(generate_series(1, len(bx))) AS k
-              FROM b1)
-    ),
+              FROM b1{sfx})
+    )"""
+
+
+
+@query(
+    "q_cdc_chunks",
+    f"""
+    WITH src0 AS (SELECT doc_id, text FROM documents),
+    {_sql_cdc_chunks_cte('src0', '', 'doc_id')},
     hs AS (
         SELECT doc_id, {SQL_PHASH.format(s="chunk_text")} AS h,
                CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_words
@@ -400,33 +411,9 @@ def q_winnow_spans(spark, sf_dir):
 # ------------------------------------------------- snapshot change rate
 
 def _sql_cdc_side(src: str, sfx: str) -> str:
-    """Chained chunk-count CTEs for one snapshot side (url, h, c) —
-    the q_cdc_chunks chunking replayed verbatim with suffixed names."""
-    return f"""
-    wt{sfx} AS (SELECT url, {SQL_WORDS} AS w FROM {src}),
-    b0{sfx} AS (
-        SELECT url, w,
-               list_filter(generate_series(1, len(w)),
-                           i -> {_P_WI} % 16 = 0) AS bpos
-        FROM wt{sfx}
-    ),
-    b1{sfx} AS (
-        SELECT url, w,
-               list_concat(bpos,
-                   CASE WHEN len(w) > 0 AND {_P_WLAST} % 16 <> 0
-                        THEN [CAST(len(w) AS BIGINT)]
-                        ELSE CAST([] AS BIGINT[]) END) AS bx
-        FROM b0{sfx}
-    ),
-    ch{sfx} AS (
-        SELECT url,
-               array_to_string(
-                   w[(CASE WHEN k = 1 THEN 0 ELSE bx[k - 1] END) + 1
-                     : bx[k]], ' ') AS chunk_text
-        FROM (SELECT url, w, bx,
-                     unnest(generate_series(1, len(bx))) AS k
-              FROM b1{sfx})
-    ),
+    """One snapshot side for q_change_rate: the shared chunk CTEs plus a
+    (url, h, c) multiset count."""
+    return f"""{_sql_cdc_chunks_cte(src, sfx)},
     cnt{sfx} AS (
         SELECT url, {SQL_PHASH.format(s="chunk_text")} AS h,
                CAST(COUNT(*) AS BIGINT) AS c

@@ -92,13 +92,19 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     from corsearch_project_spark.plans.session import build_session
 
-    spark = build_session("audit_plans", master=args.master)
     names = [n for n in (args.names or "").split(",") if n] or None
-    try:
-        report = audit(spark, args.sf_dir, names)
-    except ValueError as e:
-        print(f"error: {e}", file=sys.stderr)
-        return 2
+    if names:
+        # validate BEFORE building a session so a typo is a usage error,
+        # not an unexplained crash (per-query plan failures are already
+        # recorded as PLAN_ERROR rows inside audit(), never raised)
+        from corsearch_project_spark.queries import spark_queries
+
+        unknown = [n for n in names if n not in spark_queries()]
+        if unknown:
+            print(f"error: unknown query names: {unknown}", file=sys.stderr)
+            return 2
+    spark = build_session("audit_plans", master=args.master)
+    report = audit(spark, args.sf_dir, names)
     compact = {
         "n_queries": report["n_queries"],
         "violating": report["violating"],

@@ -42,16 +42,19 @@ def _load_side(spark, path: str, label: float, cap: int, text_col: str):
         F.col("url"), F.col(text_col).alias("text")
     )
     # deterministic cap: order-free hash-band filter, not a sample()
-    # (seeded sample is partitioning-dependent). pmod(hash, n) is uniform
-    # over [0, n), so `< cap` keeps ~cap rows regardless of how n relates
-    # to cap (a floor-division modulus here kept up to ~2x cap when
-    # cap < n < 2*cap). Exact count is not needed; balance is reported.
+    # (seeded sample is partitioning-dependent). phash is uniform over
+    # [0, 2^32), so keeping hashes below floor(2^32 * cap/n) keeps ~cap
+    # rows for ANY n — including n > 2^32, where a pmod(hash, n) band
+    # degenerates to the identity (pmod(h, n) == h) and a floor-division
+    # modulus kept up to ~2x cap when cap < n < 2*cap. Exact count is not
+    # needed; balance is reported.
     if cap:
         n = df.count()
         if n > cap:
             from corsearch_project_spark.functions.portable import phash
 
-            df = df.where(F.pmod(phash(F.col("url")), F.lit(n)) < cap)
+            threshold = max((cap * (1 << 32)) // n, 1)
+            df = df.where(phash(F.col("url")) < F.lit(threshold))
     return df.select("url", "text", F.lit(label).alias("label"))
 
 

@@ -766,7 +766,8 @@ def test_train_quality_cli_and_model_gated_curation(spark, tmp_path, capsys):
 
 def test_train_quality_cap_is_a_band_not_a_modulus(spark, tmp_path):
     """--max-per-class must bound the subsample even when cap < n < 2*cap
-    (a floor-division modulus filter kept ALL rows in that band)."""
+    (a floor-division modulus filter kept ALL rows in that band), via a
+    fixed hash-space threshold that stays correct for n beyond 2^32."""
     import hashlib
     import os
     import sys
@@ -786,7 +787,8 @@ def test_train_quality_cap_is_a_band_not_a_modulus(spark, tmp_path):
     def phash(s):
         return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 
-    want = sum(1 for u, *_ in rows if phash(u) % n < cap)
+    threshold = max((cap * (1 << 32)) // n, 1)
+    want = sum(1 for u, *_ in rows if phash(u) < threshold)
     assert got == want
     assert got < n  # the old modulus filter kept all 150
 

@@ -275,7 +275,7 @@ def test_bitext_lsh_arm_recall_and_plan(spark):
     )
     from corsearch_project_spark.queries.base import t
 
-    emb = t(spark, "/root/testdata/sf0.001", "embeddings")
+    emb = t(spark, SF_SMOKE, "embeddings")
     exact = {
         (r["src"], r["dst"]): (r["cos"], r["margin"])
         for r in bitext_margin_pairs(emb).collect()

@@ -269,3 +269,28 @@ def test_pipeline_with_doc_tables_writes_catalog(spark, tmp_path):
             for r in sorted(rs, key=lambda r: (r["table_idx"], r["row_idx"]))
         ]
         assert have == want, url
+
+
+def test_kernel_kind_policy_matches_assets_kernel(spark):
+    """A %PDF- header behind non-whitespace junk sniffs as non-document
+    engine-wide; the tables kernel must agree with the assets kernel
+    (neither emits a row), never silently diverge from what the extracted
+    table calls the url."""
+    from corsearch_project_spark.operators.kernel import (
+        run_doc_assets_kernel,
+        run_doc_tables_kernel,
+    )
+    from corsearch_project_spark.webextract.sniff import sniff_kind
+
+    gt: list = []
+    clean = make_pdf(random.Random(42), force_table=True, _tables_out=gt)
+    junky = b"<!-- junk prefix -->\n" + clean
+    assert sniff_kind(junky) != "pdf"  # the policy premise
+    docs = spark.createDataFrame(
+        [("u_clean", bytearray(clean)), ("u_junky", bytearray(junky))],
+        "url string, html binary",
+    )
+    tables_urls = {r["url"] for r in run_doc_tables_kernel(docs).collect()}
+    assets_urls = {r["url"] for r in run_doc_assets_kernel(docs).collect()}
+    assert tables_urls == {"u_clean"}
+    assert "u_junky" not in assets_urls
