@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from corsearch_project_spark.operators import textstats as X
 from corsearch_project_spark.operators.lm import lm_perplexity
 from corsearch_project_spark.operators.simsearch import bitext_margin_pairs
-from corsearch_project_spark.queries.base import query, t
+from corsearch_project_spark.queries.base import REGISTRY, query, t
 from corsearch_project_spark.queries.textsim import SQL_PHASH, SQL_QUANT, SQL_WORDS, _sql_shingles
 
 
@@ -485,3 +485,97 @@ def q_change_rate(spark, sf_dir):
         .alias("text"),
     )
     return cdc_change_stats(old, new)
+
+
+# --------------------------------------------------- host scorecard
+
+def _sql_host_scorecard() -> str:
+    """Composition oracle: the four component queries' own oracle strings
+    nested verbatim as subqueries — the scorecard cannot drift from its
+    inputs because it IS its inputs. PageRank's host set is a superset
+    (external sink hosts have rank but no fetched pages), so LEFT JOINs
+    from it cover every host; page-less hosts read as is_external."""
+    pr = REGISTRY["q_link_pagerank"].oracle
+    sp = REGISTRY["q_link_spam"].oracle
+    s4 = REGISTRY["q_soft404"].oracle
+    tc = REGISTRY["q_template_census"].oracle
+    return f"""
+    WITH pr AS ({pr}), sp AS ({sp}), s4 AS ({s4}), tc AS ({tc}),
+    j AS (
+        SELECT pr.host, pr.rank,
+               s4.n_pages,
+               COALESCE((s4.n_soft404 * 1000) // s4.n_pages, 0) AS soft404_pm,
+               COALESCE(sp.self_permille, 0) AS self_pm,
+               COALESCE(sp.recip_permille, 0) AS recip_pm,
+               COALESCE((tc.top_template_n * 1000) // tc.n_pages, 0)
+                   AS template_pm,
+               (s4.host IS NULL) AS is_external
+        FROM pr
+        LEFT JOIN sp ON pr.host = sp.host
+        LEFT JOIN s4 ON pr.host = s4.host
+        LEFT JOIN tc ON pr.host = tc.host
+    )
+    SELECT host, rank, CAST(COALESCE(n_pages, 0) AS BIGINT) AS n_pages,
+           CAST(soft404_pm AS BIGINT) AS soft404_pm,
+           CAST(self_pm AS BIGINT) AS self_pm,
+           CAST(recip_pm AS BIGINT) AS recip_pm,
+           CAST(template_pm AS BIGINT) AS template_pm,
+           CAST(soft404_pm + self_pm + recip_pm + template_pm // 2
+                AS BIGINT) AS risk_points,
+           is_external
+    FROM j
+    """
+
+
+@query(
+    "q_host_scorecard",
+    _sql_host_scorecard(),
+    doc="Multi-signal host reputation scorecard: PageRank authority, "
+    "nepotistic-link permilles (C41), soft-404 share (C38), and "
+    "template-dominance share (C35) joined on host into one integer "
+    "risk_points column — the relation a crawl scheduler or curation "
+    "domain-cap consults. Composition by construction: both engines run "
+    "the COMPONENT queries' own definitions (the oracle nests their "
+    "oracle strings as subqueries; the Spark side joins their registered "
+    "DataFrames), so the scorecard cannot drift from its inputs. "
+    "PageRank's host set is the superset (external sinks rank but carry "
+    "no pages -> is_external); three host-keyed LEFT JOINs, exact "
+    "integer permilles.",
+)
+def q_host_scorecard(spark, sf_dir):
+    pr = REGISTRY["q_link_pagerank"].fn(spark, sf_dir)
+    sp = REGISTRY["q_link_spam"].fn(spark, sf_dir)
+    s4 = REGISTRY["q_soft404"].fn(spark, sf_dir)
+    tc = REGISTRY["q_template_census"].fn(spark, sf_dir)
+    j = (
+        pr.join(sp.select("host", "self_permille", "recip_permille"),
+                "host", "left")
+        .join(s4.select("host", "n_pages", "n_soft404"), "host", "left")
+        .join(tc.select(
+            "host", F.col("n_pages").alias("tc_pages"), "top_template_n"
+        ), "host", "left")
+    )
+    soft404_pm = F.coalesce(
+        F.expr("(n_soft404 * 1000) div n_pages"), F.lit(0)
+    )
+    self_pm = F.coalesce(F.col("self_permille"), F.lit(0))
+    recip_pm = F.coalesce(F.col("recip_permille"), F.lit(0))
+    template_pm = F.coalesce(
+        F.expr("(top_template_n * 1000) div tc_pages"), F.lit(0)
+    )
+    return j.select(
+        "host",
+        "rank",
+        F.coalesce(F.col("n_pages"), F.lit(0)).cast("long").alias("n_pages"),
+        soft404_pm.cast("long").alias("soft404_pm"),
+        self_pm.cast("long").alias("self_pm"),
+        recip_pm.cast("long").alias("recip_pm"),
+        template_pm.cast("long").alias("template_pm"),
+        (soft404_pm + self_pm + recip_pm
+         + F.expr(
+             "coalesce((top_template_n * 1000) div tc_pages, 0) div 2"
+         ))
+        .cast("long")
+        .alias("risk_points"),
+        F.col("n_pages").isNull().alias("is_external"),
+    )
