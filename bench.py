@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "q_char_entropy",  # round 4 cont.: micro-nat character entropy
     "q_change_rate",  # round 4 cont.: CDC-chunk snapshot change grading
     "q_host_scorecard",  # round 4 cont.: multi-signal host reputation join
+    "q_html_outline",  # round 4 cont.: section-skeleton pull, one projection
 ]
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

@@ -404,3 +404,34 @@ def freshness_census(
         ),
         F.max("date").alias("max_date"),
     )
+
+
+def heading_tags(html: Column) -> Column:
+    """All <h1>-<h6> elements of a page in document order (full tags; the
+    caller posexplodes and re-extracts level/text per element — the same
+    two-step as anchor_pairs, since regexp_extract_all is single-group).
+    Pure codegen; feeds the section outline relation that section-aware
+    passage chunking and markdown heading emission consume."""
+    return F.expr(
+        "regexp_extract_all(html, '<h[1-6][^>]*>.*?</h[1-6]>', 0)"
+    )
+
+
+def heading_outline(
+    docs, id_col: str = "url", html_col: str = "html"
+):
+    """(id, pos, level, heading): the page's section skeleton — one
+    posexplode over the scan-fused tag pull, level/text per element,
+    whitespace-normalized unescaped text. No shuffle, no Python."""
+    ex = docs.select(
+        id_col,
+        F.posexplode(heading_tags(F.col(html_col))).alias("pos", "tag"),
+    )
+    return ex.select(
+        id_col,
+        "pos",
+        F.regexp_extract("tag", "^<h([1-6])", 1).cast("int").alias("level"),
+        _norm_ws(
+            unescape_entities(F.regexp_extract("tag", ">(.*?)</", 1))
+        ).alias("heading"),
+    )

@@ -18,7 +18,7 @@ from corsearch_project_spark.queries import curation  # noqa: F401
 # The driver sweep caps at ~50 queries per round while the registry holds
 # 144, so coverage rotates on one rule: queries with NO driver-green row
 # in ANY CORRECTNESS_r{N}.json surface first (oldest-evidence-first after
-# that). With 151 queries and a 50-slot window, full rotation takes three
+# that). With 152 queries and a 50-slot window, full rotation takes three
 # rounds; every displaced query carries exact pytest parity (stricter
 # than the driver's hash) each round regardless.
 # ROUND 5 NOTE: recompute the window as (registry minus the union of
@@ -61,6 +61,7 @@ _SWEEP_OVERFLOW = [
     # round-5 window recompute picks them up first
     "q_pdf_tables", "q_docx_tables", "q_readability", "q_embed_pca",
     "q_char_entropy", "q_change_rate", "q_host_scorecard",
+    "q_html_outline",
     "q_filter_cascade", "q_lm_perplexity", "q_bitext_mine",
     "q_dsir_weights", "q_cdc_chunks", "q_hll_distinct",
     "q_winnow_spans",

@@ -608,3 +608,98 @@ def q_feed_entries(spark, sf_dir):
     from corsearch_project_spark.operators.structured import feed_entries
 
     return feed_entries(_feed_xml_df(spark, sf_dir))
+
+
+# ------------------------------------------------- heading outline
+
+# Synthesis arms: every page gets an attributed <h1>; doc_id%2==0 adds two
+# <h2> parts (one carrying an entity to exercise unescape); doc_id%4==0
+# nests an <h3> between them; a <p> decoy containing the literal text
+# 'h2 level' must never match. Same construction both engines.
+_SQL_OUTLINE_PAGE = """
+    SELECT doc_id,
+           'https://h' || CAST(doc_id % 37 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+           '<html><body><h1 class="t">Doc ' || CAST(doc_id AS VARCHAR)
+               || '</h1><p>not a h2 level tag</p>'
+               || CASE WHEN doc_id % 2 = 0
+                       THEN '<h2>Part A &amp; intro</h2>'
+                            || CASE WHEN doc_id % 4 = 0
+                                    THEN '<h3>Sub '
+                                         || CAST(doc_id % 5 AS VARCHAR)
+                                         || '</h3>'
+                                    ELSE '' END
+                            || '<h2>Part B ' || CAST(doc_id % 7 AS VARCHAR)
+                            || '</h2>'
+                       ELSE '' END
+               || '</body></html>' AS html
+    FROM documents
+"""
+
+
+def _outline_pages_df(spark, sf_dir):
+    did = F.col("doc_id")
+    h2s = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit("<h2>Part A &amp; intro</h2>"),
+            F.when(
+                did % 4 == 0,
+                F.concat(
+                    F.lit("<h3>Sub "), (did % 5).cast("string"),
+                    F.lit("</h3>"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("<h2>Part B "), (did % 7).cast("string"), F.lit("</h2>"),
+        ),
+    ).otherwise(F.lit(""))
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), (did % 37).cast("string"),
+            F.lit(".example.com/p/"), did.cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit('<html><body><h1 class="t">Doc '), did.cast("string"),
+            F.lit("</h1><p>not a h2 level tag</p>"), h2s,
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+
+
+from corsearch_project_spark.queries.training import _SQL_UNESC  # noqa: E402
+
+
+@query(
+    "q_html_outline",
+    f"""
+    WITH p AS ({_SQL_OUTLINE_PAGE}),
+    tg0 AS (
+        SELECT url,
+               regexp_extract_all(html,
+                   '<h[1-6][^>]*>.*?</h[1-6]>') AS tags
+        FROM p
+    ),
+    tg AS (
+        SELECT url, k - 1 AS pos, tags[k] AS tag
+        FROM (SELECT url, tags,
+                     unnest(generate_series(1, len(tags))) AS k
+              FROM tg0)
+    )
+    SELECT url, CAST(pos AS INTEGER) AS pos,
+           CAST(regexp_extract(tag, '^<h([1-6])', 1) AS INTEGER) AS level,
+           trim(regexp_replace({_SQL_UNESC.format(x="regexp_extract(tag, '>(.*?)</', 1)")},
+                '\\s+', ' ', 'g')) AS heading
+    FROM tg
+    """,
+    doc="Heading outline (h1-h6 section skeleton in document order): the "
+    "structure relation section-aware passage chunking and markdown "
+    "heading emission consume. Scan-fused full-tag pull + posexplode + "
+    "per-element level/text re-extract (the anchor_pairs two-step — "
+    "regexp_extract_all is single-group), entity unescape, ws-normalize; "
+    "no shuffle, no Python (operators/pagemeta.py heading_outline).",
+)
+def q_html_outline(spark, sf_dir):
+    from corsearch_project_spark.operators.pagemeta import heading_outline
+
+    return heading_outline(_outline_pages_df(spark, sf_dir))

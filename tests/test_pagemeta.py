@@ -177,3 +177,30 @@ def test_meta_robots_directives(spark):
 
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_heading_outline_levels_order_and_decoys(spark):
+    """Outline extraction: document order preserved, attributed tags and
+    entities handled, heading-like prose in <p> never matches, pages
+    without headings emit nothing."""
+    from corsearch_project_spark.operators.pagemeta import heading_outline
+
+    rows = [
+        ("a", '<h1 class="t">One &amp; Two</h1><p>an h2 level decoy</p>'
+              "<h3> spaced   text </h3><h2>last</h2>"),
+        ("b", "<p>no headings at all</p>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = sorted(
+        (r["url"], r["pos"], r["level"], r["heading"])
+        for r in heading_outline(df).collect()
+    )
+    assert got == [
+        ("a", 0, 1, "One & Two"),
+        ("a", 1, 3, "spaced text"),
+        ("a", 2, 2, "last"),
+    ]
+    plan = heading_outline(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow"):
+        assert marker not in plan
