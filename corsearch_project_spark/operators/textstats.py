@@ -764,3 +764,99 @@ def winnow_fingerprints(text: Column, k: int = 4, w: int = 4) -> Column:
     return F.when(n >= w, fps).otherwise(
         F.array().cast("array<struct<pos:int,h:bigint>>")
     )
+
+
+def section_passages(
+    extracted,
+    chunk: int = 64,
+    stride: int = 48,
+    id_col: str = "url",
+    text_col: str = "extracted_text",
+    spans_col: str = "spans",
+):
+    """Section-aware passage windows over the EXTRACTED table — the
+    composition of the span relation (E10: every kept block carries its
+    tag) with ``sliding_passages``: heading blocks (tag h1-h6) open a new
+    section, each section's body re-chunks independently, and every
+    passage carries (section_idx, section_title). This is what a RAG /
+    embedding indexer wants instead of flat windows: passages never bleed
+    across a section boundary and arrive pre-labeled with their heading.
+
+    -> (url, section_idx, section_title, chunk_id, start_tok, n_tokens,
+    passage). Text before the first heading is section 0 with NULL title;
+    documents whose headings were all stripped as boilerplate degrade to
+    exactly the flat chunking (one section, NULL title).
+
+    Shape: explode of spans inside the scan, one id-keyed window pass
+    (running heading count + last-heading title), one partial-agg
+    reassembly per section (order restored by array_sort over struct
+    (span start, text) — collect_list alone is partition-order-
+    dependent), then the shuffle-free sliding window. At 10^12 docs the
+    two id-keyed exchanges are the cost; the fan-out stays in the scan."""
+    from pyspark.sql import Window
+
+    sep = "\x1f"  # unit separator: cannot appear in a url or block text
+    sp = extracted.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
+        F.explode(spans_col).alias("s"),
+    ).select(
+        "__id",
+        "__t",
+        F.col("s.start").alias("start"),
+        F.col("s.end").alias("end"),
+        F.col("s.kind").rlike("^h[1-6]$").alias("is_heading"),
+    )
+    w = (
+        Window.partitionBy("__id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seg = F.expr("substring(__t, start + 1, end - start)")
+    sp = sp.withColumn(
+        "section_idx", F.sum(F.col("is_heading").cast("long")).over(w)
+    ).withColumn(
+        "section_title",
+        F.last(F.when(F.col("is_heading"), seg), ignorenulls=True).over(w),
+    )
+    body = (
+        sp.where(~F.col("is_heading"))
+        .groupBy("__id", "section_idx", "section_title")
+        .agg(
+            # blocks join with a single space (words() tokenizes on ' ',
+            # so a newline joiner would weld two block-boundary words into
+            # one token)
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("start"), seg.alias("t")))
+                    ),
+                    lambda x: x["t"],
+                ),
+                " ",
+            ).alias("text")
+        )
+        .withColumn(
+            "__k",
+            F.concat(
+                F.col("__id"),
+                F.lit(sep),
+                F.col("section_idx").cast("string"),
+                F.lit(sep),
+                F.coalesce(F.col("section_title"), F.lit("")),
+            ),
+        )
+    )
+    out = sliding_passages(
+        body, chunk=chunk, stride=stride, doc_col="__k", text_col="text"
+    )
+    parts = F.split(F.col("doc"), sep, 3)
+    return out.select(
+        parts.getItem(0).alias(id_col),
+        parts.getItem(1).cast("long").alias("section_idx"),
+        F.when(parts.getItem(2) != "", parts.getItem(2)).alias("section_title"),
+        "chunk_id",
+        "start_tok",
+        "n_tokens",
+        "passage",
+    )
