@@ -1,9 +1,15 @@
 """Guard the driver-sweep window invariant (round-3 verdict item 2 /
-round-4 refinement): the driver checks the FIRST ~50 entries of
-``queries()`` per round, so the first 50 must be exactly queries that have
-never received a driver-green row in any committed CORRECTNESS_r{N}.json —
-otherwise a sweep slot is wasted re-verifying an already-green query while
-a never-swept one stays uncovered.
+round-4 refinement / round-5 backfill rule): the driver checks the FIRST
+~50 entries of ``queries()`` per round, so those 50 slots must go to the
+queries that need driver evidence most —
+
+1. every query with no driver-green row in any committed
+   CORRECTNESS_r{N}.json occupies the head of the window (when more such
+   queries exist than slots, the whole window must be never-green);
+2. once all never-green queries fit, the remaining slots backfill with
+   the queries whose LAST driver-green row is oldest (stalest evidence
+   refreshed first) — no query outside the window may be staler than a
+   backfilled one inside it.
 """
 
 import glob
@@ -14,40 +20,49 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
 
 
-def _green_rows() -> set:
-    names = set()
+def _last_green_round() -> dict:
+    last = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
         data = json.load(open(path))
         for name, row in data.items():
             if isinstance(row, dict) and row.get("rows_match"):
-                names.add(name)
-    return names
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
-def test_window_holds_only_never_swept_queries():
+def test_window_prioritizes_never_green_then_stalest():
     from corsearch_project_spark.queries import spark_queries
 
     ordered = list(spark_queries())
-    green = _green_rows()
+    last = _last_green_round()
     window = ordered[:WINDOW]
-    already = [n for n in window if n in green]
-    assert not already, (
-        f"{len(already)} window slots wasted on already-driver-green "
-        f"queries: {already}"
-    )
+    never = [n for n in ordered if n not in last]
 
-
-def test_window_is_full_when_enough_candidates_exist():
-    from corsearch_project_spark.queries import spark_queries
-
-    ordered = list(spark_queries())
-    green = _green_rows()
-    never = [n for n in ordered if n not in green]
-    # If more never-swept queries exist than slots, the window must be
-    # entirely never-swept; any shortfall means ordering lost a slot.
     if len(never) >= WINDOW:
-        assert ordered[:WINDOW] == never[:WINDOW] or all(
-            n not in green for n in ordered[:WINDOW]
+        wasted = [n for n in window if n in last]
+        assert not wasted, (
+            f"{len(wasted)} window slots wasted on already-driver-green "
+            f"queries while never-green ones wait: {wasted}"
+        )
+        return
+
+    # All never-green queries must sit at the head of the window.
+    head = window[: len(never)]
+    assert set(head) == set(never), (
+        f"window head must be exactly the never-green set; "
+        f"missing={sorted(set(never) - set(head))} "
+        f"extra={sorted(set(head) - set(never))}"
+    )
+    # Backfill slots must hold the stalest green evidence: nothing
+    # outside the window may have an older last-green round than a
+    # backfilled query inside it.
+    backfill = window[len(never):]
+    outside = [n for n in ordered[WINDOW:] if n in last]
+    if backfill and outside:
+        assert max(last[n] for n in backfill) <= min(last[n] for n in outside), (
+            "a query outside the window has staler driver evidence than "
+            "a backfilled one inside it"
         )
 
 
@@ -65,3 +80,18 @@ def test_sweep_lists_are_registry_consistent():
         n for n in set(_SWEEP_FIRST) & set(_SWEEP_OVERFLOW)
     ]
     assert not dupes, f"queries listed in both sweep lists: {dupes}"
+
+
+def test_sweep_lists_cover_registry():
+    from corsearch_project_spark.queries import (
+        REGISTRY,
+        _SWEEP_FIRST,
+        _SWEEP_OVERFLOW,
+    )
+
+    listed = set(_SWEEP_FIRST) | set(_SWEEP_OVERFLOW)
+    missing = [n for n in REGISTRY if n not in listed]
+    assert not missing, (
+        f"registry queries absent from both sweep lists (their sweep "
+        f"position is accidental registration order): {missing}"
+    )
