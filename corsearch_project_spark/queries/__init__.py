@@ -23,11 +23,11 @@ from corsearch_project_spark.queries import curation  # noqa: F401
 # ROUND 5 WINDOW (recomputed after CORRECTNESS_r04.json landed, per the
 # round-4 plan): the 30 never-driver-green queries (the old overflow
 # head) + q_approx_distinct (no oracle by design — the driver records its
-# rows-only row, refreshed here one final time), backfilled to 50 with
-# the 19 stalest r2-only rows. Any round-5 registration must displace a
-# backfill slot or it ships driver-unverified. After this sweep every
-# query in the registry has a driver row from r5 or a green row from
-# r2–r4.
+# rows-only row, refreshed here one final time) + the round-5
+# registration q_bitext_mine_lsh, backfilled to 50 with the 18 stalest
+# r2-only rows. Any further r5 registration must displace a backfill
+# slot or it ships driver-unverified. After this sweep every query in
+# the registry has a driver row from r5 or a green row from r2–r4.
 # Enforced by tests/test_sweep_order.py against the committed
 # CORRECTNESS_r*.json artifacts.
 _SWEEP_FIRST = [
@@ -45,13 +45,15 @@ _SWEEP_FIRST = [
     "q_bloom_membership", "q_passage_chunks", "q_pagination_chains",
     "q_script_census",
     "q_approx_distinct",
+    # round-5 registration: the bitext scale arm must green this round
+    "q_bitext_mine_lsh",
     # stalest-evidence backfill: rows last driver-green in r2
     "q_math_fns", "q_array_fns", "q_json_fns", "q_cond_fns",
     "q_window_tumbling", "q_window_sliding", "q_session_window",
     "q_agg_cube", "q_set_exceptall", "q_window_percentrank",
     "q_dedupe_latest_agg", "q_join_interval",
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash_lsh",
-    "q_dedup_simhash", "q_dedup_embed", "q_sim_topk", "q_sim_lsh_ann",
+    "q_dedup_simhash", "q_dedup_embed", "q_sim_topk",
 ]
 
 # Queries displaced from the 50-slot window; each carries a driver-green
@@ -60,7 +62,8 @@ _SWEEP_FIRST = [
 # of the driver cap refreshes the stalest evidence next.
 _SWEEP_OVERFLOW = [
     # rows last driver-green in r2 that did not fit the backfill
-    "q_sim_lsh_multiprobe", "q_dedup_embed_lsh", "q_text_tokens",
+    "q_sim_lsh_ann", "q_sim_lsh_multiprobe", "q_dedup_embed_lsh",
+    "q_text_tokens",
     # rows last driver-green in r3
     "q_pricing_summary", "q_project_filter", "q_predicates",
     "q_like_regexp", "q_join_broadcast", "q_join_smj", "q_join_semi",

@@ -16,9 +16,18 @@ from pyspark.sql import functions as F
 
 from corsearch_project_spark.operators import textstats as X
 from corsearch_project_spark.operators.lm import lm_perplexity
-from corsearch_project_spark.operators.simsearch import bitext_margin_pairs
+from corsearch_project_spark.operators.simsearch import (
+    bitext_margin_pairs,
+    bitext_margin_pairs_lsh,
+)
 from corsearch_project_spark.queries.base import REGISTRY, query, t
-from corsearch_project_spark.queries.textsim import SQL_PHASH, SQL_QUANT, SQL_WORDS, _sql_shingles
+from corsearch_project_spark.queries.textsim import (
+    SQL_PHASH,
+    SQL_QUANT,
+    SQL_WORDS,
+    _sql_lsh_buckets,
+    _sql_shingles,
+)
 
 
 # ---------------------------------------------------------- filter cascade
@@ -182,6 +191,82 @@ def q_lm_perplexity(spark, sf_dir):
 )
 def q_bitext_mine(spark, sf_dir):
     return bitext_margin_pairs(t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "q_bitext_mine_lsh",
+    f"""
+    WITH {_sql_lsh_buckets(48)},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    banded AS (
+        SELECT b.vec_id, l.label, bd.bd AS band,
+               (b.bucket >> (bd.bd * 4)) & 15 AS bv
+        FROM buckets b JOIN lab l USING (vec_id)
+        CROSS JOIN range(0, 12) bd(bd)
+    ),
+    cands AS (
+        SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        FROM banded a JOIN banded b ON a.band = b.band AND a.bv = b.bv
+        WHERE a.label % 2 = 0 AND b.label % 2 = 1
+    ),
+    e AS (SELECT vec_id, qe, list_inner_product(qe, qe) AS nrm FROM qv),
+    p AS (
+        SELECT c.src, c.dst,
+               round(list_inner_product(sa.qe, sb.qe)
+                     / sqrt(CAST(sa.nrm AS DOUBLE) * CAST(sb.nrm AS DOUBLE)),
+                     6) AS cos
+        FROM cands c
+        JOIN e sa ON sa.vec_id = c.src
+        JOIN e sb ON sb.vec_id = c.dst
+    ),
+    f AS (SELECT src, dst, cos,
+                 row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst)
+                     AS rn
+          FROM p),
+    fa AS (
+        SELECT src,
+               max(CASE WHEN rn = 1 THEN dst END) AS nn_dst,
+               max(CASE WHEN rn = 1 THEN cos END) AS nn_cos,
+               sum(CASE WHEN rn <= 4 THEN CAST(cos AS DECIMAL(18,6)) END)
+                   AS sk_a,
+               CAST(count(*) FILTER (WHERE rn <= 4) AS BIGINT) AS k_a
+        FROM f GROUP BY 1
+    ),
+    r AS (SELECT src, dst, cos,
+                 row_number() OVER (PARTITION BY dst ORDER BY cos DESC, src)
+                     AS rn
+          FROM p),
+    ra AS (
+        SELECT dst,
+               max(CASE WHEN rn = 1 THEN src END) AS nn_src,
+               sum(CASE WHEN rn <= 4 THEN CAST(cos AS DECIMAL(18,6)) END)
+                   AS sk_b,
+               CAST(count(*) FILTER (WHERE rn <= 4) AS BIGINT) AS k_b
+        FROM r GROUP BY 1
+    )
+    SELECT fa.src, ra.dst, fa.nn_cos AS cos,
+           round(fa.nn_cos / (CAST(fa.sk_a + ra.sk_b AS DOUBLE)
+                              / CAST(fa.k_a + ra.k_b AS DOUBLE)), 6) AS margin
+    FROM fa JOIN ra ON fa.nn_dst = ra.dst AND ra.nn_src = fa.src
+    """,
+    doc="The 10^12-row bitext arm (q_bitext_mine's scale twin): sign-LSH "
+    "banded candidate generation — 48 md5-parity hyperplanes, 12 bands × "
+    "4 bits, narrower bands than near-dup because mined pairs live at "
+    "moderate cosine (8-bit bands recall 0.18 of exact pairs here, 4-bit "
+    "0.93, measured sf0.01) — cross-pool band equi-join instead of the "
+    "control arm's broadcast cross join, exact quantized cosine on "
+    "candidates only, then the SAME rank + margin tail. Top-k/NN are over "
+    "each vector's candidates, so the mined set is recall-gated vs the "
+    "exact arm; every emitted cosine and margin is exact. The oracle "
+    "replays the identical sign matrix in SQL, so Spark and DuckDB agree "
+    "bit-for-bit on candidates AND scores. No CartesianProduct anywhere "
+    "(plan-gated); shuffle volume is bucket-bounded "
+    "(operators/simsearch.py bitext_margin_pairs_lsh).",
+)
+def q_bitext_mine_lsh(spark, sf_dir):
+    return bitext_margin_pairs_lsh(
+        t(spark, sf_dir, "embeddings"), k=4, n_planes=48, band_planes=4
+    )
 
 
 # ------------------------------------------------- DSIR data selection
