@@ -25,6 +25,18 @@ Semantics the implementations must provide (and what they may relax):
   makes that acceptable — no concurrent reader races the swap; a real
   multi-writer deployment flips an Iceberg catalog pointer instead, which
   is why the swap is isolated behind this seam in the first place.
+
+  **Ordering contract for copy+delete implementations** (what makes a
+  crash ANYWHERE inside a non-atomic rename recoverable, see
+  ``maintenance.recover_swap``): during the copy phase the
+  ``maintenance.COMPLETE_MARKER`` file (``_SUCCESS``) must be copied
+  LAST; during the delete phase it must be deleted FIRST. Spark itself
+  commits ``_SUCCESS`` last when writing the ledger, so under this
+  contract "directory contains the marker" ⇔ "directory is complete" in
+  every crash state, and ``recover_swap`` can always tell a torn copy
+  from a whole ledger. The adapter controls its own key iteration order,
+  so both constraints are one ``sorted(..., key=is_marker)`` away.
+  Atomic-rename filesystems (POSIX, HDFS) satisfy the contract trivially.
 * ``rmtree`` removes a directory tree / prefix, idempotently.
 * ``exists``, ``listdir``, ``getsize`` are the obvious metadata probes.
 """

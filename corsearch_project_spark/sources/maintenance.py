@@ -58,34 +58,71 @@ from corsearch_project_spark.sources.snapshots import SNAPSHOT_SCHEMA, read_snap
 ASIDE_SUFFIX = ".__expired__"
 COMPACT_SUFFIX = ".__compact__"
 
+# Directory-completeness marker. Every ledger this module swaps is a
+# Spark-written parquet dir, and Spark commits ``_SUCCESS`` last — so "has
+# the marker" ⇔ "every data file of the write is present". The fs seam's
+# rename contract (sources/fs.py) extends that invariant through
+# copy+delete renames: copy the marker LAST, delete it FIRST. Under those
+# two orderings a directory with the marker is complete in EVERY crash
+# state a non-atomic rename can produce, which is what lets recover_swap
+# tell a fully-moved-in ledger from a partial copy.
+COMPLETE_MARKER = "_SUCCESS"
+
+
+def _complete(path: str, fs=LOCAL_FS) -> bool:
+    """True iff ``path`` is a fully-written/fully-copied ledger dir."""
+    return fs.exists(path) and fs.exists(path.rstrip("/") + "/" + COMPLETE_MARKER)
+
 
 def recover_swap(live_dir: str, fs=LOCAL_FS) -> List[str]:
     """Repair an interrupted ``_swap_in`` around ``live_dir``.
 
-    The swap's crash states and their repairs (applied in this order):
+    On POSIX the renames are atomic and only whole-directory
+    present/absent states occur; on an object store a "rename" is a
+    non-atomic prefix copy+delete, so a crash can ALSO leave partial
+    directories. The ``COMPLETE_MARKER`` discipline (marker copied last,
+    deleted first — the fs seam contract) makes partial states
+    detectable, and every crash state then has exactly one safe repair,
+    applied in this order:
 
-    * live missing + aside present — crashed between the two renames (the
-      window in which the table briefly "does not exist"): roll BACK by
-      renaming the aside copy to live. The compacted dir is then reaped
-      and the expiry simply re-runs; rolling back is chosen over rolling
-      forward because it is correct even if the compact dir is from an
-      older, unrelated interruption.
-    * live present + aside present — crashed after move-in, before the
-      aside cleanup: reap the aside copy.
-    * compact present + live present — crashed before the swap started
+    * live complete + aside present — crashed after move-in, before the
+      aside cleanup (or mid-copy of move-aside, leaving a partial aside):
+      the live ledger is whole; reap the aside.
+    * live PARTIAL + aside complete — crashed mid-copy of move-in, or
+      mid-delete of move-aside: the live dir is a torn copy and the aside
+      holds the only complete old ledger. Reap the torn live dir and roll
+      back from the aside. (Pre-marker code reaped the ASIDE here — the
+      one order-of-operations that loses the table.)
+    * live missing + aside complete — crashed between the two renames:
+      roll back by renaming the aside to live. Rolling back is chosen
+      over rolling forward because it is correct even if the compact dir
+      is from an older, unrelated interruption; the expiry simply
+      re-runs.
+    * live partial/missing + aside PARTIAL — unreachable under the
+      single-writer protocol (the aside copy must complete before the
+      move-in starts); left untouched and reported so an operator sees it
+      rather than either side being silently reaped.
+    * compact present + live complete — crashed before the swap started
       (or a stale rewrite): reap the compact dir; it is regenerated.
     """
     aside = live_dir.rstrip("/") + ASIDE_SUFFIX
     compact = live_dir.rstrip("/") + COMPACT_SUFFIX
     actions: List[str] = []
     if fs.exists(aside):
-        if not fs.exists(live_dir):
+        if _complete(live_dir, fs):
+            fs.rmtree(aside)
+            actions.append("reaped_aside")
+        elif _complete(aside, fs):
+            if fs.exists(live_dir):
+                fs.rmtree(live_dir)
+                actions.append("reaped_partial_live")
             fs.rename(aside, live_dir)
             actions.append("restored_live_from_aside")
         else:
-            fs.rmtree(aside)
-            actions.append("reaped_aside")
-    if fs.exists(compact) and fs.exists(live_dir):
+            # Neither side is provably whole — never guess with rmtree.
+            actions.append("unrecoverable_both_partial")
+            return actions
+    if fs.exists(compact) and _complete(live_dir, fs):
         fs.rmtree(compact)
         actions.append("reaped_compact")
     return actions

@@ -288,3 +288,171 @@ def test_expire_cli(spark, tmp_path, capsys):
 
     rc = J.main(["--output", str(tmp_path / "nope"), "--keep-last", "1"])
     assert rc == 1
+
+
+# ---------------------------------------------------------------- S3 crashes
+
+
+class _InjectedCrash(Exception):
+    pass
+
+
+class _CrashableObjectStoreFS:
+    """Object-store double with fault injection: rename is a per-file
+    copy+delete honoring the seam's ordering contract (COMPLETE_MARKER
+    copied LAST, deleted FIRST — sources/fs.py), rmtree is per-file, and
+    every single file mutation ticks a fuse that raises after
+    ``fail_after`` mutations. Sweeping the fuse over every index proves a
+    crash at ANY point inside the non-atomic maintenance swap leaves a
+    state recover_swap/vacuum_staging can repair without data loss."""
+
+    def __init__(self, fail_after=None):
+        self.fail_after = fail_after
+        self.ops = 0
+
+    def _tick(self):
+        self.ops += 1
+        if self.fail_after is not None and self.ops > self.fail_after:
+            raise _InjectedCrash(f"injected crash at mutation {self.ops}")
+
+    @staticmethod
+    def _files(root):
+        from corsearch_project_spark.sources.maintenance import COMPLETE_MARKER
+
+        out = []
+        for d, _, names in os.walk(root):
+            for n in names:
+                out.append(os.path.join(d, n))
+        # deterministic, marker-neutral base order
+        return sorted(out), COMPLETE_MARKER
+
+    def exists(self, p):
+        return os.path.exists(p)
+
+    def isdir(self, p):
+        return os.path.isdir(p)
+
+    def listdir(self, p):
+        return os.listdir(p)
+
+    def getsize(self, p):
+        return os.path.getsize(p)
+
+    def rename(self, src, dst):
+        import shutil
+
+        files, marker = self._files(src)
+        # copy phase: marker last
+        for f in sorted(files, key=lambda f: os.path.basename(f) == marker):
+            rel = os.path.relpath(f, src)
+            target = os.path.join(dst, rel)
+            os.makedirs(os.path.dirname(target), exist_ok=True)
+            self._tick()
+            shutil.copy2(f, target)
+        # delete phase: marker first
+        for f in sorted(files, key=lambda f: os.path.basename(f) != marker):
+            self._tick()
+            os.remove(f)
+        shutil.rmtree(src, ignore_errors=True)
+
+    def rmtree(self, p):
+        import shutil
+
+        if not os.path.exists(p):
+            return
+        files, marker = self._files(p)
+        # reap is delete-shaped: marker first, so a half-reaped dir never
+        # masquerades as complete
+        for f in sorted(files, key=lambda f: os.path.basename(f) != marker):
+            self._tick()
+            os.remove(f)
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def test_swap_crash_anywhere_on_object_store_recovers(spark, tmp_path):
+    """Fault-injection sweep (round-4 verdict item 6): run snapshot expiry
+    through the copy+delete FS double, crashing after every k-th file
+    mutation in turn. After each crash, vacuum_staging (the repair entry
+    point) + a re-run of the expiry must converge to the same table state
+    as a crash-free expiry — ledgers complete, no staging leftovers, no
+    torn directory ever mistaken for a whole one."""
+    import shutil
+
+    # M2 rewrites exactly M1's urls, so M1 is fully superseded and
+    # keep_last=1 genuinely expires it — the swap (the code under test)
+    # must actually run.
+    base = gen_pages(40, seed=96, dup_frac=0.0)
+    src_table = _extract_all(spark, tmp_path, base, "exp")
+    m1 = [_swap_body(base[0], base[20]), _swap_body(base[1], base[21])]
+    _merge(spark, src_table, tmp_path, m1, "M1")
+    m2 = [_swap_body(base[0], base[25]), _swap_body(base[1], base[26])]
+    _merge(spark, src_table, tmp_path, m2, "M2")
+
+    # Reference: the state a crash-free object-store expiry produces.
+    ref = str(tmp_path / "ref")
+    shutil.copytree(src_table, ref)
+    rep = expire_snapshots(spark, ref, keep_last=1, fs=_CrashableObjectStoreFS())
+    assert rep["expired_runs"]
+    want_state = _table_state(spark, ref)
+    want_runs = {r["run_id"] for r in
+                 read_snapshots(spark, os.path.join(ref, "snapshots")).collect()}
+
+    k = 0
+    completed_without_crash = False
+    while not completed_without_crash:
+        k += 1
+        root = str(tmp_path / f"crash{k}")
+        shutil.copytree(src_table, root)
+        fs = _CrashableObjectStoreFS(fail_after=k)
+        try:
+            expire_snapshots(spark, root, keep_last=1, fs=fs)
+            completed_without_crash = True
+        except _InjectedCrash:
+            pass
+
+        # repair + finish with a crash-free object-store FS
+        vrep = vacuum_staging(root, fs=_CrashableObjectStoreFS())
+        assert not any(
+            "unrecoverable" in a for a in vrep["recovered_swaps"]
+        ), (k, vrep)
+        expire_snapshots(spark, root, keep_last=1, fs=_CrashableObjectStoreFS())
+
+        snap = os.path.join(root, "snapshots")
+        assert os.path.exists(os.path.join(snap, "_SUCCESS")), k
+        assert not os.path.exists(snap + ".__expired__"), k
+        assert not os.path.exists(snap + ".__compact__"), k
+        got_runs = {r["run_id"] for r in read_snapshots(spark, snap).collect()}
+        assert got_runs == want_runs, (k, got_runs, want_runs)
+        assert _table_state(spark, root) == want_state, k
+    assert k > 10  # the sweep actually exercised many distinct crash points
+
+
+def test_recover_swap_prefers_complete_ledger_over_partial_live(tmp_path):
+    """Unit pin of the marker rule: a torn move-in (partial live, complete
+    aside) must roll BACK — reaping the aside here is the one
+    order-of-operations that loses the table."""
+    from corsearch_project_spark.sources.maintenance import recover_swap
+
+    live = tmp_path / "snapshots"
+    aside = tmp_path / "snapshots.__expired__"
+    # complete aside (the old ledger), torn live copy (no marker yet)
+    aside.mkdir()
+    (aside / "part-00000.parquet").write_bytes(b"OLD")
+    (aside / "_SUCCESS").write_bytes(b"")
+    live.mkdir()
+    (live / "part-00000.parquet").write_bytes(b"NEW-TORN")
+
+    acts = recover_swap(str(live), fs=_CrashableObjectStoreFS())
+    assert acts == ["reaped_partial_live", "restored_live_from_aside"]
+    assert (live / "_SUCCESS").exists()
+    assert (live / "part-00000.parquet").read_bytes() == b"OLD"
+    assert not aside.exists()
+
+    # and when NEITHER side carries the marker, nothing is reaped
+    live2 = tmp_path / "lineage"
+    aside2 = tmp_path / "lineage.__expired__"
+    live2.mkdir(); (live2 / "x.parquet").write_bytes(b"a")
+    aside2.mkdir(); (aside2 / "x.parquet").write_bytes(b"b")
+    acts2 = recover_swap(str(live2), fs=_CrashableObjectStoreFS())
+    assert acts2 == ["unrecoverable_both_partial"]
+    assert live2.exists() and aside2.exists()
