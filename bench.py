@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     "q_filter_cascade",  # round 4: rule-cascade verdict, pure projection
     "q_lm_perplexity",  # round 4: bigram-LM NLL scoring + terciles
     "q_bitext_mine",  # round 4: margin-based mutual-NN pair mining
+    "q_bitext_mine_lsh",  # round 5: the banded-LSH scale arm (2.3x the
+    # control arm at sf0.1 — the candidate join beats the broadcast cross)
     "q_dsir_weights",  # round 4: hashed-ngram importance-ratio selection
     "q_cdc_chunks",  # round 4: content-defined chunk dedup census
     "q_hll_distinct",  # round 4: HLL register sketch vs exact distinct
